@@ -1,0 +1,129 @@
+"""Vectorized fixed-order quadrature on radial grids.
+
+TPU-native replacement for the reference's per-point adaptive ``scipy.quad``
+python loops (``cluster_generator/utils.py:129-151``, SURVEY.md §3 "HOT LOOP
+#1/#2").  Instead of N sequential adaptive quadratures, every cumulative
+integral here is a single batched evaluation:
+
+* each interval ``[r_i, r_{i+1}]`` of the (log-spaced) grid gets a fixed-order
+  Gauss–Legendre panel — the integrand is evaluated at all ``(N-1) x K`` nodes
+  in one vectorized call, then panel sums + ``cumsum`` produce the cumulative
+  integral at every grid point simultaneously;
+* the central panel ``[0, r_0]`` uses a sqrt substitution ``r = u^2`` so that
+  integrable power-law cusps (rho ~ r^alpha, alpha > -3, so rho*r^2 ~
+  r^{2+alpha}) are resolved to high order;
+* the ``-> infinity`` tail uses the substitution ``r = r_max / t`` mapping
+  ``[r_max, inf)`` to ``(0, 1]``.
+
+Everything is pure jnp, jit-safe and vmappable over ensemble axes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .scan_ops import cumsum
+
+__all__ = [
+    "gauss_legendre",
+    "cumulative_integral",
+    "integrate_mass",
+    "integrate_from",
+    "integrate_tail_to_inf",
+    "cumtrapz",
+]
+
+_DEFAULT_ORDER = 16
+
+
+def gauss_legendre(order: int):
+    """Nodes/weights on [-1, 1] as float64 numpy (host-side, cached)."""
+    x, w = np.polynomial.legendre.leggauss(order)
+    return x.astype(np.float64), w.astype(np.float64)
+
+
+def _panel_nodes(rr: jnp.ndarray, order: int):
+    """GL nodes/weights for every interval of grid ``rr``.
+
+    Returns (nodes, weights) of shape (N-1, order): nodes in [r_i, r_{i+1}].
+    """
+    x, w = gauss_legendre(order)
+    a = rr[:-1][:, None]
+    b = rr[1:][:, None]
+    half = 0.5 * (b - a)
+    nodes = a + half * (x[None, :] + 1.0)
+    weights = half * w[None, :]
+    return nodes, weights
+
+
+def cumulative_integral(fn, rr, order: int = _DEFAULT_ORDER, from_zero: bool = True,
+                        sqrt_sub_first_panel: bool = True):
+    """Cumulative integral F(r_i) = int_0^{r_i} fn(r) dr on grid ``rr``.
+
+    ``fn`` must be a vectorized jnp-traceable integrand.  If ``from_zero`` is
+    False, integration starts at ``rr[0]`` (F(r_0) = 0).
+
+    The [0, r_0] panel (if ``from_zero``) substitutes r = u^2:
+        int_0^{r0} f(r) dr = int_0^{sqrt(r0)} f(u^2) 2u du,
+    which turns r^{p} cusps into u^{2p+1} — polynomial-like for the
+    mass-integrand cusps of every profile in the library (p >= -0.9).
+    """
+    nodes, weights = _panel_nodes(rr, order)
+    vals = fn(nodes)
+    panel = jnp.sum(vals * weights, axis=1)
+    csum = jnp.concatenate([jnp.zeros((1,), panel.dtype), cumsum(panel)])
+    if from_zero:
+        x, w = gauss_legendre(max(order, 32))
+        u_max = jnp.sqrt(rr[0])
+        u = 0.5 * u_max * (jnp.asarray(x) + 1.0)
+        wu = 0.5 * u_max * jnp.asarray(w)
+        first = jnp.sum(fn(u * u) * 2.0 * u * wu)
+        csum = csum + first
+    return csum
+
+
+def integrate_mass(density_fn, rr, order: int = _DEFAULT_ORDER):
+    """m(r_i) = 4 pi int_0^{r_i} rho(r) r^2 dr  (ref utils.py:129-134)."""
+    f = lambda r: density_fn(r) * r * r
+    return 4.0 * jnp.pi * cumulative_integral(f, rr, order=order, from_zero=True)
+
+
+def integrate_from(fn, rr, order: int = _DEFAULT_ORDER):
+    """I(r_i) = int_{r_i}^{r_max} fn(r) dr  (ref utils.py:137-142).
+
+    Computed as the reversed cumulative panel sum; I(r_max) = 0.
+    """
+    nodes, weights = _panel_nodes(rr, order)
+    panel = jnp.sum(fn(nodes) * weights, axis=1)
+    # suffix sums: I_i = sum_{j>=i} panel_j
+    rev = cumsum(panel[::-1])[::-1]
+    return jnp.concatenate([rev, jnp.zeros((1,), rev.dtype)])
+
+
+def integrate_tail_to_inf(fn, r_max, order: int = 64):
+    """int_{r_max}^{inf} fn(r) dr via r = r_max / t, t in (0, 1].
+
+    dr = -r_max/t^2 dt  =>  integral = int_0^1 fn(r_max/t) r_max / t^2 dt.
+    Gauss–Legendre never evaluates at t=0, so decaying integrands
+    (fn ~ r^-2 or steeper) are handled exactly like the reference's
+    ``quad(..., rmax, np.inf)`` tail (utils.py:145-151, model.py:612-613).
+    """
+    x, w = gauss_legendre(order)
+    t = 0.5 * (jnp.asarray(x) + 1.0)
+    wt = 0.5 * jnp.asarray(w)
+    r = r_max / t
+    return jnp.sum(fn(r) * r_max / (t * t) * wt)
+
+
+def cumtrapz(y, x):
+    """Cumulative trapezoid with initial 0 (scipy.integrate.cumulative_trapezoid
+    compatible; used for the gas-mass integral parity with model.py:232)."""
+    y = jnp.asarray(y)
+    x = jnp.asarray(x)
+    dx = x[1:] - x[:-1]
+    incr = 0.5 * (y[1:] + y[:-1]) * dx
+    return jnp.concatenate([jnp.zeros((1,), incr.dtype), cumsum(incr)])

@@ -1,0 +1,241 @@
+"""Chunked uniform-grid HDF5 datasets for yt consumption
+(reference data_structures.py:28-401).
+
+The reference's two Cython kernels (``opt.structures.construct_chunks`` and
+``opt.structures.dump_field_to_hdf5``, SURVEY.md §2.2) become:
+
+* ``construct_chunks`` — pure index arithmetic (numpy, with an optional C++
+  fast path in ``native/``);
+* chunk painting — a *batched on-device* evaluation: for each 64^3 chunk the
+  cell radii and the cubic-spline field interpolation run as one jitted XLA
+  program; only the finished (cs, cs, cs) block is DMA'd to the host and
+  written into the chunked HDF5 dataset ("disk as VRAM", model.py:1166-1168).
+"""
+
+from __future__ import annotations
+
+import pathlib as pt
+from functools import partial
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import constants as C
+from .core.interp import cubic_spline, spline_eval
+from .core.logging import mylog
+
+__all__ = ["YTHDF5", "construct_chunks"]
+
+
+def construct_chunks(domain_dimensions, chunksize: int) -> np.ndarray:
+    """Chunkmap ``uint32[3, 2, Nchunks]`` of per-chunk (min, max) cell
+    indices tiling the domain in cubes (reference opt.structures
+    .construct_chunks, called from data_structures.py:238)."""
+    try:
+        from .ops.native import construct_chunks as _native_chunks
+
+        return _native_chunks(domain_dimensions, chunksize)
+    except Exception:
+        pass
+    dd = np.asarray(domain_dimensions, dtype=np.uint32)
+    counts = (dd // chunksize).astype(int)
+    ii, jj, kk = np.meshgrid(np.arange(counts[0]), np.arange(counts[1]),
+                             np.arange(counts[2]), indexing="ij")
+    starts = np.stack([ii.ravel(), jj.ravel(), kk.ravel()],
+                      axis=0).astype(np.uint32) * np.uint32(chunksize)
+    ends = starts + np.uint32(chunksize)
+    return np.stack([starts, ends], axis=1)  # (3, 2, Nchunks)
+
+
+@partial(jax.jit, static_argnames=("cs",))
+def _paint_chunk(sp, start, deltas, left_edge, cs):
+    """Evaluate a radial spline field on one chunk's cell centers.
+
+    start: (3,) first cell index of the chunk; returns (cs, cs, cs)."""
+    idx = jnp.arange(cs, dtype=jnp.float64)
+    x = left_edge[0] + (start[0] + idx + 0.5) * deltas[0]
+    y = left_edge[1] + (start[1] + idx + 0.5) * deltas[1]
+    z = left_edge[2] + (start[2] + idx + 0.5) * deltas[2]
+    rr = jnp.sqrt(x[:, None, None] ** 2 + y[None, :, None] ** 2
+                  + z[None, None, :] ** 2)
+    return spline_eval(sp, rr)
+
+
+class YTHDF5:
+    """Wrapper for the chunked-grid HDF5 files yt reads back
+    (data_structures.py:62-401)."""
+
+    _yt_fields = {
+        "density": "Msun/kpc**3",
+        "dark_matter_density": "Msun/kpc**3",
+        "stellar_density": "Msun/kpc**3",
+        "pressure": "Msun/(kpc*Myr**2)",
+        "momentum_density_x": "Msun/(Myr*kpc**2)",
+        "momentum_density_y": "Msun/(Myr*kpc**2)",
+        "momentum_density_z": "Msun/(Myr*kpc**2)",
+        "magnetic_pressure": "Msun/(kpc*Myr**2)",
+    }
+
+    def __init__(self, filename):
+        self.filename = pt.Path(filename)
+        assert self.filename.exists(), \
+            f"The file {self.filename} doesn't appear to exist."
+        with h5py.File(self.filename, "r") as fo:
+            self.chunkmap = fo["chunks"]["chunkmap"][:]
+            self._attrs = dict(fo.attrs)
+
+    def __str__(self):
+        return f"<YTHDF5 File @ {self.filename}>"
+
+    __repr__ = __str__
+
+    @property
+    def domain_dimensions(self):
+        return self._attrs["domain_dimensions"]
+
+    @property
+    def bbox(self):
+        return self._attrs["bbox"]
+
+    @property
+    def chunksize(self):
+        return int(self._attrs["chunksize"])
+
+    @property
+    def model_count(self):
+        with h5py.File(self.filename, "r") as fo:
+            return int(fo.attrs["model_count"])
+
+    @classmethod
+    def load(cls, filename):
+        return cls(filename)
+
+    @classmethod
+    def build(cls, filename, domain_dimensions=(512, 512, 512), bbox=None,
+              overwrite=False, chunksize=64):
+        """Create the chunked HDF5 schema (data_structures.py:145-251)."""
+        filename = pt.Path(filename)
+        domain_dimensions = np.array(domain_dimensions, dtype="uint32")
+        if bbox is None:
+            bbox = np.array([[0, 1]] * 3, dtype="float64")
+        bbox = np.asarray(bbox, dtype="float64")
+        assert np.array_equal(domain_dimensions % chunksize, np.zeros(3)), \
+            ("The chunksize does not evenly divide the domain. Please alter "
+             "your chunksize so that it fits.")
+        if filename.exists() and not overwrite:
+            raise IOError(f"Could not create YTHDF5 object at {filename} "
+                          "because it already exists.")
+        elif filename.exists():
+            mylog.info("%s exists. Overwriting it...", filename)
+            filename.unlink()
+
+        with h5py.File(filename, "w") as buf:
+            buf.attrs["domain_dimensions"] = domain_dimensions
+            buf.attrs["bbox"] = bbox
+            buf.attrs["chunksize"] = chunksize
+            buf.attrs["model_count"] = 0
+            buf.attrs["mu"] = C.mue
+            grid = buf.create_group("grid")
+            chunks = buf.create_group("chunks")
+            chunkmap = construct_chunks(domain_dimensions, chunksize)
+            chunks.create_dataset("chunkmap", data=chunkmap, dtype="uint32")
+            for field, unit in cls._yt_fields.items():
+                ds = grid.create_dataset(
+                    field, (chunkmap.shape[-1], chunksize, chunksize,
+                            chunksize), dtype="float64")
+                ds.attrs["unit"] = unit
+        return cls.load(filename)
+
+    # --------------------------------------------------------------- sizes
+    @property
+    def _estimated_size(self):
+        return (np.prod(np.array(self.domain_dimensions)) * 8
+                * len(self._yt_fields) / 1e9)
+
+    @property
+    def _estimated_chunk_memory(self):
+        return (self.chunksize**3) * 8 / 1e9
+
+    def survey_memory(self):
+        """Memory/disk usage survey (data_structures.py:266-296)."""
+        mylog.info("MEMORY SURVEY: %s.", self.filename)
+        mylog.info("Total size: %s GB.",
+                   np.round(self._estimated_size, decimals=4))
+        mylog.info("Chunk size: %s GB.",
+                   np.round(self._estimated_chunk_memory, decimals=4))
+        try:
+            import psutil
+
+            avail = psutil.virtual_memory().available / 1e9
+            mylog.info("Free memory: %s GB", np.round(avail, decimals=3))
+            if avail < self._estimated_chunk_memory:
+                mylog.warning("Free memory may be insufficient for chunked "
+                              "operations.")
+        except ImportError:
+            pass
+
+    # -------------------------------------------------------------- adding
+    def add_model(self, model, center, velocity):
+        """Paint a ClusterModel onto the grid (data_structures.py:298-362)."""
+        center = np.asarray(center, dtype=np.float64)
+        velocity = np.asarray(velocity, dtype=np.float64)
+        bbox = np.asarray(self.bbox)
+        relative_bbox = bbox - center.reshape(3, 1)
+        mylog.info("Adding %s to %s", model, self)
+
+        rr = np.asarray(model["radius"])
+        cs = self.chunksize
+        chunk_starts = self.chunkmap[:, 0, :].T.astype(np.float64)  # (Nc, 3)
+        deltas = (bbox[:, 1] - bbox[:, 0]) / np.asarray(self.domain_dimensions)
+        left = relative_bbox[:, 0]
+
+        with h5py.File(self.filename, "a") as fo:
+            for field, unit in self._yt_fields.items():
+                if "momentum_density" in field:
+                    axis = {"x": 0, "y": 1, "z": 2}[field[-1]]
+                    if "density" not in model.fields:
+                        continue
+                    yy = np.asarray(model["density"]) * velocity[axis]
+                elif field == "magnetic_pressure":
+                    if "magnetic_field_strength" not in model.fields:
+                        continue
+                    # p_B = B^2 / 8 pi (gaussian); convert erg/cm^3 -> galactic
+                    from .core import units as U
+
+                    B = np.asarray(model["magnetic_field_strength"])
+                    yy = (B**2 / (8.0 * np.pi)) * U.unit_factor("erg/cm**3")
+                elif field in model.fields:
+                    yy = np.asarray(model[field])
+                else:
+                    mylog.debug("Field %s not in model; skipping.", field)
+                    continue
+                self._add_field(fo, rr, yy, field, left, deltas, chunk_starts,
+                                cs)
+            mylog.info("Core fields of %s were written to %s.", model, self)
+            fo.attrs["model_count"] += 1
+
+    def add_ICs(self, ics):
+        """Paint every model of a ClusterICs scene
+        (data_structures.py:364-387)."""
+        from .model import ClusterModel
+
+        mylog.info("Adding %s to %s.", ics.basename, self)
+        for ic_id, ic_model in enumerate(ics.profiles):
+            model = ClusterModel.from_h5_file(ic_model)
+            self.add_model(model, ics.center[ic_id], ics.velocity[ic_id])
+
+    def _add_field(self, fileio, r, y, fieldname, left, deltas, chunk_starts,
+                   cs, batch=64):
+        """Device-evaluate the radial field on every chunk and stream the
+        blocks to disk (replaces opt.structures.dump_field_to_hdf5)."""
+        sp = cubic_spline(jnp.asarray(r), jnp.asarray(y))
+        dset = fileio["grid"][fieldname]
+        paint = jax.vmap(lambda s: _paint_chunk(sp, s, jnp.asarray(deltas),
+                                                jnp.asarray(left), cs))
+        n = chunk_starts.shape[0]
+        for i0 in range(0, n, batch):
+            starts = jnp.asarray(chunk_starts[i0:i0 + batch])
+            blocks = np.asarray(paint(starts))
+            dset[i0:i0 + blocks.shape[0], ...] += blocks

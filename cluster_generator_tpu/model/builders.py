@@ -1,0 +1,152 @@
+"""Jitted hydrostatic-equilibrium field builders.
+
+Pure-functional cores of the reference's ``ClusterModel`` constructors
+(model.py:474-656 and ``_from_scratch`` model.py:213-269).  Each builder maps
+(profile pytrees, radius grid) -> dict of float64 field arrays in galactic
+units, with every cumulative integral expressed as batched Gauss-Legendre
+panels (core/quadrature.py) instead of the reference's per-point
+``scipy.quad`` python loops (SURVEY.md §3.1-3.2 HOT LOOPs #1/#2).
+
+The whole construction jits into a single XLA program and is vmappable over
+profile-parameter batches (ensemble axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.interp import cubic_spline, spline_eval
+from ..core.quadrature import (
+    cumulative_integral,
+    integrate_from,
+    integrate_mass,
+    integrate_tail_to_inf,
+)
+
+__all__ = ["build_from_dens_and_tden", "build_from_dens_and_temp",
+           "build_no_gas", "derive_secondary_fields"]
+
+
+def derive_secondary_fields(fields: dict, stellar_density=None) -> dict:
+    """The ``_from_scratch`` derivations (model.py:213-269).
+
+    Adds: gravitational_potential, gas_mass (if absent), stellar fields,
+    dark-matter density/mass (with the reference's negative clamping),
+    gas_fraction, electron_number_density, entropy.
+    """
+    rr = fields["radius"]
+
+    # Phi = -G [ M(<r)/r + 4 pi int_r^rmax rho_tot(r') r' dr' ]   (:220-226)
+    tdens_sp = cubic_spline(rr, fields["total_density"])
+    gpot2 = 4.0 * jnp.pi * integrate_from(
+        lambda r: spline_eval(tdens_sp, r) * r, rr)
+    gpot1 = fields["total_mass"] / rr
+    fields["gravitational_potential"] = -C.G * (gpot1 + gpot2)
+
+    if "density" in fields and "gas_mass" not in fields:
+        # cumulative trapezoid + central m0 (model.py:230-235)
+        from ..core.quadrature import cumtrapz
+
+        m0 = fields["density"][0] * rr[0] ** 3 / 3.0
+        fields["gas_mass"] = (4.0 * jnp.pi
+                              * cumtrapz(fields["density"] * rr * rr, rr) + m0)
+
+    if stellar_density is not None:
+        fields["stellar_density"] = stellar_density(rr)
+        fields["stellar_mass"] = integrate_mass(stellar_density, rr)
+
+    mdm = fields["total_mass"]
+    ddm = fields["total_density"]
+    if "density" in fields:
+        mdm = mdm - fields["gas_mass"]
+        ddm = ddm - fields["density"]
+    if "stellar_mass" in fields:
+        mdm = mdm - fields["stellar_mass"]
+        ddm = ddm - fields["stellar_density"]
+    # negative-DM clamp (model.py:252-253)
+    neg = ddm < 0.0
+    mdm = jnp.where(neg, jnp.max(mdm), mdm)
+    ddm = jnp.where(neg, 0.0, ddm)
+    fields["dark_matter_density"] = ddm
+    fields["dark_matter_mass"] = mdm
+
+    if "density" in fields:
+        from ..core import units
+
+        fields["gas_fraction"] = fields["gas_mass"] / fields["total_mass"]
+        fields["electron_number_density"] = units.density_to_ne(fields["density"])
+        # entropy S = T[keV] * n_e^(-2/3)  (model.py:265-267)
+        fields["entropy"] = (fields["temperature"]
+                             * fields["electron_number_density"] ** (-2.0 / 3.0))
+    return fields
+
+
+@partial(jax.jit, static_argnames=("order",))
+def build_from_dens_and_tden(rr, density, total_density, stellar_density=None,
+                             order: int = 16) -> dict:
+    """``from_dens_and_tden`` math (model.py:565-618).
+
+    P(r) = - int_r^{rmax} rho_g g dr - int_{rmax}^inf rho_g g(rmax)(rmax/r)^2 dr
+    with g = -G M_tot / r^2.
+    """
+    fields: dict = {}
+    fields["radius"] = rr
+    fields["density"] = density(rr)
+    fields["total_density"] = total_density(rr)
+    fields["total_mass"] = integrate_mass(total_density, rr, order=order)
+    fields["gas_mass"] = integrate_mass(density, rr, order=order)
+    g = -C.G * fields["total_mass"] / rr**2
+    fields["gravitational_field"] = g
+
+    # spline g on the grid (reference model.py:608) and integrate rho_g * g
+    g_sp = cubic_spline(rr, g)
+    dPdr = lambda r: density(r) * spline_eval(g_sp, r)
+    P = -integrate_from(dPdr, rr, order=order)
+    tail = integrate_tail_to_inf(
+        lambda r: density(r) * g[-1] * (rr[-1] / r) ** 2, rr[-1])
+    P = P - tail
+    fields["pressure"] = P
+    # T[keV] = P mu m_p / rho  (energy in galactic units -> keV)
+    fields["temperature"] = (P * C.mu * C.mp / fields["density"]) / C.keV
+    return derive_secondary_fields(fields, stellar_density)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def build_from_dens_and_temp(rr, density, temperature, stellar_density=None,
+                             order: int = 16) -> dict:
+    """``from_dens_and_temp`` math (model.py:474-523).
+
+    P = rho T / (mu m_p); g = (dP/dr)/rho; M_tot = -r^2 g / G;
+    rho_tot = (dM/dr) / (4 pi r^2).
+    """
+    fields: dict = {}
+    fields["radius"] = rr
+    fields["density"] = density(rr)
+    fields["temperature"] = temperature(rr)
+    # pressure in galactic units; T[keV] -> galactic energy via keV factor
+    fields["pressure"] = (fields["density"] * fields["temperature"] * C.keV
+                          / (C.mu * C.mp))
+    p_sp = cubic_spline(rr, fields["pressure"])
+    dPdr = spline_eval(p_sp, rr, nu=1)
+    fields["gravitational_field"] = dPdr / fields["density"]
+    fields["gas_mass"] = integrate_mass(density, rr, order=order)
+    fields["total_mass"] = -rr**2 * fields["gravitational_field"] / C.G
+    m_sp = cubic_spline(rr, fields["total_mass"])
+    dMdr = spline_eval(m_sp, rr, nu=1)
+    fields["total_density"] = dMdr / (4.0 * jnp.pi * rr**2)
+    return derive_secondary_fields(fields, stellar_density)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def build_no_gas(rr, total_density, stellar_density=None, order: int = 16) -> dict:
+    """``no_gas`` math (model.py:620-656)."""
+    fields: dict = {}
+    fields["radius"] = rr
+    fields["total_density"] = total_density(rr)
+    fields["total_mass"] = integrate_mass(total_density, rr, order=order)
+    fields["gravitational_field"] = -C.G * fields["total_mass"] / rr**2
+    return derive_secondary_fields(fields, stellar_density)

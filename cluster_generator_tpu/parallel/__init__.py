@@ -1,0 +1,6 @@
+"""Multi-chip scaling layer: device meshes, ensemble vmap/shard_map."""
+
+from .mesh import make_mesh
+from .ensemble import build_ensemble, sample_ensemble_params
+
+__all__ = ["make_mesh", "build_ensemble", "sample_ensemble_params"]

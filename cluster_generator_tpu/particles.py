@@ -1,0 +1,560 @@
+"""Particle containers, combination and Gadget I/O.
+
+Rebuild of ``cluster_generator/particles.py``: the :class:`ClusterParticles`
+container is a (ptype, field)-keyed dict of float64 numpy arrays in galactic
+units; the gas-mixing math of ``_sample_clusters`` (particles.py:587-639) is
+vectorized over (halo, particle) with jnp instead of per-halo python loops +
+scipy splines.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict, defaultdict
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core import constants as C
+from .core.interp import cubic_spline, spline_eval
+from .core.logging import mylog
+
+__all__ = [
+    "ClusterParticles", "combine_two_clusters", "combine_three_clusters",
+    "resample_one_cluster", "resample_two_clusters", "resample_three_clusters",
+    "gadget_fields", "ptype_map", "rptype_map",
+]
+
+# ---------------------------------------------------------------- gadget maps
+# (reference particles.py:13-75)
+gadget_fields = {
+    "dm": ["Coordinates", "Velocities", "Masses", "ParticleIDs", "Potential"],
+    "gas": ["Coordinates", "Velocities", "Masses", "ParticleIDs",
+            "InternalEnergy", "MagneticField", "Density", "Potential"],
+    "star": ["Coordinates", "Velocities", "Masses", "ParticleIDs", "Potential"],
+    "black_hole": ["Coordinates", "Velocities", "Masses", "ParticleIDs"],
+    "tracer": ["Coordinates"],
+}
+
+code_fields = {"arepo": {"gas": ["PassiveScalars", "GFM_Metallicity"]}}
+
+gadget_field_map = {
+    "Coordinates": "particle_position",
+    "Velocities": "particle_velocity",
+    "Masses": "particle_mass",
+    "Density": "density",
+    "Potential": "potential_energy",
+    "InternalEnergy": "thermal_energy",
+    "MagneticField": "magnetic_field",
+    "Metallicity": "metallicity",
+    "GFM_Metallicity": "metallicity",
+}
+
+# conversion factor: galactic value / factor = gadget-file value
+_MSUN_G = C.MSUN_KG * 1.0e3
+_B_GADGET_IN_GAUSS = 1.0e5 * math.sqrt(_MSUN_G) * 1.0e5 / C.CM_PER_KPC**1.5
+
+gadget_field_factors = {
+    "Coordinates": 1.0,                      # kpc
+    "Velocities": C.km_s,                    # km/s
+    "Masses": 1.0e10,                        # 1e10 Msun
+    "Density": 1.0e10,                       # 1e10 Msun/kpc^3
+    "InternalEnergy": C.km_s**2,             # km^2/s^2
+    "Potential": C.km_s**2,                  # km^2/s^2
+    "PassiveScalars": 1.0,
+    "MagneticField": _B_GADGET_IN_GAUSS,     # stored in gauss internally
+    "Metallicity": 1.0,
+    "GFM_Metallicity": 1.0,
+}
+
+ptype_map = OrderedDict([
+    ("PartType0", "gas"), ("PartType1", "dm"), ("PartType2", "tracer"),
+    ("PartType4", "star"), ("PartType5", "black_hole"),
+])
+rptype_map = OrderedDict([(v, k) for k, v in ptype_map.items()])
+
+#: native HDF5 units metadata for particle fields
+particle_field_units = {
+    "particle_position": "kpc",
+    "particle_velocity": "kpc/Myr",
+    "particle_mass": "Msun",
+    "particle_potential": "kpc**2/Myr**2",
+    "potential_energy": "kpc**2/Myr**2",
+    "thermal_energy": "kpc**2/Myr**2",
+    "density": "Msun/kpc**3",
+    "magnetic_field": "gauss",
+    "velocity": "kpc/Myr",
+    "magnetic_vector_potential": "gauss*kpc",
+    "metallicity": "",
+}
+
+
+def _ensure_list(x):
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+class ClusterParticles:
+    """Container for multi-species particle ICs (particles.py:78-584)."""
+
+    def __init__(self, particle_types, fields):
+        self.particle_types = _ensure_list(particle_types)
+        self.fields = OrderedDict(
+            (k, np.asarray(v, dtype=np.float64)) for k, v in fields.items())
+        self._update_num_particles()
+        self._update_field_names()
+        self.passive_scalars: list[str] = []
+
+    def __getitem__(self, key):
+        return self.fields[key]
+
+    def __setitem__(self, key, value):
+        self.fields[key] = np.asarray(value, dtype=np.float64)
+
+    def keys(self):
+        return self.fields.keys()
+
+    def _update_num_particles(self):
+        self.num_particles = {}
+        for ptype in self.particle_types:
+            self.num_particles[ptype] = self.fields[ptype, "particle_mass"].size
+
+    def _update_field_names(self):
+        self.field_names = defaultdict(list)
+        for field in self.fields:
+            self.field_names[field[0]].append(field[1])
+
+    def _clip_to_box(self, ptype, box_size):
+        pos = self.fields[ptype, "particle_position"]
+        return ~np.logical_or((pos < 0.0).any(axis=1),
+                              (pos > box_size).any(axis=1))
+
+    def __add__(self, other):
+        fields = self.fields.copy()
+        for field in other.fields:
+            if field in fields:
+                fields[field] = np.concatenate([self[field], other[field]])
+            else:
+                fields[field] = other[field]
+        particle_types = list(set(self.particle_types + other.particle_types))
+        return ClusterParticles(particle_types, fields)
+
+    @property
+    def num_passive_scalars(self):
+        return len(self.passive_scalars)
+
+    def drop_ptypes(self, ptypes):
+        """Remove all particles of the given types (particles.py:125-137)."""
+        ptypes = _ensure_list(ptypes)
+        for ptype in ptypes:
+            self.particle_types.remove(ptype)
+            for name in list(self.fields.keys()):
+                if name[0] in ptypes:
+                    self.fields.pop(name)
+        self._update_num_particles()
+        self._update_field_names()
+
+    def make_radial_cut(self, r_max, center=None, ptypes=None):
+        """Drop particles outside ``r_max`` (particles.py:139-168)."""
+        rm2 = r_max * r_max
+        if center is None:
+            center = np.zeros(3)
+        if ptypes is None:
+            ptypes = self.particle_types
+        for part in _ensure_list(ptypes):
+            cidx = (((self[part, "particle_position"] - center) ** 2)
+                    .sum(axis=1) <= rm2)
+            for field in self.field_names[part]:
+                self.fields[part, field] = self.fields[part, field][cidx]
+        self._update_num_particles()
+
+    def add_black_hole(self, bh_mass, pos=None, vel=None, use_pot_min=False):
+        """Append a BH particle (particles.py:170-225)."""
+        mass = np.array([bh_mass], dtype=np.float64)
+        if use_pot_min:
+            if ("dm", "potential_energy") not in self.fields:
+                raise KeyError("('dm', 'potential_energy') is not available!")
+            idx = np.argmin(self.fields["dm", "potential_energy"])
+            pos = self.fields["dm", "particle_position"][idx].reshape(1, 3)
+            vel = self.fields["dm", "particle_velocity"][idx].reshape(1, 3)
+        else:
+            pos = (np.zeros((1, 3)) if pos is None
+                   else np.asarray(pos, dtype=np.float64).reshape(1, 3))
+            vel = (np.zeros((1, 3)) if vel is None
+                   else np.asarray(vel, dtype=np.float64).reshape(1, 3))
+        if "black_hole" not in self.particle_types:
+            self.particle_types.append("black_hole")
+            self.fields["black_hole", "particle_position"] = pos
+            self.fields["black_hole", "particle_velocity"] = vel
+            self.fields["black_hole", "particle_mass"] = mass
+        else:
+            ap = lambda x, y: np.append(x, y, axis=0)
+            self.fields["black_hole", "particle_position"] = ap(
+                self.fields["black_hole", "particle_position"], pos)
+            self.fields["black_hole", "particle_velocity"] = ap(
+                self.fields["black_hole", "particle_velocity"], vel)
+            self.fields["black_hole", "particle_mass"] = ap(
+                self.fields["black_hole", "particle_mass"], mass)
+        self._update_num_particles()
+        self._update_field_names()
+
+    # ------------------------------------------------------------------ IO
+    @classmethod
+    def from_fields(cls, fields):
+        particle_types = []
+        for key in fields:
+            if key[0] not in particle_types:
+                particle_types.append(key[0])
+        return cls(particle_types, fields)
+
+    @classmethod
+    def from_file(cls, filename, ptypes=None):
+        """Read native-HDF5 particles (particles.py:236-274)."""
+        import h5py
+
+        fields = OrderedDict()
+        with h5py.File(filename, "r") as f:
+            if ptypes is None:
+                ptypes = list(f.keys())
+            ptypes = _ensure_list(ptypes)
+            for ptype in ptypes:
+                for field in f[ptype]:
+                    arr = np.asarray(f[ptype][field][()])
+                    if field == "particle_index":
+                        fields[ptype, field] = arr
+                    else:
+                        fields[ptype, field] = arr.astype(np.float64)
+        return cls(ptypes, fields)
+
+    from_h5_file = from_file
+
+    @classmethod
+    def from_gadget_file(cls, filename, ptypes=None):
+        """Read a Gadget/AREPO/GIZMO HDF5 snapshot (particles.py:281-335)."""
+        import h5py
+
+        fields = OrderedDict()
+        particle_types = []
+        with h5py.File(filename, "r") as f:
+            if ptypes is None:
+                ptypes = [k for k in f if k.startswith("PartType")]
+            else:
+                ptypes = [rptype_map[k] for k in _ensure_list(ptypes)]
+            for ptype in ptypes:
+                my_ptype = ptype_map[ptype]
+                particle_types.append(my_ptype)
+                g = f[ptype]
+                for field in gadget_fields[my_ptype]:
+                    if field in g:
+                        if field == "ParticleIDs":
+                            fields[my_ptype, "particle_index"] = g[field][:]
+                        else:
+                            fd = gadget_field_map[field]
+                            fields[my_ptype, fd] = (
+                                np.asarray(g[field][()], dtype=np.float64)
+                                * gadget_field_factors[field])
+                if "Masses" not in g:
+                    n_ptype = g["ParticleIDs"].size
+                    n_type = int(ptype[-1])
+                    m = f["Header"].attrs["MassTable"][n_type]
+                    fields[my_ptype, "particle_mass"] = (
+                        m * gadget_field_factors["Masses"]
+                        * np.ones(n_ptype))
+        return cls(particle_types, fields)
+
+    def write_particles(self, output_filename, overwrite=False):
+        """Write native-HDF5 particles (particles.py:337-363)."""
+        import h5py
+
+        if Path(output_filename).exists() and not overwrite:
+            raise IOError(f"Cannot create {output_filename}. "
+                          "It exists and overwrite=False.")
+        with h5py.File(output_filename, "w") as f:
+            for ptype in self.particle_types:
+                f.create_group(ptype)
+            for (ptype, name), arr in self.fields.items():
+                ds = f[ptype].create_dataset(name, data=arr)
+                if name != "particle_index":
+                    ds.attrs["units"] = particle_field_units.get(name, "")
+
+    def write_particles_to_h5(self, output_filename, overwrite=False):
+        self.write_particles(output_filename, overwrite=overwrite)
+
+    def set_field(self, ptype, name, value, units=None, add=False,
+                  passive_scalar=False):
+        """Add/update a particle field (particles.py:368-421)."""
+        value = np.asarray(value, dtype=np.float64)
+        num_particles = self.num_particles[ptype]
+        exists = (ptype, name) in self.fields
+        if value.shape[0] != num_particles:
+            raise ValueError(f"The length of the array needs to be "
+                             f"{num_particles} particles!")
+        if exists:
+            if add:
+                self.fields[ptype, name] = self.fields[ptype, name] + value
+            else:
+                mylog.warning("Overwriting field (%s, %s).", ptype, name)
+                self.fields[ptype, name] = value
+        else:
+            if add:
+                raise RuntimeError(f"Field ({ptype}, {name}) does not exist "
+                                   "and add=True!")
+            self.fields[ptype, name] = value
+            if passive_scalar and ptype == "gas":
+                self.passive_scalars.append(name)
+        self._update_field_names()
+
+    def add_offsets(self, r_ctr, v_ctr, ptypes=None):
+        """Shift positions/velocities (particles.py:423-451)."""
+        if ptypes is None:
+            ptypes = self.particle_types
+        r_ctr = np.asarray(r_ctr, dtype=np.float64)
+        v_ctr = np.asarray(v_ctr, dtype=np.float64)
+        for ptype in _ensure_list(ptypes):
+            self.fields[ptype, "particle_position"] = (
+                self.fields[ptype, "particle_position"] + r_ctr)
+            self.fields[ptype, "particle_velocity"] = (
+                self.fields[ptype, "particle_velocity"] + v_ctr)
+
+    # ------------------------------------------------------------- gadget
+    def _write_gadget_fields(self, ptype, h5_group, idxs, dtype, code):
+        fields = list(gadget_fields[ptype])
+        if code in code_fields:
+            fields += code_fields[code].get(ptype, [])
+        for field in fields:
+            if field == "ParticleIDs":
+                continue
+            if field == "PassiveScalars":
+                if self.num_passive_scalars > 0:
+                    data = np.stack([self[ptype, s] for s in
+                                     self.passive_scalars], axis=-1)
+                    h5_group.create_dataset("PassiveScalars", data=data[idxs])
+            else:
+                my_field = gadget_field_map[field]
+                if (ptype, my_field) in self.fields:
+                    fd = self.fields[ptype, my_field]
+                    data = (fd[idxs] / gadget_field_factors[field]).astype(dtype)
+                    h5_group.create_dataset(field, data=data)
+
+    def write_to_gadget_file(self, ic_filename, box_size, dtype="float32",
+                             overwrite=False, code=None):
+        """Write a Gadget-HDF5 IC file (particles.py:475-552)."""
+        import h5py
+
+        if Path(ic_filename).exists() and not overwrite:
+            raise IOError(f"Cannot create {ic_filename}. "
+                          "It exists and overwrite=False.")
+        num_particles = {}
+        npart = 0
+        mass_table = np.zeros(6)
+        with h5py.File(ic_filename, "w") as f:
+            for ptype in self.particle_types:
+                gptype = rptype_map[ptype]
+                idxs = self._clip_to_box(ptype, box_size)
+                num_particles[ptype] = int(idxs.sum())
+                g = f.create_group(gptype)
+                self._write_gadget_fields(ptype, g, idxs, dtype, code)
+                ids = np.arange(num_particles[ptype]) + 1 + npart
+                g.create_dataset("ParticleIDs", data=ids.astype("uint32"))
+                npart += num_particles[ptype]
+                if ptype in ["star", "dm", "black_hole"]:
+                    mass_table[int(rptype_map[ptype][-1])] = g["Masses"][0]
+            hg = f.create_group("Header")
+            hg.attrs["Time"] = 0.0
+            hg.attrs["Redshift"] = 0.0
+            hg.attrs["BoxSize"] = box_size
+            hg.attrs["Omega0"] = 0.0
+            hg.attrs["OmegaLambda"] = 0.0
+            hg.attrs["HubbleParam"] = 1.0
+            hg.attrs["NumPart_ThisFile"] = np.array(
+                [num_particles.get("gas", 0), num_particles.get("dm", 0),
+                 num_particles.get("tracer", 0), 0,
+                 num_particles.get("star", 0),
+                 num_particles.get("black_hole", 0)], dtype="uint32")
+            hg.attrs["NumPart_Total"] = hg.attrs["NumPart_ThisFile"]
+            hg.attrs["NumPart_Total_HighWord"] = np.zeros(6, dtype="uint32")
+            hg.attrs["NumFilesPerSnapshot"] = 1
+            hg.attrs["MassTable"] = mass_table
+            for flag in ["Flag_Sfr", "Flag_Cooling", "Flag_StellarAge",
+                         "Flag_Metals", "Flag_Feedback",
+                         "Flag_DoublePrecision", "Flag_IC_Info"]:
+                hg.attrs[flag] = 0
+            if code == "arepo":
+                cg = f.create_group("Config")
+                cg.attrs["VORONOI"] = 1
+
+    def to_yt_dataset(self, box_size, ptypes=None):
+        """In-memory yt particle dataset (particles.py:554-584).
+
+        Requires ``yt`` (optional dependency)."""
+        from yt import load_particles  # noqa: optional
+
+        data = {}
+        if ptypes is None:
+            ptypes = self.particle_types
+        for key, val in self.fields.items():
+            if key[0] not in ptypes:
+                continue
+            ptype, fname = key
+            if fname == "particle_position":
+                for i, ax in enumerate("xyz"):
+                    data[ptype, f"particle_position_{ax}"] = (val[:, i], "kpc")
+            elif fname == "particle_velocity":
+                for i, ax in enumerate("xyz"):
+                    data[ptype, f"particle_velocity_{ax}"] = (val[:, i], "kpc/Myr")
+            else:
+                data[ptype, fname] = (val, particle_field_units.get(fname, ""))
+        return load_particles(data, length_unit="kpc",
+                              bbox=np.array([[0.0, box_size]] * 3),
+                              mass_unit="Msun", time_unit="Myr")
+
+
+# ----------------------------------------------------------- cluster mixing
+def _sample_clusters(particles, hses, center, velocity, radii=None,
+                     resample=False, passive_scalars=None):
+    """Mix overlapping gas distributions (particles.py:587-639).
+
+    Densities from each HSE profile are summed at every gas particle; thermal
+    energy and momentum are density-weighted.  Vectorized over
+    (halo, particle) — the O(N_halo x N_gas) loop of the reference is one
+    batched spline evaluation here.
+    """
+    num_halos = len(hses)
+    centers = [np.asarray(c, dtype=np.float64) for c in center]
+    velocities = [np.asarray(v, dtype=np.float64) for v in velocity]
+    pos = jnp.asarray(particles["gas", "particle_position"])
+    ngas = pos.shape[0]
+
+    r = jnp.stack([jnp.sqrt(((pos - jnp.asarray(c)) ** 2).sum(axis=1))
+                   for c in centers])  # (H, N)
+    if radii is None:
+        idxs = np.ones(ngas, dtype=bool)
+    else:
+        radii = np.asarray(radii)
+        idxs = np.asarray(
+            jnp.any(r <= jnp.asarray(radii)[:, None], axis=0))
+
+    d = jnp.zeros((num_halos, ngas))
+    e = jnp.zeros((num_halos, ngas))
+    m = jnp.zeros((num_halos, 3, ngas))
+    num_scalars = len(passive_scalars) if passive_scalars else 0
+    if num_scalars:
+        s = jnp.zeros((num_halos, num_scalars, ngas))
+
+    for i, hse in enumerate(hses):
+        if "density" not in hse:
+            mylog.warning("No density field found in %s. Skipping.", hse)
+            continue
+        rr = jnp.asarray(hse["radius"])
+        dens_sp = cubic_spline(rr, jnp.asarray(hse["density"]))
+        e_arr = 1.5 * jnp.asarray(hse["pressure"]) / jnp.asarray(hse["density"])
+        e_sp = cubic_spline(rr, e_arr)
+        di = spline_eval(dens_sp, r[i])
+        d = d.at[i].set(di)
+        e = e.at[i].set(spline_eval(e_sp, r[i]) * di)
+        m = m.at[i].set(jnp.asarray(velocities[i])[:, None] * di[None, :])
+        if num_scalars:
+            for j, name in enumerate(passive_scalars):
+                sc_sp = cubic_spline(rr, jnp.asarray(hse[name]))
+                s = s.at[i, j].set(spline_eval(sc_sp, r[i]) * di)
+
+    dens = np.asarray(d.sum(axis=0))
+    eint = np.asarray(e.sum(axis=0)) / dens
+    mom = np.asarray(m.sum(axis=0)) / dens
+    if num_scalars:
+        ps = np.asarray(s.sum(axis=0)) / dens
+    if resample:
+        vol = (particles["gas", "particle_mass"]
+               / particles["gas", "density"])
+        particles["gas", "particle_mass"][idxs] = dens[idxs] * vol[idxs]
+    particles["gas", "density"][idxs] = dens[idxs]
+    particles["gas", "thermal_energy"][idxs] = eint[idxs]
+    particles["gas", "particle_velocity"][idxs] = mom.T[idxs]
+    if num_scalars:
+        for j, name in enumerate(passive_scalars):
+            particles["gas", name][idxs] = ps[j, idxs]
+    return particles
+
+
+def combine_two_clusters(particles1, particles2, hse1, hse2, center1, center2,
+                         velocity1, velocity2):
+    """Two-cluster merger composition (particles.py:642-666)."""
+    center1 = np.asarray(center1, dtype=np.float64)
+    center2 = np.asarray(center2, dtype=np.float64)
+    velocity1 = np.asarray(velocity1, dtype=np.float64)
+    velocity2 = np.asarray(velocity2, dtype=np.float64)
+    for particles, center in [(particles1, center1), (particles2, center2)]:
+        if "gas" in particles.particle_types:
+            particles.add_offsets(center, [0.0] * 3, ptypes=["gas"])
+    for particles, center, velocity in [(particles1, center1, velocity1),
+                                        (particles2, center2, velocity2)]:
+        ptypes = [p for p in particles.particle_types if p != "gas"]
+        particles.add_offsets(center, velocity, ptypes=ptypes)
+    particles = particles1 + particles2
+    if "gas" in particles.particle_types:
+        particles = _sample_clusters(particles, [hse1, hse2],
+                                     [center1, center2],
+                                     [velocity1, velocity2])
+    return particles
+
+
+def combine_three_clusters(particles1, particles2, particles3, hse1, hse2,
+                           hse3, center1, center2, center3, velocity1,
+                           velocity2, velocity3):
+    """Three-cluster merger composition (particles.py:669-715)."""
+    centers = [np.asarray(c, dtype=np.float64)
+               for c in (center1, center2, center3)]
+    velocities = [np.asarray(v, dtype=np.float64)
+                  for v in (velocity1, velocity2, velocity3)]
+    parts = [particles1, particles2, particles3]
+    for particles, center in zip(parts, centers):
+        if "gas" in particles.particle_types:
+            particles.add_offsets(center, [0.0] * 3, ptypes=["gas"])
+    for particles, center, velocity in zip(parts, centers, velocities):
+        ptypes = [p for p in particles.particle_types if p != "gas"]
+        particles.add_offsets(center, velocity, ptypes=ptypes)
+    particles = particles1 + particles2 + particles3
+    if "gas" in particles.particle_types:
+        particles = _sample_clusters(particles, [hse1, hse2, hse3], centers,
+                                     velocities)
+    return particles
+
+
+def resample_one_cluster(particles, hse, center, velocity):
+    """Resample profiles onto relaxed gas particles (particles.py:718-746)."""
+    if "gas" not in particles.particle_types:
+        return particles
+    center = np.asarray(center, dtype=np.float64)
+    velocity = np.asarray(velocity, dtype=np.float64)
+    pos = jnp.asarray(particles["gas", "particle_position"])
+    r = jnp.sqrt(((pos - jnp.asarray(center)) ** 2).sum(axis=1))
+    rr = jnp.asarray(hse["radius"])
+    dens = np.asarray(spline_eval(cubic_spline(rr, jnp.asarray(hse["density"])), r))
+    e_arr = 1.5 * jnp.asarray(hse["pressure"]) / jnp.asarray(hse["density"])
+    energy = np.asarray(spline_eval(cubic_spline(rr, e_arr), r))
+    particles["gas", "thermal_energy"] = energy
+    vol = particles["gas", "particle_mass"] / particles["gas", "density"]
+    particles["gas", "particle_mass"] = dens * vol
+    particles["gas", "particle_velocity"][:, :] = velocity
+    particles["gas", "density"] = dens
+    return particles
+
+
+def resample_two_clusters(particles, hse1, hse2, center1, center2, velocity1,
+                          velocity2, radii, passive_scalars=None):
+    """(particles.py:749-769)."""
+    return _sample_clusters(particles, [hse1, hse2], [center1, center2],
+                            [velocity1, velocity2], radii=radii,
+                            resample=True, passive_scalars=passive_scalars)
+
+
+def resample_three_clusters(particles, hse1, hse2, hse3, center1, center2,
+                            center3, velocity1, velocity2, velocity3, radii,
+                            passive_scalars=None):
+    """(particles.py:772-795)."""
+    return _sample_clusters(particles, [hse1, hse2, hse3],
+                            [center1, center2, center3],
+                            [velocity1, velocity2, velocity3], radii=radii,
+                            resample=True, passive_scalars=passive_scalars)

@@ -1,0 +1,222 @@
+"""On-device particle sampling with ``jax.random``.
+
+Replaces the reference's NumPy-RandomState sampling paths
+(utils.py:154-166 ``generate_particle_radii``, model.py:766-947 gas/tracer
+generators, virial.py:108-236 collisionless generator + Cython velocity
+kernel).  All draws are inverse-CDF transforms with static shapes:
+
+* radii: u ~ U(0,1) mapped through the normalized enclosed-mass CDF
+  (``jnp.interp`` — a single fused gather);
+* angles: isotropic (cos(theta) ~ U(-1,1), phi ~ U(0, 2 pi));
+* speeds: bilinear lookup in the per-model inverse speed-CDF table
+  (virial.py:speed_inverse_cdf_table) — no rejection loop at all.
+
+PRNG reproducibility note (SURVEY.md §4): the reference's MT19937 streams
+cannot be replicated with jax.random by design; tests compare sampled
+ensembles by distribution (KS tests) rather than bitwise.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.interp import cubic_spline, spline_eval
+from .core.logging import mylog
+from .particles import ClusterParticles
+
+__all__ = ["parse_prng", "generate_particle_radii", "generate_gas_particles",
+           "generate_tracer_particles", "generate_collisionless_particles"]
+
+
+def parse_prng(prng):
+    """Coerce None / int / jax key into a jax PRNG key (utils.py:184-188)."""
+    if prng is None:
+        import secrets
+
+        return jax.random.key(secrets.randbits(63))
+    if isinstance(prng, (int, np.integer)):
+        return jax.random.key(int(prng))
+    if isinstance(prng, np.random.RandomState):
+        # accept the reference's RandomState for API compatibility; fold its
+        # state into a seed
+        return jax.random.key(int(prng.randint(0, 2**31 - 1)))
+    return prng  # assume a jax key
+
+
+def _truncated_cdf(r, m, dens=None, r_max=None):
+    """Host-side CDF prep: normalized enclosed mass, truncated at r_max.
+
+    Zero-density grid points (e.g. the clamped dark-matter outskirts,
+    model.py:252-253) are masked by forward-filling the mass so they carry
+    zero sampling probability — the static-shape equivalent of the
+    reference's ``nonzero`` row masking (virial.py:161-168).
+    Returns (P, r_with_zero, mtot).
+    """
+    r = np.asarray(r, dtype=np.float64)
+    m = np.asarray(m, dtype=np.float64)
+    if dens is not None:
+        dens = np.asarray(dens)
+        m_eff = np.where(dens > 0.0, m, -np.inf)
+        m_eff = np.maximum.accumulate(m_eff)
+        m_eff = np.where(np.isfinite(m_eff), m_eff, 0.0)
+    else:
+        m_eff = m
+    if r_max is None:
+        ridx = r.size
+    else:
+        ridx = int(np.searchsorted(r, r_max))
+    mtot = m_eff[ridx - 1]
+    P = np.clip(m_eff / mtot, 0.0, 1.0)
+    P = np.maximum.accumulate(P)
+    P = np.insert(P, 0, 0.0)
+    rr = np.insert(r, 0, 0.0)
+    return P, rr, float(mtot)
+
+
+@partial(jax.jit, static_argnames=("num",))
+def _sample_radii_device(key, P, rr, num):
+    u = jax.random.uniform(key, (num,), dtype=jnp.float64)
+    return jnp.interp(u, P, rr)
+
+
+def generate_particle_radii(r, m, num_particles, r_max=None, prng=None,
+                            dens=None):
+    """Inverse-CDF radius sampling (utils.py:154-166).
+
+    Returns (radii, mtot) like the reference."""
+    key = parse_prng(prng)
+    P, rr, mtot = _truncated_cdf(r, m, dens=dens, r_max=r_max)
+    radius = _sample_radii_device(key, jnp.asarray(P), jnp.asarray(rr),
+                                  int(num_particles))
+    return radius, mtot
+
+
+@partial(jax.jit, static_argnames=("num",))
+def _isotropic_units(key, num):
+    k1, k2 = jax.random.split(key)
+    cos_t = jax.random.uniform(k1, (num,), minval=-1.0, maxval=1.0,
+                               dtype=jnp.float64)
+    phi = 2.0 * jnp.pi * jax.random.uniform(k2, (num,), dtype=jnp.float64)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                     axis=-1)
+
+
+def _tile(arr, sub_sample, num):
+    if sub_sample > 1:
+        return jnp.tile(arr, sub_sample)[:num]
+    return arr
+
+
+def generate_tracer_particles(model, num_particles, r_max=None, sub_sample=1,
+                              prng=None):
+    """Massless tracers following the gas (model.py:766-836)."""
+    key = parse_prng(prng)
+    k_r, k_ang = jax.random.split(key)
+    mylog.info("We will be assigning %d tracer particles.", num_particles)
+    num_sub = num_particles // sub_sample
+    radius_sub, _ = generate_particle_radii(model["radius"], model["gas_mass"],
+                                            num_sub, r_max=r_max, prng=k_r)
+    radius = _tile(radius_sub, sub_sample, num_particles)
+    pos = radius[:, None] * _isotropic_units(k_ang, num_particles)
+
+    fields = OrderedDict()
+    fields["tracer", "particle_position"] = np.asarray(pos)
+    fields["tracer", "particle_velocity"] = np.zeros((num_particles, 3))
+    fields["tracer", "particle_mass"] = np.zeros(num_particles)
+    return ClusterParticles("tracer", fields)
+
+
+def generate_gas_particles(model, num_particles, r_max=None, sub_sample=1,
+                           compute_potential=False, prng=None):
+    """Gas particles in HSE: positions from the gas-mass CDF, thermal
+    energies e = 1.5 P / rho interpolated at each radius, equal masses,
+    zero velocities (model.py:838-947)."""
+    key = parse_prng(prng)
+    k_r, k_ang = jax.random.split(key)
+    mylog.info("We will be assigning %d gas particles.", num_particles)
+    num_sub = num_particles // sub_sample
+
+    P, rr_ins, mtot = _truncated_cdf(model["radius"], model["gas_mass"],
+                                     r_max=r_max)
+    radius_sub = _sample_radii_device(k_r, jnp.asarray(P), jnp.asarray(rr_ins),
+                                      num_sub)
+    radius = _tile(radius_sub, sub_sample, num_particles)
+    pos = radius[:, None] * _isotropic_units(k_ang, num_particles)
+
+    rgrid = jnp.asarray(model["radius"])
+    e_arr = 1.5 * jnp.asarray(model["pressure"]) / jnp.asarray(model["density"])
+    e_sub = spline_eval(cubic_spline(rgrid, e_arr), radius_sub)
+    energy = _tile(e_sub, sub_sample, num_particles)
+    d_sub = spline_eval(cubic_spline(rgrid, jnp.asarray(model["density"])),
+                        radius_sub)
+    density = _tile(d_sub, sub_sample, num_particles)
+
+    fields = OrderedDict()
+    fields["gas", "particle_position"] = np.asarray(pos)
+    fields["gas", "thermal_energy"] = np.asarray(energy)
+    fields["gas", "particle_mass"] = np.full(num_particles,
+                                             mtot / num_particles)
+    fields["gas", "density"] = np.asarray(density)
+    fields["gas", "particle_velocity"] = np.zeros((num_particles, 3))
+    if compute_potential:
+        phi_sub = -spline_eval(
+            cubic_spline(rgrid, -jnp.asarray(model["gravitational_potential"])),
+            radius_sub)
+        fields["gas", "particle_potential"] = np.asarray(
+            _tile(phi_sub, sub_sample, num_particles))
+    return ClusterParticles("gas", fields)
+
+
+def generate_collisionless_particles(virial, num_particles, r_max=None,
+                                     sub_sample=1, compute_potential=False,
+                                     prng=None):
+    """DM/star particles in virial equilibrium (virial.py:108-236).
+
+    Speeds come from the inverse speed-CDF table — the TPU replacement for
+    the reference's Cython rejection loop (opt.cython_utils
+    .generate_velocities, SURVEY.md §2.2)."""
+    from .virial import sample_speeds
+
+    model = virial.model
+    ptype = virial.ptype
+    key = parse_prng(prng)
+    k_r, k_ang, k_v, k_vang = jax.random.split(key, 4)
+    short = {"dark_matter": "dm", "stellar": "star"}[ptype]
+    mylog.info("We will be assigning %d %s particles.", num_particles, ptype)
+    num_sub = num_particles // sub_sample
+
+    P, rr_ins, mtot = _truncated_cdf(model["radius"], model[f"{ptype}_mass"],
+                                     dens=model[f"{ptype}_density"],
+                                     r_max=r_max)
+    radius_sub = _sample_radii_device(k_r, jnp.asarray(P), jnp.asarray(rr_ins),
+                                      num_sub)
+    radius = _tile(radius_sub, sub_sample, num_particles)
+    pos = radius[:, None] * _isotropic_units(k_ang, num_particles)
+
+    # psi(r): spline of the ascending relative potential vs radius
+    rgrid = jnp.asarray(model["radius"])
+    psi_grid = jnp.asarray(virial.ee)[::-1]  # back to radial ordering
+    psi_sp = cubic_spline(rgrid, psi_grid)
+    psi_p = spline_eval(psi_sp, radius_sub)
+
+    ee = jnp.asarray(virial.ee)
+    s_inv = virial._speed_table()
+    speed_sub = sample_speeds(radius_sub, psi_p, ee, s_inv, k_v)
+    speed = _tile(speed_sub, sub_sample, num_particles)
+    vel = speed[:, None] * _isotropic_units(k_vang, num_particles)
+
+    fields = OrderedDict()
+    fields[short, "particle_position"] = np.asarray(pos)
+    fields[short, "particle_velocity"] = np.asarray(vel)
+    fields[short, "particle_mass"] = np.full(num_particles,
+                                             mtot / num_particles)
+    if compute_potential:
+        phi = -_tile(psi_p, sub_sample, num_particles)
+        fields[short, "particle_potential"] = np.asarray(phi)
+    return ClusterParticles(short, fields)

@@ -1,0 +1,210 @@
+"""Eddington-inversion virial equilibrium (reference virial.py:16-236).
+
+TPU-native redesign of the two hottest loops in the reference package
+(SURVEY.md §3.3):
+
+* the distribution function g(E) = int_0^sqrt(E) 2 rho'(E - t^2) dt, computed
+  in the reference with one adaptive ``scipy.quad`` per radial point behind a
+  tqdm bar (virial.py:43-68), becomes a single batched (N_E x K) Gauss-
+  Legendre evaluation of the spline derivative — one fused XLA program;
+
+* per-particle velocity rejection sampling, which the reference ships to a
+  Cython kernel (``opt.cython_utils.generate_velocities``, setup.py:10-16),
+  is replaced by *inverse-CDF table sampling*: the speed CDF
+  C(v | psi) ∝ int_0^v u^2 f(psi - u^2/2) du is tabulated on the
+  (radial-grid psi) x (quantile) plane once per model, and every particle
+  speed is a bilinear lookup — no rejection, no data-dependent loops,
+  perfectly shaped for the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import cgparams
+from .core.interp import cubic_spline, spline_eval
+from .core.logging import mylog
+from .core.quadrature import gauss_legendre
+from .core.scan_ops import cumsum
+
+__all__ = ["VirialEquilibrium", "compute_df", "speed_inverse_cdf_table"]
+
+_DF_QUAD_ORDER = 64
+
+
+@partial(jax.jit, static_argnames=("order",))
+def compute_df(ee: jnp.ndarray, pden: jnp.ndarray, order: int = _DF_QUAD_ORDER):
+    """Eddington inversion on an ascending relative-potential grid.
+
+    Parameters
+    ----------
+    ee : (N,) ascending relative potential psi = -Phi, reversed radial grid
+        (virial.py:70-72).
+    pden : (N,) particle density on the same reversed grid.
+
+    Returns
+    -------
+    f : (N,) the ergodic DF f(E) evaluated at E = ee, in Msun Myr^3 / kpc^6.
+    """
+    dens_sp = cubic_spline(ee, pden)
+
+    x, w = gauss_legendre(order)
+    x = jnp.asarray(x)
+    w = jnp.asarray(w)
+    sqrt_e = jnp.sqrt(ee)
+    # nodes t_ik in [0, sqrt(E_i)]
+    half = 0.5 * sqrt_e[:, None]
+    t = half * (x[None, :] + 1.0)
+    wt = half * w[None, :]
+    # g(E_i) = sum_k 2 rho'(E_i - t_ik^2) w_ik      (virial.py:54-63)
+    e_minus_t2 = ee[:, None] - t * t
+    integrand = 2.0 * spline_eval(dens_sp, e_minus_t2.reshape(-1), nu=1)
+    g = jnp.sum(integrand.reshape(t.shape) * wt, axis=1)
+
+    g_sp = cubic_spline(ee, g)
+    f = spline_eval(g_sp, ee, nu=1) / (jnp.sqrt(8.0) * jnp.pi**2)
+    return f
+
+
+@partial(jax.jit, static_argnames=("order",))
+def check_virial_density(ee, f_vals, order: int = _DF_QUAD_ORDER):
+    """rho(psi_i) = 4 pi int_0^psi_i f(E) sqrt(2 (psi_i - E)) dE.
+
+    Substituting E = psi - s^2 removes the sqrt endpoint:
+        rho = 8 sqrt(2) pi? -> 4 pi * 2 sqrt(2) int_0^sqrt(psi) s^2 f(psi - s^2) ds.
+    (reference virial.py:78-106 uses per-point quad).
+    """
+    f_sp = cubic_spline(ee, f_vals)
+    x, w = gauss_legendre(order)
+    x = jnp.asarray(x)
+    w = jnp.asarray(w)
+    half = 0.5 * jnp.sqrt(ee)[:, None]
+    s = half * (x[None, :] + 1.0)
+    ws = half * w[None, :]
+    vals = spline_eval(f_sp, (ee[:, None] - s * s).reshape(-1)).reshape(s.shape)
+    rho = 4.0 * jnp.pi * 2.0 * jnp.sqrt(2.0) * jnp.sum(s * s * vals * ws, axis=1)
+    return rho
+
+
+@partial(jax.jit, static_argnames=("n_s", "n_q"))
+def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512):
+    """Tabulated inverse speed-CDF for every psi on the grid.
+
+    For each psi_j: with v = v_esc s, s in [0,1], v_esc = sqrt(2 psi_j),
+    pdf(s) ∝ s^2 f(psi_j (1 - s^2)).  Returns ``s_inv`` of shape
+    (N, n_q): s_inv[j, m] is the speed fraction at quantile m/(n_q-1).
+    """
+    f_sp = cubic_spline(ee, f_vals)
+    s = jnp.linspace(0.0, 1.0, n_s)
+    E = ee[:, None] * (1.0 - s[None, :] ** 2)  # (N, n_s)
+    pdf = s[None, :] ** 2 * jnp.maximum(
+        spline_eval(f_sp, E.reshape(-1)).reshape(E.shape), 0.0)
+    ds = s[1] - s[0]
+    cdf = jnp.concatenate(
+        [jnp.zeros((pdf.shape[0], 1), pdf.dtype),
+         cumsum(0.5 * (pdf[:, 1:] + pdf[:, :-1]) * ds, axis=1)], axis=1)
+    total = cdf[:, -1:]
+    cdf = cdf / jnp.where(total > 0.0, total, 1.0)
+    # enforce strict monotonicity for clean inversion
+    eps = jnp.arange(n_s, dtype=cdf.dtype) * 1e-12
+    cdf = cdf + eps[None, :]
+    cdf = cdf / cdf[:, -1:]
+
+    q = jnp.linspace(0.0, 1.0, n_q)
+    s_inv = jax.vmap(lambda c: jnp.interp(q, c, s))(cdf)
+    return s_inv
+
+
+@partial(jax.jit, static_argnames=())
+def sample_speeds(radius, psi_p, ee, s_inv, key):
+    """Bilinear inverse-CDF speed sampling for every particle.
+
+    radius/psi_p: (Np,) particle radii and relative potentials;
+    ee: (N,) ascending psi grid; s_inv: (N, n_q) inverse-CDF table.
+    Returns speeds in kpc/Myr.
+    """
+    n, n_q = s_inv.shape
+    u = jax.random.uniform(key, radius.shape, dtype=s_inv.dtype)
+
+    j = jnp.clip(jnp.searchsorted(ee, psi_p, side="right") - 1, 0, n - 2)
+    wj = (psi_p - ee[j]) / (ee[j + 1] - ee[j])
+    wj = jnp.clip(wj, 0.0, 1.0)
+
+    qpos = u * (n_q - 1)
+    m = jnp.clip(qpos.astype(jnp.int32), 0, n_q - 2)
+    wm = qpos - m
+
+    s00 = s_inv[j, m]
+    s01 = s_inv[j, m + 1]
+    s10 = s_inv[j + 1, m]
+    s11 = s_inv[j + 1, m + 1]
+    s = (1.0 - wj) * ((1.0 - wm) * s00 + wm * s01) \
+        + wj * ((1.0 - wm) * s10 + wm * s11)
+    v_esc = jnp.sqrt(2.0 * psi_p)
+    return s * v_esc
+
+
+class VirialEquilibrium:
+    """Virial equilibrium model for a collisionless component
+    (reference virial.py:16-236)."""
+
+    def __init__(self, model, ptype: str = "dark_matter", df=None):
+        self.num_elements = model.num_elements
+        self.ptype = ptype
+        self.model = model
+        if df is None:
+            self._generate_df()
+        else:
+            self.df = np.asarray(df, dtype=np.float64)
+        self._s_inv = None
+
+    # ------------------------------------------------------------ DF build
+    @property
+    def ee(self):
+        """Ascending relative potential grid (virial.py:70-72)."""
+        return -np.asarray(self.model["gravitational_potential"])[::-1]
+
+    @property
+    def ff(self):
+        """f(E) on the ascending ee grid (virial.py:74-76)."""
+        return np.asarray(self.df)[::-1]
+
+    def _generate_df(self):
+        mylog.info("Computing the %s particle DF.", self.ptype)
+        pden = np.asarray(self.model[f"{self.ptype}_density"])[::-1]
+        f = compute_df(jnp.asarray(self.ee), jnp.asarray(pden))
+        # stored reversed (radially increasing), like the reference's df
+        self.df = np.asarray(f)[::-1]
+
+    def check_virial(self):
+        """(rho_from_df, relative error) — virial.py:78-106."""
+        ee = jnp.asarray(self.ee)
+        rho = np.asarray(check_virial_density(ee, jnp.asarray(self.ff)))
+        pden = np.asarray(self.model[f"{self.ptype}_density"])
+        chk = (rho[::-1] - pden) / pden
+        mylog.info("The maximum relative deviation of this profile from "
+                   "virial equilibrium is %g", np.abs(chk).max())
+        return rho[::-1], chk
+
+    # ----------------------------------------------------------- sampling
+    def _speed_table(self):
+        if self._s_inv is None:
+            n_q = int(cgparams["numerical"]["velocity_table_size"]) * 2
+            self._s_inv = speed_inverse_cdf_table(
+                jnp.asarray(self.ee), jnp.asarray(self.ff), n_q=n_q)
+        return self._s_inv
+
+    def generate_particles(self, num_particles, r_max=None, sub_sample=1,
+                           compute_potential=False, prng=None):
+        """Sample positions (inverse-CDF of the mass profile) and speeds
+        (inverse-CDF of the Eddington DF), with isotropic angles
+        (virial.py:108-236)."""
+        from .sampling import generate_collisionless_particles
+
+        return generate_collisionless_particles(
+            self, num_particles, r_max=r_max, sub_sample=sub_sample,
+            compute_potential=compute_potential, prng=prng)

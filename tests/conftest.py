@@ -1,0 +1,64 @@
+"""Test configuration: force the real XLA CPU backend with 8 virtual devices.
+
+The environment's ``sitecustomize`` registers a remote-TPU ("axon") backend
+and pins ``jax_platforms`` to it at interpreter start.  Tests must run on the
+CPU backend (the "fake backend" of SURVEY.md §4) with a virtual 8-device mesh
+for the sharding tests, so we override the config *before any backend is
+initialized* — jax.config wins over the environment.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def canonical_model():
+    """The reference test suite's canonical cluster
+    (tests/utils/generators.py:37-104): sNFW total + Vikhlinin gas +
+    2% stars, from_dens_and_tden on [0.1, 1e4] kpc, beta=100 B field."""
+    import cluster_generator_tpu as cg
+
+    z, M200, conc, f_g = 0.1, 1.5e15, 4.0, 0.12
+    r200 = float(cg.find_overdensity_radius(M200, 200.0, z=z))
+    a = r200 / conc
+    M = float(cg.snfw_total_mass(M200, r200, a))
+    rhot = cg.snfw_density_profile(M, a)
+    Mt = cg.snfw_mass_profile(M, a)
+    r500, M500 = cg.find_radius_mass(Mt, z=z, delta=500.0)
+    rhog = cg.vikhlinin_density_profile(1.0, 100.0, r200, 1.0, 0.67, 3)
+    rhog = cg.rescale_profile_by_mass(rhog, f_g * float(M500), float(r500))
+    rhos = 0.02 * rhot
+    m = cg.ClusterModel.from_dens_and_tden(0.1, 10000.0, rhog, rhot,
+                                           stellar_density=rhos)
+    m.set_magnetic_field_from_beta(100.0, gaussian=True)
+    return m
+
+
+@pytest.fixture(scope="session")
+def canonical_profiles():
+    import cluster_generator_tpu as cg
+
+    z, M200, conc, f_g = 0.1, 1.5e15, 4.0, 0.12
+    r200 = float(cg.find_overdensity_radius(M200, 200.0, z=z))
+    a = r200 / conc
+    M = float(cg.snfw_total_mass(M200, r200, a))
+    rhot = cg.snfw_density_profile(M, a)
+    Mt = cg.snfw_mass_profile(M, a)
+    r500, M500 = cg.find_radius_mass(Mt, z=z, delta=500.0)
+    rhog = cg.vikhlinin_density_profile(1.0, 100.0, r200, 1.0, 0.67, 3)
+    rhog = cg.rescale_profile_by_mass(rhog, f_g * float(M500), float(r500))
+    rhos = 0.02 * rhot
+    return {"rhog": rhog, "rhot": rhot, "rhos": rhos, "r200": r200,
+            "r500": float(r500), "M500": float(M500), "M200": M200, "a": a,
+            "M": M}

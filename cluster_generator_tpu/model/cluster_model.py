@@ -210,11 +210,15 @@ class ClusterModel:
                 fd, unit = self._field_for_output(k, v[mask], in_cgs)
                 ds = g.create_dataset(k, data=fd)
                 ds.attrs["units"] = unit
+            # the reference writes the DFs unmasked even when r_min/r_max
+            # mask the fields (model.py:392-397) — masked here so the
+            # roundtrip stays self-consistent
             if self._dm_virial is not None:
-                ds = f.create_dataset("dm_df", data=self.dm_virial.df)
+                ds = f.create_dataset("dm_df", data=self.dm_virial.df[mask])
                 ds.attrs["units"] = "Msun*Myr**3/kpc**6"
             if self._star_virial is not None:
-                ds = f.create_dataset("star_df", data=self.star_virial.df)
+                ds = f.create_dataset("star_df",
+                                      data=self.star_virial.df[mask])
                 ds.attrs["units"] = "Msun*Myr**3/kpc**6"
 
     def write_model_to_ascii(self, output_filename, in_cgs=False,

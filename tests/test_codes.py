@@ -1,0 +1,96 @@
+"""Simulation-code exporters (reference codes.py) — smoke + format checks."""
+
+import os
+
+import numpy as np
+import pytest
+
+import cluster_generator_tpu as cg
+from cluster_generator_tpu.codes import write_amr_particles
+
+
+@pytest.fixture(scope="module")
+def small_ics(canonical_model, tmp_path_factory):
+    d = tmp_path_factory.mktemp("codes")
+    fn = str(d / "prof.h5")
+    canonical_model.write_model_to_h5(fn)
+    ics = cg.ClusterICs("codes", 1, [fn], [7000.0] * 3, [0.0] * 3,
+                        num_particles={"dm": 2000, "gas": 1000, "star": 500},
+                        r_max=3000.0)
+    return ics, str(d)
+
+
+def test_write_amr_particles_hdf5(small_ics, tmp_path, monkeypatch):
+    import h5py
+
+    ics, d = small_ics
+    monkeypatch.chdir(tmp_path)
+    parts = ics._generate_particles(output_directory=str(tmp_path), prng=1)
+    fn = str(tmp_path / "amr.h5")
+    write_amr_particles(parts[0], fn, ["dm", "star"],
+                        {"dm": 2, "star": 3}, in_cgs=True, format="hdf5")
+    with h5py.File(fn) as f:
+        n = f["particle_mass"].shape[0]
+        assert n == 2500
+        types = np.asarray(f["particle_type"][()])
+        assert (np.unique(types) == [2, 3]).all()
+
+
+def test_write_amr_particles_fortran(small_ics, tmp_path):
+    from scipy.io import FortranFile
+
+    ics, d = small_ics
+    parts = ics._generate_particles(output_directory=str(tmp_path), prng=1)
+    fn = str(tmp_path / "amr.dat")
+    write_amr_particles(parts[0], fn, ["dm"], {"dm": 1}, format="fortran",
+                        in_cgs=True)
+    with FortranFile(fn, "r") as f:
+        n = f.read_ints()[0]
+        rec = f.read_reals().reshape(n, 7)
+    assert n == 2000
+    assert np.isfinite(rec).all()
+
+
+def test_setup_gamer_ics(small_ics, tmp_path, monkeypatch):
+    ics, d = small_ics
+    monkeypatch.chdir(tmp_path)
+    lines = cg.setup_gamer_ics(ics)
+    assert any("Merger_Coll_NumHalos" in ln for ln in lines)
+    assert any("Merger_File_Prof1" in ln for ln in lines)
+    assert os.path.exists("codes_gamerp_1.h5")
+    assert os.path.exists(ics.profiles[0].replace(".h5", "_gamer.h5"))
+
+
+def test_setup_flash_ics(small_ics, tmp_path, monkeypatch):
+    ics, d = small_ics
+    monkeypatch.chdir(tmp_path)
+    lines = cg.setup_flash_ics(ics)
+    assert any("testSingleCluster" in ln for ln in lines)
+    assert any("Merger_File_Par1" in ln for ln in lines)
+
+
+def test_setup_ramses_ics(small_ics, tmp_path, monkeypatch):
+    ics, d = small_ics
+    monkeypatch.chdir(tmp_path)
+    lines = cg.setup_ramses_ics(ics)
+    assert os.path.exists("Merger_Config.txt")
+    assert os.path.exists("halo1_prof.dat")
+    assert os.path.exists("halo1_part.dat")
+    assert any("x_cen[kpc]" in ln for ln in lines)
+
+
+def test_setup_arepo_ics_and_resample(small_ics, tmp_path, monkeypatch):
+    import h5py
+
+    ics, d = small_ics
+    monkeypatch.chdir(tmp_path)
+    icfile = str(tmp_path / "arepo.h5")
+    cg.setup_arepo_ics(ics, 14000.0, 8, icfile, overwrite=True, prng=3)
+    with h5py.File(icfile) as f:
+        assert "Config" in f and f["Config"].attrs["VORONOI"] == 1
+        ngas = f["Header"].attrs["NumPart_ThisFile"][0]
+        # gas cluster particles + background grid cells outside r_max
+        assert ngas > 1000
+    out = str(tmp_path / "arepo_rs.h5")
+    cg.resample_arepo_ics(ics, icfile, out, overwrite=True)
+    assert os.path.exists(out)

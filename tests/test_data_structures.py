@@ -1,0 +1,103 @@
+"""Chunked YTHDF5 grid builder (reference data_structures.py +
+tests/test_data_structures.py)."""
+
+import numpy as np
+import pytest
+
+import cluster_generator_tpu as cg
+from cluster_generator_tpu.data_structures import YTHDF5, construct_chunks
+
+
+def test_construct_chunks_shape_and_tiling():
+    cm = construct_chunks((128, 128, 64), 32)
+    assert cm.shape == (3, 2, 4 * 4 * 2)
+    assert cm.dtype == np.uint32
+    # every chunk is a cube of side 32; union tiles the domain
+    spans = cm[:, 1, :] - cm[:, 0, :]
+    assert (spans == 32).all()
+    assert cm[:, 0, :].min() == 0
+    assert cm[0, 1, :].max() == 128
+    assert cm[2, 1, :].max() == 64
+    # no duplicate chunk origins
+    origins = set(map(tuple, cm[:, 0, :].T.tolist()))
+    assert len(origins) == cm.shape[-1]
+
+
+def test_build_schema(tmp_path):
+    import h5py
+
+    fn = str(tmp_path / "grid.h5")
+    ds = YTHDF5.build(fn, (64, 64, 64), np.array([[-1000.0, 1000.0]] * 3),
+                      chunksize=32)
+    assert ds.chunksize == 32
+    assert (np.asarray(ds.domain_dimensions) == 64).all()
+    with h5py.File(fn) as f:
+        assert set(f["grid"].keys()) == set(YTHDF5._yt_fields)
+        assert f["grid"]["density"].shape == (8, 32, 32, 32)
+        assert f.attrs["model_count"] == 0
+    with pytest.raises(IOError):
+        YTHDF5.build(fn, (64, 64, 64))
+    with pytest.raises(AssertionError):
+        YTHDF5.build(str(tmp_path / "g2.h5"), (100, 100, 100), chunksize=64)
+
+
+def test_add_model_paints_fields(canonical_model, tmp_path):
+    import h5py
+
+    fn = str(tmp_path / "grid.h5")
+    rmax = 2000.0
+    ds = YTHDF5.build(fn, (32, 32, 32), np.array([[-rmax, rmax]] * 3),
+                      chunksize=16)
+    ds.add_model(canonical_model, [0, 0, 0], [0.1, 0.0, 0.0])
+    with h5py.File(fn) as f:
+        assert f.attrs["model_count"] == 1
+        dens = np.asarray(f["grid"]["density"][()])
+        mom_x = np.asarray(f["grid"]["momentum_density_x"][()])
+        magp = np.asarray(f["grid"]["magnetic_pressure"][()])
+    assert (dens > 0).all()
+    # momentum = rho * v_bulk (data_structures.py:338-347)
+    assert np.allclose(mom_x, dens * 0.1, rtol=1e-12)
+    assert (magp > 0).all()
+
+    # verify one chunk's values against direct spline evaluation
+    cm = ds.chunkmap
+    c = 3
+    cs = ds.chunksize
+    dx = 2 * rmax / 32
+    start = cm[:, 0, c]
+    idx = np.arange(cs)
+    x = -rmax + (start[0] + idx + 0.5) * dx
+    y = -rmax + (start[1] + idx + 0.5) * dx
+    z = -rmax + (start[2] + idx + 0.5) * dx
+    rr = np.sqrt(x[:, None, None] ** 2 + y[None, :, None] ** 2
+                 + z[None, None, :] ** 2)
+    from scipy.interpolate import CubicSpline
+
+    sp = CubicSpline(np.asarray(canonical_model["radius"]),
+                     np.asarray(canonical_model["density"]),
+                     bc_type="not-a-knot")
+    ref = sp(rr)
+    assert np.allclose(dens[c], ref, rtol=1e-8)
+
+
+def test_create_dataset_end_to_end(canonical_model, tmp_path):
+    fn = canonical_model.create_dataset(str(tmp_path / "ds.h5"),
+                                        domain_dimensions=(32, 32, 32),
+                                        chunksize=16)
+    ds = YTHDF5.load(fn)
+    assert ds.model_count == 1
+    ds.survey_memory()  # smoke
+
+
+def test_add_ics(canonical_model, tmp_path):
+    prof = str(tmp_path / "p.h5")
+    canonical_model.write_model_to_h5(prof)
+    ics = cg.ClusterICs("ds", 2, [prof, prof],
+                        [[-1000, 0, 0], [1000, 0, 0]],
+                        [[0.1, 0, 0], [-0.1, 0, 0]],
+                        num_particles={"dm": 100}, r_max=3000.0)
+    fn = str(tmp_path / "ics_grid.h5")
+    ds = YTHDF5.build(fn, (32, 32, 32), np.array([[-4000.0, 4000.0]] * 3),
+                      chunksize=16)
+    ds.add_ICs(ics)
+    assert ds.model_count == 2

@@ -1,0 +1,101 @@
+"""ClusterICs: binary geometry, particle pro-rating, caching, YAML
+round-trip, full single/binary pipelines (reference tests/test_ics.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import cluster_generator_tpu as cg
+
+
+@pytest.fixture(scope="module")
+def profile_file(canonical_model, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ics")
+    fn = str(d / "profile1.h5")
+    _ = canonical_model.dm_virial
+    _ = canonical_model.star_virial
+    canonical_model.write_model_to_h5(fn)
+    return fn
+
+
+def test_compute_centers_for_binary():
+    """Closed-form geometry check (reference test_ics.py:160-173)."""
+    c1, c2 = cg.compute_centers_for_binary([0.0, 0.0, 0.0], 3000.0, 500.0,
+                                           a=100.0)
+    diff = np.asarray(c2) - np.asarray(c1)
+    assert np.hypot(np.hypot(diff[0], diff[1]), diff[2]) == pytest.approx(3000.0)
+    assert diff[1] == pytest.approx(500.0)
+    assert diff[2] == pytest.approx(100.0)
+    assert np.allclose((np.asarray(c1) + np.asarray(c2)) / 2, 0.0)
+
+
+def test_num_particle_prorating(profile_file):
+    ics = cg.ClusterICs("t", 2, [profile_file, profile_file],
+                        [[0, 0, 0], [3000, 0, 0]],
+                        [[0, 0, 0], [0, 0, 0]],
+                        num_particles={"dm": 10000, "gas": 5000, "star": 2000},
+                        r_max=5000.0)
+    # identical halos -> even split
+    assert ics.num_particles["dm"] == [5000, 5000]
+    assert ics.num_particles["gas"] == [2500, 2500]
+    assert ics.num_particles["star"] == [1000, 1000]
+
+
+def test_single_cluster_ics(profile_file, tmp_path):
+    ics = cg.ClusterICs("single", 1, [profile_file], [5000.0, 5000.0, 5000.0],
+                        [0.0, 0.0, 0.0],
+                        num_particles={"dm": 4000, "gas": 2000}, r_max=3000.0)
+    parts = ics.setup_particle_ics(output_directory=str(tmp_path), prng=5)
+    assert parts.num_particles["dm"] == 4000
+    assert parts.num_particles["gas"] == 2000
+    r = np.linalg.norm(parts["dm", "particle_position"] - 5000.0, axis=1)
+    assert r.max() <= 3000.0 * 1.001
+
+
+def test_binary_ics_and_cache(profile_file, tmp_path):
+    c1, c2 = cg.compute_centers_for_binary([7000.0] * 3, 3000.0, 500.0)
+    ics = cg.ClusterICs("binary", 2, [profile_file, profile_file], [c1, c2],
+                        [[0.3, 0, 0], [-0.3, 0, 0]],
+                        num_particles={"dm": 8000, "gas": 4000},
+                        r_max=4000.0)
+    parts = ics.setup_particle_ics(output_directory=str(tmp_path), prng=6)
+    assert parts.num_particles["dm"] == 8000
+    assert parts.num_particles["gas"] == 4000
+    # caching: particle files recorded and reused
+    assert ics.particle_files[0] is not None
+    assert os.path.exists(ics.particle_files[0])
+    parts2 = ics.setup_particle_ics(output_directory=str(tmp_path), prng=99)
+    # cached halos -> same pre-offset draw reloaded (same combined result)
+    assert np.allclose(np.sort(parts2["dm", "particle_mass"]),
+                       np.sort(parts["dm", "particle_mass"]))
+
+
+def test_yaml_roundtrip(profile_file, tmp_path):
+    fn = str(tmp_path / "ics.yaml")
+    c1, c2 = cg.compute_centers_for_binary([7000.0] * 3, 3000.0, 500.0)
+    ics = cg.ClusterICs("yamltest", 2, [profile_file, profile_file], [c1, c2],
+                        [[0.3, 0, 0], [-0.3, 0, 0]],
+                        num_particles={"dm": 1000}, mag_file="b.h5",
+                        r_max=4000.0)
+    ics.to_file(fn)
+    back = cg.ClusterICs.from_file(fn)
+    assert back.basename == "yamltest"
+    assert back.num_halos == 2
+    assert np.allclose(back.center, ics.center)
+    assert np.allclose(back.velocity, ics.velocity)
+    assert back.tot_np["dm"] == 1000
+    assert back.mag_file == "b.h5"
+    with pytest.raises(RuntimeError):
+        ics.to_file(fn)
+
+
+def test_resample_particle_ics(profile_file, tmp_path):
+    ics = cg.ClusterICs("rs", 1, [profile_file], [0.0, 0.0, 0.0],
+                        [0.0, 0.0, 0.0], num_particles={"dm": 2000,
+                                                        "gas": 2000},
+                        r_max=3000.0)
+    parts = ics.setup_particle_ics(output_directory=str(tmp_path), prng=8)
+    new = ics.resample_particle_ics(parts)
+    assert (new["gas", "density"] > 0).all()
+    assert np.isfinite(new["gas", "thermal_energy"]).all()

@@ -1,0 +1,50 @@
+"""Cubic spline vs scipy (values, derivatives, extrapolation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.interpolate import CubicSpline as ScipyCubic
+from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+
+from cluster_generator_tpu.core.interp import cubic_spline, spline_eval
+
+
+def test_values_match_scipy_not_a_knot():
+    x = np.logspace(-1, 4, 500)
+    y = np.sin(x / 500.0) + x**0.3
+    sp = cubic_spline(jnp.asarray(x), jnp.asarray(y))
+    xq = np.logspace(-1, 4, 3173)
+    mine = np.asarray(spline_eval(sp, jnp.asarray(xq)))
+    ref = ScipyCubic(x, y, bc_type="not-a-knot")(xq)
+    assert np.abs(mine - ref).max() < 1e-10 * np.abs(ref).max()
+
+
+def test_derivative_matches_scipy_ius():
+    # the reference differentiates InterpolatedUnivariateSpline everywhere
+    # (model.py:512-522); a not-a-knot C2 spline agrees away from the ends
+    x = np.logspace(-1, 4, 1000)
+    y = 1.0 / (x * (1 + x / 500.0) ** 2)
+    sp = cubic_spline(jnp.asarray(x), jnp.asarray(y))
+    dmine = np.asarray(spline_eval(sp, jnp.asarray(x), nu=1))
+    dref = IUS(x, y)(x, 1)
+    denom = np.abs(dref).max()
+    assert np.abs(dmine - dref).max() / denom < 1e-6
+
+
+def test_extrapolation_is_boundary_polynomial():
+    x = np.linspace(1.0, 2.0, 50)
+    y = x**3
+    sp = cubic_spline(jnp.asarray(x), jnp.asarray(y))
+    # cubic data -> exact everywhere, including outside the domain
+    for xq in [0.5, 2.5]:
+        assert abs(float(spline_eval(sp, xq)) - xq**3) < 1e-9
+
+
+def test_jit_vmap_compatible():
+    x = jnp.linspace(0.0, 1.0, 64)
+    ys = jnp.stack([jnp.sin(3 * x), jnp.cos(2 * x)])
+    sps = jax.vmap(cubic_spline, in_axes=(None, 0))(x, ys)
+    vals = jax.vmap(lambda sp: spline_eval(sp, jnp.linspace(0, 1, 10)))(sps)
+    assert vals.shape == (2, 10)
+    assert np.allclose(np.asarray(vals[0]), np.sin(3 * np.linspace(0, 1, 10)),
+                       atol=1e-6)

@@ -1,0 +1,93 @@
+"""Multi-device scaling: ensemble vmap, sharded execution on the 8-device
+virtual CPU mesh (SURVEY.md §2.3 / §7 step 8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import cluster_generator_tpu as cg
+from cluster_generator_tpu.parallel import (
+    build_ensemble,
+    make_mesh,
+    sample_ensemble_params,
+)
+from cluster_generator_tpu.parallel.ensemble import build_one_cluster
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_build_one_cluster_matches_class_api(canonical_profiles):
+    fields = build_one_cluster(1.5e15, 4.0, z=0.1, f_g=0.12, num_points=1000)
+    m = cg.ClusterModel.from_dens_and_tden(
+        0.1, 10000.0, canonical_profiles["rhog"], canonical_profiles["rhot"],
+        stellar_density=canonical_profiles["rhos"])
+    assert np.allclose(np.asarray(fields["total_mass"]),
+                       np.asarray(m["total_mass"]), rtol=1e-8)
+    assert np.allclose(np.asarray(fields["pressure"]),
+                       np.asarray(m["pressure"]), rtol=1e-6)
+    dfv = np.asarray(fields["dm_df"])
+    assert np.allclose(dfv, m.dm_virial.df, rtol=1e-8)
+
+
+def test_ensemble_vmap():
+    M200 = jnp.asarray([1.0e15, 1.5e15, 2.0e15, 8.0e14])
+    conc = jnp.asarray([4.0, 5.0, 6.0, 4.5])
+    out = build_ensemble(M200, conc, num_points=256)
+    assert out["total_mass"].shape == (4, 256)
+    assert out["dm_df"].shape == (4, 256)
+    assert np.isfinite(np.asarray(out["pressure"])).all()
+    # each batch row equals the single-cluster build
+    single = build_one_cluster(1.0e15, 4.0, num_points=256)
+    assert np.allclose(np.asarray(out["total_mass"][0]),
+                       np.asarray(single["total_mass"]), rtol=1e-10)
+
+
+def test_ensemble_sharded_over_mesh():
+    """Shard the parameter batch over the 'ens' axis; XLA runs each shard
+    locally — output sharding matches input sharding."""
+    mesh = make_mesh(n_ens=8)
+    M200, conc = sample_ensemble_params(jax.random.key(0), 16)
+    sharding = NamedSharding(mesh, P("ens"))
+    M200 = jax.device_put(M200, sharding)
+    conc = jax.device_put(conc, sharding)
+    out = build_ensemble(M200, conc, num_points=128, with_df=False)
+    assert out["total_mass"].shape == (16, 128)
+    assert len(out["total_mass"].sharding.device_set) == 8
+    assert np.isfinite(np.asarray(out["total_mass"])).all()
+
+
+def test_sharded_particle_sampling(canonical_model):
+    """Particle arrays shard over the full mesh; per-shard PRNG streams via
+    fold_in produce independent draws."""
+    mesh = make_mesh(n_ens=4, n_part=2)
+    from cluster_generator_tpu.sampling import _truncated_cdf
+
+    P_, rr, mtot = _truncated_cdf(canonical_model["radius"],
+                                  canonical_model["dark_matter_mass"],
+                                  r_max=5000.0)
+
+    n_per = 1000
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(7), i))(
+        jnp.arange(8))
+
+    @jax.jit
+    def sample_shard(key):
+        u = jax.random.uniform(key, (n_per,), dtype=jnp.float64)
+        return jnp.interp(u, jnp.asarray(P_), jnp.asarray(rr))
+
+    radii = jax.vmap(sample_shard)(keys)
+    assert radii.shape == (8, n_per)
+    # shards are distinct streams
+    assert not np.allclose(np.asarray(radii[0]), np.asarray(radii[1]))
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.shape == (8, 1)
+    m2 = make_mesh(n_ens=2, n_part=4)
+    assert m2.devices.shape == (2, 4)
+    assert m2.axis_names == ("ens", "part")

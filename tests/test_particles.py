@@ -1,0 +1,155 @@
+"""ClusterParticles container + combination invariants
+(reference tests/test_particles.py model)."""
+
+import numpy as np
+import pytest
+
+import cluster_generator_tpu as cg
+from cluster_generator_tpu.particles import (
+    combine_two_clusters,
+    resample_one_cluster,
+)
+
+
+@pytest.fixture(scope="module")
+def parts(canonical_model):
+    pd = canonical_model.generate_dm_particles(20_000, r_max=5000.0, prng=1)
+    pg = canonical_model.generate_gas_particles(10_000, r_max=5000.0, prng=2)
+    return pd + pg
+
+
+def test_concatenation(canonical_model):
+    p1 = canonical_model.generate_dm_particles(1000, prng=1)
+    p2 = canonical_model.generate_dm_particles(500, prng=2)
+    p = p1 + p2
+    assert p.num_particles["dm"] == 1500
+
+
+def test_drop_ptypes(parts):
+    import copy
+
+    p = copy.deepcopy(parts)
+    p.drop_ptypes(["gas"])
+    assert "gas" not in p.particle_types
+    assert all(k[0] != "gas" for k in p.fields)
+
+
+def test_make_radial_cut(parts):
+    import copy
+
+    p = copy.deepcopy(parts)
+    p.make_radial_cut(1000.0)
+    for ptype in p.particle_types:
+        r = np.linalg.norm(p[ptype, "particle_position"], axis=1)
+        assert (r <= 1000.0).all()
+        assert p.num_particles[ptype] == r.size
+
+
+def test_add_black_hole(parts):
+    import copy
+
+    p = copy.deepcopy(parts)
+    p.add_black_hole(1.0e9)
+    assert p.num_particles["black_hole"] == 1
+    p.add_black_hole(2.0e9, pos=[10.0, 0.0, 0.0], vel=[0.0, 1.0, 0.0])
+    assert p.num_particles["black_hole"] == 2
+    assert p["black_hole", "particle_mass"][1] == 2.0e9
+
+
+def test_add_black_hole_pot_min(canonical_model):
+    p = canonical_model.generate_dm_particles(5000, prng=9,
+                                              compute_potential=True)
+    p.fields["dm", "potential_energy"] = p["dm", "particle_potential"]
+    p._update_field_names()
+    p.add_black_hole(1e9, use_pot_min=True)
+    idx = np.argmin(p["dm", "potential_energy"])
+    assert np.allclose(p["black_hole", "particle_position"][0],
+                       p["dm", "particle_position"][idx])
+
+
+def test_set_field_and_offsets(parts):
+    import copy
+
+    p = copy.deepcopy(parts)
+    n = p.num_particles["gas"]
+    p.set_field("gas", "metallicity", np.full(n, 0.3))
+    assert (p["gas", "metallicity"] == 0.3).all()
+    p.set_field("gas", "metallicity", np.full(n, 0.1), add=True)
+    assert np.allclose(p["gas", "metallicity"], 0.4)
+    with pytest.raises(ValueError):
+        p.set_field("gas", "bad", np.ones(7))
+    with pytest.raises(RuntimeError):
+        p.set_field("gas", "nonexistent", np.ones(n), add=True)
+
+    pos0 = p["gas", "particle_position"].copy()
+    p.add_offsets([100.0, 0.0, 0.0], [0.0, 1.0, 0.0], ptypes=["gas"])
+    assert np.allclose(p["gas", "particle_position"][:, 0], pos0[:, 0] + 100)
+    assert np.allclose(p["gas", "particle_velocity"][:, 1], 1.0)
+
+
+def test_native_h5_roundtrip(parts, tmp_path):
+    fn = str(tmp_path / "parts.h5")
+    parts.write_particles(fn)
+    back = cg.ClusterParticles.from_file(fn)
+    assert set(back.particle_types) == set(parts.particle_types)
+    for key in parts.fields:
+        assert np.allclose(back[key], parts[key], rtol=1e-12), key
+    with pytest.raises(IOError):
+        parts.write_particles(fn)
+
+
+def test_gadget_roundtrip(parts, tmp_path):
+    import copy
+
+    fn = str(tmp_path / "gadget.h5")
+    p = copy.deepcopy(parts)
+    p.add_offsets([7000.0] * 3, [0.0] * 3)
+    p.write_to_gadget_file(fn, 14000.0, dtype="float64", overwrite=True)
+    back = cg.ClusterParticles.from_gadget_file(fn)
+    assert set(back.particle_types) == {"gas", "dm"}
+    # order is preserved within a type; units roundtrip through km/s etc.
+    assert np.allclose(back["dm", "particle_position"],
+                       p["dm", "particle_position"], rtol=1e-12)
+    assert np.allclose(back["dm", "particle_velocity"],
+                       p["dm", "particle_velocity"], rtol=1e-10, atol=1e-13)
+    assert np.allclose(back["gas", "thermal_energy"],
+                       p["gas", "thermal_energy"], rtol=1e-10)
+    import h5py
+
+    with h5py.File(fn) as f:
+        hdr = f["Header"].attrs
+        assert hdr["NumPart_ThisFile"][0] == p.num_particles["gas"]
+        assert hdr["NumPart_ThisFile"][1] == p.num_particles["dm"]
+        assert hdr["BoxSize"] == 14000.0
+
+
+def test_combine_two_clusters(canonical_model):
+    p1 = canonical_model.generate_dm_particles(5000, r_max=3000.0, prng=11) \
+        + canonical_model.generate_gas_particles(5000, r_max=3000.0, prng=12)
+    p2 = canonical_model.generate_dm_particles(5000, r_max=3000.0, prng=13) \
+        + canonical_model.generate_gas_particles(5000, r_max=3000.0, prng=14)
+    c1, c2 = [2000.0, 3000.0, 3000.0], [4000.0, 3000.0, 3000.0]
+    v1, v2 = [0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]
+    parts = combine_two_clusters(p1, p2, canonical_model, canonical_model,
+                                 c1, c2, v1, v2)
+    assert parts.num_particles["gas"] == 10000
+    assert parts.num_particles["dm"] == 10000
+    # dm bulk velocities offset by +-0.5 in x
+    vx = parts["dm", "particle_velocity"][:, 0]
+    assert abs(vx[:5000].mean() - 0.5) < 0.05
+    assert abs(vx[5000:].mean() + 0.5) < 0.05
+    # gas velocity is density-weighted momentum: between the two bulk v's
+    gvx = parts["gas", "particle_velocity"][:, 0]
+    assert (np.abs(gvx) <= 0.5 + 1e-12).all()
+    # gas densities sum contributions: all positive finite
+    assert (parts["gas", "density"] > 0).all()
+    assert np.isfinite(parts["gas", "thermal_energy"]).all()
+
+
+def test_resample_one_cluster(canonical_model):
+    p = canonical_model.generate_gas_particles(5000, r_max=3000.0, prng=21)
+    vol_before = p["gas", "particle_mass"] / p["gas", "density"]
+    new = resample_one_cluster(p, canonical_model, [0.0] * 3, [0.1, 0.0, 0.0])
+    assert np.allclose(new["gas", "particle_velocity"][:, 0], 0.1)
+    vol_after = new["gas", "particle_mass"] / new["gas", "density"]
+    assert np.allclose(vol_before, vol_after, rtol=1e-10)

@@ -1,0 +1,72 @@
+"""Quadrature engine vs scipy adaptive quad (the reference's ground truth,
+utils.py:129-151)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import quad
+
+import cluster_generator_tpu as cg
+from cluster_generator_tpu.core.grid import numpy_log_radius_grid
+from cluster_generator_tpu.core.quadrature import (
+    cumtrapz,
+    integrate_from,
+    integrate_mass,
+    integrate_tail_to_inf,
+)
+
+RR = numpy_log_radius_grid(0.1, 1.0e4, 1000)
+
+
+def _scipy_integrate_mass(profile, rr):
+    mass_int = lambda r: float(profile(np.atleast_1d(r))[0]) * r * r
+    return np.array([4.0 * np.pi * quad(mass_int, 0, r)[0] for r in rr])
+
+
+@pytest.mark.parametrize("profile_name,profile", [
+    ("nfw", cg.nfw_density_profile(1.0e7, 500.0)),
+    ("hernquist", cg.hernquist_density_profile(1.0e15, 600.0)),
+    ("vikhlinin", cg.vikhlinin_density_profile(1.0e7, 100.0, 1000.0, 1.0,
+                                               0.67, 3)),
+    ("snfw", cg.snfw_density_profile(1.2e15, 500.0)),
+])
+def test_integrate_mass_vs_scipy(profile_name, profile):
+    mine = np.asarray(integrate_mass(profile, jnp.asarray(RR)))
+    # sample scipy at a subset (adaptive quad is slow)
+    idx = np.unique(np.linspace(0, RR.size - 1, 60).astype(int))
+    ref = np.array([4.0 * np.pi * quad(
+        lambda r: float(profile(np.array([r]))[0]) * r * r, 0, RR[i],
+        limit=200)[0] for i in idx])
+    rel = np.abs(mine[idx] - ref) / ref
+    assert rel.max() < 1.0e-8, (profile_name, rel.max())
+
+
+def test_integrate_from_vs_scipy():
+    profile = cg.nfw_density_profile(1.0e7, 500.0)
+    fn = lambda r: profile(r) * r
+    mine = np.asarray(integrate_from(fn, jnp.asarray(RR)))
+    idx = np.unique(np.linspace(0, RR.size - 1, 40).astype(int))
+    ref = np.array([quad(lambda r: float(profile(np.array([r]))[0]) * r,
+                         RR[i], RR[-1], limit=200)[0] for i in idx])
+    denom = np.maximum(np.abs(ref), np.abs(ref).max() * 1e-12)
+    assert (np.abs(mine[idx] - ref) / denom).max() < 1.0e-8
+
+
+def test_tail_integral_vs_scipy():
+    # the pressure-tail integrand of from_dens_and_tden (model.py:612-613)
+    profile = cg.vikhlinin_density_profile(1.0e7, 100.0, 1000.0, 1.0, 0.67, 3)
+    rmax = RR[-1]
+    fn = lambda r: profile(r) * (rmax / r) ** 2
+    mine = float(integrate_tail_to_inf(fn, rmax))
+    ref = quad(lambda r: float(profile(np.array([r]))[0]) * (rmax / r) ** 2,
+               rmax, np.inf, limit=200)[0]
+    assert abs(mine - ref) / ref < 1.0e-8
+
+
+def test_cumtrapz_matches_scipy():
+    from scipy.integrate import cumulative_trapezoid
+
+    y = np.sin(RR / 1000.0)
+    mine = np.asarray(cumtrapz(jnp.asarray(y), jnp.asarray(RR)))
+    ref = cumulative_trapezoid(y, x=RR, initial=0.0)
+    assert np.allclose(mine, ref, rtol=1e-12, atol=1e-300)

@@ -1,0 +1,143 @@
+"""Statistical validation of particle sampling (KS tests against analytic
+CDFs — the jax.random analogue of the reference's golden-particle tests,
+SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import quad
+from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+from scipy.stats import kstest
+
+import cluster_generator_tpu as cg
+
+N = 200_000
+
+
+@pytest.fixture(scope="module")
+def dm_particles(canonical_model):
+    return canonical_model.generate_dm_particles(N, r_max=5000.0, prng=42)
+
+
+def test_radius_distribution(canonical_model, dm_particles):
+    """Sampled radii follow the enclosed-mass CDF (KS test)."""
+    m = canonical_model
+    r = np.linalg.norm(np.asarray(dm_particles["dm", "particle_position"]),
+                       axis=1)
+    rr = np.asarray(m["radius"])
+    mm = np.asarray(m["dark_matter_mass"])
+    ridx = np.searchsorted(rr, 5000.0)
+    mtot = mm[ridx - 1]
+    cdf = lambda x: np.interp(x, np.insert(rr, 0, 0.0),
+                              np.insert(np.clip(mm / mtot, 0, 1), 0, 0.0))
+    stat, pval = kstest(r, cdf)
+    assert pval > 1e-3, (stat, pval)
+
+
+def test_isotropy(dm_particles):
+    """cos(theta) uniform on [-1,1]; phi uniform on [0, 2pi)."""
+    pos = np.asarray(dm_particles["dm", "particle_position"])
+    r = np.linalg.norm(pos, axis=1)
+    cos_t = pos[:, 2] / r
+    stat, pval = kstest(cos_t, lambda x: (x + 1) / 2)
+    assert pval > 1e-3
+    phi = np.arctan2(pos[:, 1], pos[:, 0])
+    stat, pval = kstest(phi, lambda x: (x + np.pi) / (2 * np.pi))
+    assert pval > 1e-3
+
+
+def test_speed_distribution_at_radius(canonical_model, dm_particles):
+    """Speeds of particles in a narrow radial shell follow
+    v^2 f(psi - v^2/2) (KS test against the numerically integrated CDF)."""
+    m = canonical_model
+    v = m.dm_virial
+    pos = np.asarray(dm_particles["dm", "particle_position"])
+    vel = np.asarray(dm_particles["dm", "particle_velocity"])
+    r = np.linalg.norm(pos, axis=1)
+    speed = np.linalg.norm(vel, axis=1)
+
+    r0 = 500.0
+    sel = (r > r0 * 0.97) & (r < r0 * 1.03)
+    assert sel.sum() > 2000
+    speeds = speed[sel]
+
+    rr = np.asarray(m["radius"])
+    psi_r = IUS(rr, v.ee[::-1])
+    # use the shell-center psi; the shell is narrow
+    psi = float(psi_r(r0))
+    f_sp = IUS(v.ee, v.ff)
+    vesc = np.sqrt(2 * psi)
+    pdf = lambda u: u**2 * max(f_sp(psi - u**2 / 2.0), 0.0)
+    norm = quad(pdf, 0, vesc, limit=200)[0]
+    grid = np.linspace(0, vesc, 2001)
+    cdf_vals = np.concatenate([[0.0], np.cumsum(
+        0.5 * (np.array([pdf(u) for u in grid[1:]])
+               + np.array([pdf(u) for u in grid[:-1]]))
+        * np.diff(grid))]) / norm
+    cdf = lambda x: np.interp(x, grid, cdf_vals)
+    stat, pval = kstest(speeds, cdf)
+    # shell width introduces slight smearing; accept modest p
+    assert pval > 1e-4, (stat, pval, speeds.size)
+
+
+def test_speeds_below_escape(canonical_model, dm_particles):
+    m = canonical_model
+    v = m.dm_virial
+    pos = np.asarray(dm_particles["dm", "particle_position"])
+    vel = np.asarray(dm_particles["dm", "particle_velocity"])
+    r = np.linalg.norm(pos, axis=1)
+    speed = np.linalg.norm(vel, axis=1)
+    rr = np.asarray(m["radius"])
+    psi_r = IUS(rr, v.ee[::-1])
+    vesc = np.sqrt(2 * np.maximum(psi_r(r), 0.0))
+    assert (speed <= vesc * (1 + 1e-10)).all()
+
+
+def test_equal_masses_and_total(canonical_model, dm_particles):
+    m = canonical_model
+    masses = np.asarray(dm_particles["dm", "particle_mass"])
+    assert np.allclose(masses, masses[0])
+    rr = np.asarray(m["radius"])
+    mm = np.asarray(m["dark_matter_mass"])
+    ridx = np.searchsorted(rr, 5000.0)
+    assert masses.sum() == pytest.approx(mm[ridx - 1], rel=1e-10)
+
+
+def test_gas_particles(canonical_model):
+    p = canonical_model.generate_gas_particles(50_000, prng=7,
+                                               compute_potential=True)
+    assert (np.asarray(p["gas", "particle_velocity"]) == 0).all()
+    e = np.asarray(p["gas", "thermal_energy"])
+    assert (e > 0).all() and np.isfinite(e).all()
+    # thermal energy should match 1.5 P / rho at the particle radius
+    r = np.linalg.norm(np.asarray(p["gas", "particle_position"]), axis=1)
+    rr = np.asarray(canonical_model["radius"])
+    e_arr = 1.5 * np.asarray(canonical_model["pressure"]) \
+        / np.asarray(canonical_model["density"])
+    e_ref = IUS(rr, e_arr)(r)
+    assert np.median(np.abs(e - e_ref) / e_ref) < 1e-8
+    assert (np.asarray(p["gas", "particle_potential"]) < 0).all()
+
+
+def test_tracer_particles(canonical_model):
+    p = canonical_model.generate_tracer_particles(10_000, prng=3)
+    assert (np.asarray(p["tracer", "particle_mass"]) == 0).all()
+    assert (np.asarray(p["tracer", "particle_velocity"]) == 0).all()
+    assert p.num_particles["tracer"] == 10_000
+
+
+def test_sub_sample(canonical_model):
+    p = canonical_model.generate_gas_particles(10_000, sub_sample=4, prng=5)
+    r = np.linalg.norm(np.asarray(p["gas", "particle_position"]), axis=1)
+    # radii tile with period 2500 (positions differ by angles)
+    assert np.allclose(r[:2500], r[2500:5000], rtol=1e-12)
+
+
+def test_reproducibility(canonical_model):
+    p1 = canonical_model.generate_dm_particles(1000, prng=123)
+    p2 = canonical_model.generate_dm_particles(1000, prng=123)
+    assert np.array_equal(p1["dm", "particle_position"],
+                          p2["dm", "particle_position"])
+    p3 = canonical_model.generate_dm_particles(1000, prng=124)
+    assert not np.array_equal(p1["dm", "particle_position"],
+                              p3["dm", "particle_position"])

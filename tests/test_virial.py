@@ -1,0 +1,101 @@
+"""Eddington inversion: parity vs the scipy reference algorithm, positivity,
+virial self-consistency (reference virial.py + tests/test_models.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.integrate import quad
+from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+
+from cluster_generator_tpu.virial import (
+    check_virial_density,
+    compute_df,
+    speed_inverse_cdf_table,
+)
+
+
+def _scipy_df(ee, pden):
+    """Reference DF algorithm (virial.py:43-68) with scipy."""
+    dens_sp = IUS(ee, pden)
+    g = np.zeros(ee.size)
+    dgdp = lambda t, e: 2 * dens_sp(e - t * t, 1)
+    for i in range(ee.size):
+        g[i] = quad(dgdp, 0.0, np.sqrt(ee[i]), epsabs=1.49e-5, epsrel=1.49e-5,
+                    args=(ee[i],))[0]
+    g_sp = IUS(ee, g)
+    return g_sp(ee, 1) / (np.sqrt(8.0) * np.pi**2)
+
+
+def test_df_matches_scipy_reference(canonical_model):
+    v = canonical_model.dm_virial
+    ee = v.ee
+    pden = np.asarray(canonical_model["dark_matter_density"])[::-1]
+    ref = _scipy_df(ee, pden)
+    mine = v.ff
+    rel = np.abs(mine - ref) / np.abs(ref)
+    assert np.median(rel) < 1e-5, np.median(rel)
+    assert rel.max() < 5e-4, rel.max()
+
+
+def test_df_positive(canonical_model):
+    assert (canonical_model.dm_virial.df >= 0).all()
+    assert (canonical_model.star_virial.df >= 0).all()
+
+
+def test_virial_signed_residual(canonical_model):
+    """Signed deviation < 1e-4, exactly the reference's assertion
+    (test_models.py:116-148)."""
+    _, chk = canonical_model.check_dm_virial()
+    assert np.all(chk < 1.0e-4), chk.max()
+    _, chk_s = canonical_model.check_star_virial()
+    assert np.all(chk_s < 1.0e-4), chk_s.max()
+
+
+def test_virial_abs_residual_in_core(canonical_model):
+    """Away from the outer boundary the DF reconstruction is accurate in
+    absolute terms too."""
+    _, chk = canonical_model.check_dm_virial()
+    assert np.abs(chk[:800]).max() < 2e-2, np.abs(chk[:800]).max()
+    assert np.median(np.abs(chk)) < 1e-4
+
+
+def test_check_virial_vs_scipy(canonical_model):
+    v = canonical_model.dm_virial
+    ee = jnp.asarray(v.ee)
+    rho_mine = np.asarray(check_virial_density(ee, jnp.asarray(v.ff)))
+    f_sp = IUS(v.ee, v.ff)
+    idx = np.unique(np.linspace(10, v.ee.size - 1, 20).astype(int))
+    for i in idx:
+        e = v.ee[i]
+        ref = 4 * np.pi * quad(lambda x: f_sp(x) * np.sqrt(2 * (e - x)),
+                               0.0, e, limit=200)[0]
+        assert abs(rho_mine[i] - ref) / ref < 1e-4
+
+
+def test_speed_table_quantiles(canonical_model):
+    """Inverse speed-CDF: re-derive the CDF at a grid psi and verify the
+    table's quantiles invert it."""
+    v = canonical_model.dm_virial
+    ee = v.ee
+    ff = v.ff
+    s_inv = np.asarray(speed_inverse_cdf_table(jnp.asarray(ee),
+                                               jnp.asarray(ff)))
+    f_sp = IUS(ee, ff)
+    j = ee.size // 2
+    psi = ee[j]
+    pdf = lambda s: s**2 * max(f_sp(psi * (1 - s**2)), 0.0)
+    norm = quad(pdf, 0, 1, limit=200)[0]
+    n_q = s_inv.shape[1]
+    for q in [0.1, 0.25, 0.5, 0.75, 0.9]:
+        s_q = np.interp(q, np.linspace(0, 1, n_q), s_inv[j])
+        cdf_at = quad(pdf, 0, s_q, limit=200)[0] / norm
+        assert abs(cdf_at - q) < 2e-3, (q, cdf_at)
+
+
+def test_df_resume_skips_recompute(canonical_model, tmp_path):
+    import cluster_generator_tpu as cg
+
+    fn = str(tmp_path / "m.h5")
+    canonical_model.write_model_to_h5(fn)
+    m2 = cg.ClusterModel.from_h5_file(fn)
+    # resumed DF should be identical, not re-derived
+    assert np.array_equal(m2.dm_virial.df, canonical_model.dm_virial.df)

@@ -1,0 +1,248 @@
+"""Fused on-device IC pipelines — the production fast path.
+
+The class-based API (ClusterModel / VirialEquilibrium / ClusterParticles)
+mirrors the reference's workflow with host-side containers.  This module is
+the TPU-native end-to-end path: ONE jitted program takes cluster parameters
+and a PRNG key and materializes a complete N-particle merger IC on device —
+no host round-trips, f64 for the equilibrium solve, f32 for the per-particle
+phase-space draws (matching the float32 precision the reference writes to
+Gadget files, particles.py:477).
+
+Used by bench.py for the headline metric (BASELINE.md: 1e7-particle
+three-component binary merger in < 5 s on one chip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .parallel.ensemble import build_one_cluster
+from .virial import compute_df, speed_inverse_cdf_table
+
+__all__ = ["build_merger_models", "sample_merger_ic", "binary_merger_ic"]
+
+
+@partial(jax.jit, static_argnames=("num_points", "with_star_df"))
+def build_merger_models(M200, conc, z=0.1, num_points=1000,
+                        with_star_df=True):
+    """vmapped equilibrium builds (+DM and stellar DFs) for each halo."""
+
+    def one(m, c):
+        fields = build_one_cluster(m, c, z=z, num_points=num_points,
+                                   with_df=True)
+        if with_star_df:
+            ee = -fields["gravitational_potential"][::-1]
+            sden = fields["stellar_density"][::-1]
+            fields["star_df"] = compute_df(ee, sden)[::-1]
+        return fields
+
+    return jax.vmap(one)(M200, conc)
+
+
+@jax.jit
+def build_speed_tables(fields):
+    """Per-halo inverse speed-CDF tables for DM and stars."""
+    ee = -fields["gravitational_potential"][:, ::-1]
+
+    def tab(df):
+        return jax.vmap(speed_inverse_cdf_table)(ee, df[:, ::-1])
+
+    return {"dm": tab(fields["dm_df"]), "star": tab(fields["star_df"])}
+
+
+def _cdf_arrays(rr, mm, r_max, dtype):
+    """Truncated, normalized enclosed-mass CDF (static-shape; see
+    sampling._truncated_cdf for the host variant)."""
+    m_rmax = jnp.interp(r_max, rr, mm)
+    P = jnp.clip(mm / m_rmax, 0.0, 1.0)
+    P = jnp.concatenate([jnp.zeros((1,), P.dtype), P]).astype(dtype)
+    rins = jnp.concatenate([jnp.zeros((1,), rr.dtype), rr]).astype(dtype)
+    return P, rins, m_rmax
+
+
+def _isotropic(key, n, dtype):
+    k1, k2 = jax.random.split(key)
+    cos_t = jax.random.uniform(k1, (n,), minval=-1.0, maxval=1.0, dtype=dtype)
+    phi = (2.0 * np.pi) * jax.random.uniform(k2, (n,), dtype=dtype)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                     axis=-1)
+
+
+def _sample_collisionless(key, fields_h, s_inv, mass_key, n, r_max, center,
+                          bulk_v, dtype):
+    """Positions + virialized velocities for one halo's DM or stars."""
+    rr = fields_h["radius"]
+    mm = fields_h[mass_key]
+    P, rins, m_rmax = _cdf_arrays(rr, mm, r_max, dtype)
+    kr, kv, ka, kva = jax.random.split(key, 4)
+
+    u = jax.random.uniform(kr, (n,), dtype=dtype)
+    radius = jnp.interp(u, P, rins)
+
+    ee = -fields_h["gravitational_potential"][::-1]
+    psi_r = ee[::-1].astype(dtype)
+    psi = jnp.interp(radius, rr.astype(dtype), psi_r)
+
+    # bilinear inverse-CDF speed lookup (virial.sample_speeds, f32 path)
+    n_grid, n_q = s_inv.shape
+    eed = ee.astype(dtype)
+    j = jnp.clip(jnp.searchsorted(eed, psi, side="right") - 1, 0, n_grid - 2)
+    wj = jnp.clip((psi - eed[j]) / (eed[j + 1] - eed[j]), 0.0, 1.0)
+    uq = jax.random.uniform(kv, (n,), dtype=dtype)
+    qpos = uq * (n_q - 1)
+    mq = jnp.clip(qpos.astype(jnp.int32), 0, n_q - 2)
+    wm = qpos - mq
+    sd = s_inv.astype(dtype)
+    s = ((1.0 - wj) * ((1.0 - wm) * sd[j, mq] + wm * sd[j, mq + 1])
+         + wj * ((1.0 - wm) * sd[j + 1, mq] + wm * sd[j + 1, mq + 1]))
+    speed = s * jnp.sqrt(2.0 * psi)
+
+    pos = radius[:, None] * _isotropic(ka, n, dtype) + center.astype(dtype)
+    vel = speed[:, None] * _isotropic(kva, n, dtype) + bulk_v.astype(dtype)
+    pmass = (m_rmax / n).astype(dtype) * jnp.ones((n,), dtype)
+    return pos, vel, pmass
+
+
+def _sample_gas_halo(key, fields_h, n, r_max, center, dtype):
+    """Gas positions (zero velocity pre-mix) for one halo."""
+    rr = fields_h["radius"]
+    P, rins, m_rmax = _cdf_arrays(rr, fields_h["gas_mass"], r_max, dtype)
+    kr, ka = jax.random.split(key)
+    u = jax.random.uniform(kr, (n,), dtype=dtype)
+    radius = jnp.interp(u, P, rins)
+    pos = radius[:, None] * _isotropic(ka, n, dtype) + center.astype(dtype)
+    pmass = (m_rmax / n).astype(dtype) * jnp.ones((n,), dtype)
+    return pos, pmass
+
+
+def _mix_gas(pos, fields, centers, velocities, dtype):
+    """Density-weighted gas mixing over all halos
+    (reference particles.py:587-639, vectorized)."""
+    H = centers.shape[0]
+    rr = fields["radius"].astype(dtype)  # (H, N)
+    dens_t = fields["density"].astype(dtype)
+    e_t = (1.5 * fields["pressure"] / fields["density"]).astype(dtype)
+
+    def halo(i):
+        r = jnp.sqrt(((pos - centers[i].astype(dtype)) ** 2).sum(axis=1))
+        d = jnp.interp(r, rr[i], dens_t[i])
+        e = jnp.interp(r, rr[i], e_t[i]) * d
+        mom = velocities[i].astype(dtype)[None, :] * d[:, None]
+        return d, e, mom
+
+    d, e, mom = jax.vmap(halo)(jnp.arange(H))
+    dens = d.sum(axis=0)
+    eint = e.sum(axis=0) / dens
+    vel = mom.sum(axis=0) / dens[:, None]
+    return dens, eint, vel
+
+
+@partial(jax.jit, static_argnames=("n_gas", "n_dm", "n_star", "dtype"))
+def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
+                     n_gas, n_dm, n_star, dtype=jnp.float32):
+    """One fused program: draw every particle of an H-halo merger.
+
+    fields/tables carry a leading halo axis; n_* are per-halo tuples of
+    static counts.  Returns a dict of device arrays (f32 by default).
+    """
+    H = centers.shape[0]
+    out = {}
+    keys = jax.random.split(key, 3 * H)
+
+    gas_pos, gas_mass = [], []
+    dm_pos, dm_vel, dm_mass = [], [], []
+    st_pos, st_vel, st_mass = [], [], []
+    for i in range(H):
+        f_h = jax.tree_util.tree_map(lambda a: a[i], fields)
+        if n_gas[i] > 0:
+            p, pm = _sample_gas_halo(keys[3 * i], f_h, n_gas[i], r_max[i],
+                                     centers[i], dtype)
+            gas_pos.append(p)
+            gas_mass.append(pm)
+        if n_dm[i] > 0:
+            p, v, pm = _sample_collisionless(
+                keys[3 * i + 1], f_h, tables["dm"][i], "dark_matter_mass",
+                n_dm[i], r_max[i], centers[i], velocities[i], dtype)
+            dm_pos.append(p)
+            dm_vel.append(v)
+            dm_mass.append(pm)
+        if n_star[i] > 0:
+            p, v, pm = _sample_collisionless(
+                keys[3 * i + 2], f_h, tables["star"][i], "stellar_mass",
+                n_star[i], r_max[i], centers[i], velocities[i], dtype)
+            st_pos.append(p)
+            st_vel.append(v)
+            st_mass.append(pm)
+
+    if gas_pos:
+        gp = jnp.concatenate(gas_pos)
+        dens, eint, gvel = _mix_gas(gp, fields, centers, velocities, dtype)
+        out["gas", "particle_position"] = gp
+        out["gas", "particle_velocity"] = gvel
+        out["gas", "particle_mass"] = jnp.concatenate(gas_mass)
+        out["gas", "density"] = dens
+        out["gas", "thermal_energy"] = eint
+    if dm_pos:
+        out["dm", "particle_position"] = jnp.concatenate(dm_pos)
+        out["dm", "particle_velocity"] = jnp.concatenate(dm_vel)
+        out["dm", "particle_mass"] = jnp.concatenate(dm_mass)
+    if st_pos:
+        out["star", "particle_position"] = jnp.concatenate(st_pos)
+        out["star", "particle_velocity"] = jnp.concatenate(st_vel)
+        out["star", "particle_mass"] = jnp.concatenate(st_mass)
+    return out
+
+
+def binary_merger_ic(M200s, concs, centers, velocities, num_particles,
+                     r_max=5000.0, z=0.1, key=None, num_points=1000,
+                     dtype=jnp.float32):
+    """End-to-end binary (or 1-3 halo) merger IC, fully on device.
+
+    num_particles: dict like {"gas": 5_000_000, "dm": 4_000_000,
+    "star": 1_000_000} — total counts, pro-rated per halo by mass like
+    ClusterICs._determine_num_particles (ics.py:100-160; equal-mass halos
+    split evenly).
+
+    Returns (fields_dict_of_device_arrays, models_fields, tables).
+    """
+    if key is None:
+        key = jax.random.key(0)
+    M200s = jnp.asarray(M200s, jnp.float64)
+    concs = jnp.asarray(concs, jnp.float64)
+    H = M200s.shape[0]
+    centers = jnp.asarray(centers, jnp.float64).reshape(H, 3)
+    velocities = jnp.asarray(velocities, jnp.float64).reshape(H, 3)
+    if np.isscalar(r_max):
+        r_max = jnp.full((H,), float(r_max))
+    else:
+        r_max = jnp.asarray(r_max, jnp.float64)
+
+    fields = build_merger_models(M200s, concs, z=z, num_points=num_points)
+    tables = build_speed_tables(fields)
+
+    # pro-rate counts by per-halo mass within r_max (host-side, static)
+    rr = np.asarray(fields["radius"])
+    weights = {}
+    for kind, mkey in [("gas", "gas_mass"), ("dm", "dark_matter_mass"),
+                       ("star", "stellar_mass")]:
+        mm = np.asarray(fields[mkey])
+        m_at = np.array([np.interp(float(r_max[i]), rr[i], mm[i])
+                         for i in range(H)])
+        weights[kind] = m_at / m_at.sum()
+
+    def counts(kind):
+        tot = num_particles.get(kind, 0)
+        n = [int(round(tot * weights[kind][i])) for i in range(H)]
+        if n and tot:
+            n[-1] = tot - sum(n[:-1])
+        return tuple(n)
+
+    particles = sample_merger_ic(
+        fields, tables, centers, velocities, r_max, key,
+        counts("gas"), counts("dm"), counts("star"), dtype=dtype)
+    return particles, fields, tables

@@ -1,0 +1,110 @@
+"""Fused on-device merger pipeline vs the class-based API (pipeline.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.stats import kstest
+
+import cluster_generator_tpu as cg
+from cluster_generator_tpu.pipeline import (
+    binary_merger_ic,
+    build_merger_models,
+    build_speed_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def merger():
+    parts, fields, tables = binary_merger_ic(
+        [1.5e15, 1.0e15], [4.0, 5.0],
+        [[-1500.0, 0, 0], [1500.0, 0, 0]],
+        [[0.3, 0, 0], [-0.45, 0, 0]],
+        {"gas": 100_000, "dm": 80_000, "star": 20_000},
+        key=jax.random.key(3))
+    return parts, fields, tables
+
+
+def test_models_match_class_api(merger):
+    _, fields, _ = merger
+    m = cg.ClusterModel.from_dens_and_tden  # sanity: same canonical builder
+    from cluster_generator_tpu.parallel.ensemble import build_one_cluster
+
+    single = build_one_cluster(1.5e15, 4.0, num_points=1000)
+    assert np.allclose(np.asarray(fields["total_mass"][0]),
+                       np.asarray(single["total_mass"]), rtol=1e-10)
+    # stellar DF present and positive
+    assert (np.asarray(fields["star_df"]) >= 0).all()
+
+
+def test_counts_and_dtypes(merger):
+    parts, _, _ = merger
+    assert parts["gas", "particle_position"].shape[0] == 100_000
+    assert parts["dm", "particle_position"].shape[0] == 80_000
+    assert parts["star", "particle_position"].shape[0] == 20_000
+    assert parts["gas", "particle_position"].dtype == jnp.float32
+    for v in parts.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_bulk_velocities(merger):
+    parts, fields, _ = merger
+    # halo 1's dm share: counts pro-rated by mass
+    vx = np.asarray(parts["dm", "particle_velocity"][:, 0])
+    # overall mean between the two bulk velocities
+    assert -0.45 < vx.mean() < 0.3
+    # gas mixing keeps velocities inside the bulk-velocity hull
+    gvx = np.asarray(parts["gas", "particle_velocity"][:, 0])
+    assert gvx.min() >= -0.45 - 1e-5 and gvx.max() <= 0.3 + 1e-5
+
+
+def test_radius_distribution_matches_class_sampler(merger):
+    """KS: pipeline DM radii (halo 1) vs the ClusterModel path distribution."""
+    parts, fields, _ = merger
+    rr = np.asarray(fields["radius"][0])
+    mm = np.asarray(fields["dark_matter_mass"][0])
+    m_rmax = np.interp(5000.0, rr, mm)
+    # halo-1 dm particles are the first block
+    w = mm[np.searchsorted(rr, 5000.0) - 1]
+    n1 = int(round(80_000 * (np.interp(5000.0, rr, mm)
+                             / (np.interp(5000.0, rr, mm)
+                                + np.interp(5000.0,
+                                            np.asarray(fields["radius"][1]),
+                                            np.asarray(fields["dark_matter_mass"][1]))))))
+    pos1 = np.asarray(parts["dm", "particle_position"][:n1]) - [-1500.0, 0, 0]
+    r = np.linalg.norm(pos1, axis=1)
+    cdf = lambda x: np.interp(x, np.insert(rr, 0, 0),
+                              np.insert(np.clip(mm / m_rmax, 0, 1), 0, 0))
+    stat, pval = kstest(r, cdf)
+    assert pval > 1e-4, (stat, pval)
+
+
+def test_gas_mixing_matches_reference_formula(merger):
+    """Spot-check mixed density/energy against manual two-halo sums."""
+    parts, fields, _ = merger
+    pos = np.asarray(parts["gas", "particle_position"])[:500]
+    dens = np.asarray(parts["gas", "density"])[:500]
+    eint = np.asarray(parts["gas", "thermal_energy"])[:500]
+    centers = np.array([[-1500.0, 0, 0], [1500.0, 0, 0]])
+    d_sum = np.zeros(500)
+    e_sum = np.zeros(500)
+    for i in range(2):
+        rr = np.asarray(fields["radius"][i])
+        dd = np.asarray(fields["density"][i])
+        ee = 1.5 * np.asarray(fields["pressure"][i]) / dd
+        r = np.linalg.norm(pos - centers[i], axis=1)
+        di = np.interp(r, rr, dd)
+        d_sum += di
+        e_sum += np.interp(r, rr, ee) * di
+    assert np.allclose(dens, d_sum, rtol=2e-5)
+    assert np.allclose(eint, e_sum / d_sum, rtol=2e-5)
+
+
+def test_speeds_below_escape(merger):
+    parts, fields, _ = merger
+    # halo-2 star block is last; use all stars against the max psi of both
+    vel = np.asarray(parts["star", "particle_velocity"])
+    speed = np.linalg.norm(vel - np.array([[0.3, 0, 0]]), axis=1)
+    psi_max = float(np.max(-np.asarray(fields["gravitational_potential"])))
+    vesc_max = np.sqrt(2 * psi_max)
+    assert (speed < vesc_max + 0.45 + 1e-3).all()

@@ -1,0 +1,198 @@
+// Native host-side utilities for cluster_generator_tpu.
+//
+// TPU-native equivalents of the reference's Cython extension modules
+// (cluster_generator.opt.structures / opt.cython_utils — SURVEY.md §2.2):
+// the hot on-device math lives in JAX/XLA, but the *host* runtime around it
+// (chunk-index construction, out-of-core grid painting for exporters,
+// spline evaluation feeding format writers) is plain C++ here, exposed via
+// a C ABI consumed with ctypes (ops/native.py).
+//
+// Build: `make -C native` -> cluster_generator_tpu/ops/libcg_native.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// construct_chunks: chunkmap uint32[3, 2, n_chunks] of per-chunk (start, end)
+// cell indices tiling the domain in cubes of `chunksize` (reference
+// opt.structures.construct_chunks, called at data_structures.py:238).
+// Chunk order: i-major (x slow, z fast) to match the numpy fallback.
+// Returns the number of chunks written.
+int64_t cg_construct_chunks(const uint32_t dd[3], uint32_t chunksize,
+                            uint32_t* out /* [3*2*n] */) {
+  const uint32_t nx = dd[0] / chunksize;
+  const uint32_t ny = dd[1] / chunksize;
+  const uint32_t nz = dd[2] / chunksize;
+  const int64_t n = (int64_t)nx * ny * nz;
+  // layout: out[axis*2*n + minmax*n + chunk]
+  int64_t c = 0;
+  for (uint32_t i = 0; i < nx; ++i)
+    for (uint32_t j = 0; j < ny; ++j)
+      for (uint32_t k = 0; k < nz; ++k, ++c) {
+        const uint32_t s[3] = {i * chunksize, j * chunksize, k * chunksize};
+        for (int ax = 0; ax < 3; ++ax) {
+          out[(int64_t)ax * 2 * n + 0 * n + c] = s[ax];
+          out[(int64_t)ax * 2 * n + 1 * n + c] = s[ax] + chunksize;
+        }
+      }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Cubic-spline evaluation with the same per-interval representation as
+// core/interp.py (y = a + b t + c t^2 + d t^3, t = x - knot[i]);
+// out-of-range queries extrapolate with the boundary polynomial.
+static inline double spline_one(const double* xs, const double* a,
+                                const double* b, const double* cc,
+                                const double* d, int64_t n, double q) {
+  // binary search for interval
+  int64_t lo = 0, hi = n - 2;
+  if (q <= xs[0]) {
+    lo = 0;
+  } else if (q >= xs[n - 1]) {
+    lo = n - 2;
+  } else {
+    while (lo < hi) {
+      int64_t mid = (lo + hi + 1) >> 1;
+      if (xs[mid] <= q)
+        lo = mid;
+      else
+        hi = mid - 1;
+    }
+  }
+  const double t = q - xs[lo];
+  return a[lo] + t * (b[lo] + t * (cc[lo] + t * d[lo]));
+}
+
+void cg_spline_eval(const double* xs, const double* a, const double* b,
+                    const double* c, const double* d, int64_t n,
+                    const double* q, int64_t nq, double* out) {
+  const unsigned nt =
+      std::max(1u, std::min(std::thread::hardware_concurrency(), 16u));
+  if (nq < 4096 || nt == 1) {
+    for (int64_t i = 0; i < nq; ++i)
+      out[i] = spline_one(xs, a, b, c, d, n, q[i]);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (nq + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; ++t) {
+    const int64_t s = t * per, e = std::min<int64_t>(nq, s + per);
+    if (s >= e) break;
+    threads.emplace_back([=]() {
+      for (int64_t i = s; i < e; ++i)
+        out[i] = spline_one(xs, a, b, c, d, n, q[i]);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// paint_radial_chunks: evaluate a radial spline field on the cell centers of
+// a run of chunks (host fallback / exporter path of the reference's
+// opt.structures.dump_field_to_hdf5, data_structures.py:399).
+//   starts: int64[nchunks*3] first-cell indices
+//   out:    double[nchunks * cs^3]
+void cg_paint_radial_chunks(const double* xs, const double* a,
+                            const double* b, const double* c, const double* d,
+                            int64_t n, const int64_t* starts, int64_t nchunks,
+                            int64_t cs, const double deltas[3],
+                            const double left[3], double* out) {
+  const unsigned nt =
+      std::max(1u, std::min(std::thread::hardware_concurrency(), 16u));
+  std::vector<std::thread> threads;
+  const int64_t per = (nchunks + nt - 1) / nt;
+  auto work = [=](int64_t c0, int64_t c1) {
+    for (int64_t ci = c0; ci < c1; ++ci) {
+      const int64_t sx = starts[ci * 3 + 0];
+      const int64_t sy = starts[ci * 3 + 1];
+      const int64_t sz = starts[ci * 3 + 2];
+      double* blk = out + ci * cs * cs * cs;
+      for (int64_t i = 0; i < cs; ++i) {
+        const double x = left[0] + (sx + i + 0.5) * deltas[0];
+        for (int64_t j = 0; j < cs; ++j) {
+          const double y = left[1] + (sy + j + 0.5) * deltas[1];
+          const double x2y2 = x * x + y * y;
+          for (int64_t k = 0; k < cs; ++k) {
+            const double z = left[2] + (sz + k + 0.5) * deltas[2];
+            const double r = std::sqrt(x2y2 + z * z);
+            blk[(i * cs + j) * cs + k] = spline_one(xs, a, b, c, d, n, r);
+          }
+        }
+      }
+    }
+  };
+  for (unsigned t = 0; t < nt; ++t) {
+    const int64_t s = t * per, e = std::min<int64_t>(nchunks, s + per);
+    if (s >= e) break;
+    threads.emplace_back(work, s, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Trilinear interpolation of a (nx, ny, nz) field at arbitrary points with
+// zero fill outside (host path of fields.py map_field_to_particles).
+void cg_trilinear(const double* xs, int64_t nx, const double* ys, int64_t ny,
+                  const double* zs, int64_t nz, const double* field,
+                  const double* pts /* [np*3] */, int64_t np, double* out) {
+  auto locate = [](const double* cs, int64_t n, double p, int64_t* idx,
+                   double* w) -> bool {
+    if (p < cs[0] || p > cs[n - 1]) return false;
+    int64_t lo = 0, hi = n - 2;
+    while (lo < hi) {
+      int64_t mid = (lo + hi + 1) >> 1;
+      if (cs[mid] <= p)
+        lo = mid;
+      else
+        hi = mid - 1;
+    }
+    *idx = lo;
+    *w = (p - cs[lo]) / (cs[lo + 1] - cs[lo]);
+    return true;
+  };
+  const unsigned nt =
+      std::max(1u, std::min(std::thread::hardware_concurrency(), 16u));
+  std::vector<std::thread> threads;
+  const int64_t per = (np + nt - 1) / nt;
+  auto work = [=](int64_t s, int64_t e) {
+    for (int64_t p = s; p < e; ++p) {
+      int64_t ix, iy, iz;
+      double wx, wy, wz;
+      if (!locate(xs, nx, pts[p * 3 + 0], &ix, &wx) ||
+          !locate(ys, ny, pts[p * 3 + 1], &iy, &wy) ||
+          !locate(zs, nz, pts[p * 3 + 2], &iz, &wz)) {
+        out[p] = 0.0;
+        continue;
+      }
+      const int64_t s00 = (ix * ny + iy) * nz + iz;
+      const int64_t s01 = s00 + 1;
+      const int64_t s10 = s00 + nz;
+      const int64_t s11 = s10 + 1;
+      const int64_t t00 = ((ix + 1) * ny + iy) * nz + iz;
+      const int64_t t01 = t00 + 1;
+      const int64_t t10 = t00 + nz;
+      const int64_t t11 = t10 + 1;
+      const double c00 = field[s00] * (1 - wz) + field[s01] * wz;
+      const double c01 = field[s10] * (1 - wz) + field[s11] * wz;
+      const double c10 = field[t00] * (1 - wz) + field[t01] * wz;
+      const double c11 = field[t10] * (1 - wz) + field[t11] * wz;
+      const double c0 = c00 * (1 - wy) + c01 * wy;
+      const double c1 = c10 * (1 - wy) + c11 * wy;
+      out[p] = c0 * (1 - wx) + c1 * wx;
+    }
+  };
+  for (unsigned t = 0; t < nt; ++t) {
+    const int64_t s = t * per, e = std::min<int64_t>(np, s + per);
+    if (s >= e) break;
+    threads.emplace_back(work, s, e);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

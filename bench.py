@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1e7-particle three-component binary-merger IC.
+
+BASELINE.md target: < 5 s wall-time on one TPU chip for the full pipeline —
+two HSE equilibrium models (4096.. 1000-pt grids), Eddington inversions,
+speed tables, and 10^7 particle draws (gas+DM+stars) with merger gas mixing,
+materialized as device arrays.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <warm seconds>, "unit": "s",
+   "vs_baseline": <baseline_s / value>}  (>1 means faster than target)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_S = 5.0
+NUM_PARTICLES = {"gas": 5_000_000, "dm": 4_000_000, "star": 1_000_000}
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from cluster_generator_tpu.pipeline import (
+        build_merger_models,
+        build_speed_tables,
+        sample_merger_ic,
+    )
+
+    M200 = jnp.asarray([1.5e15, 1.0e15])
+    conc = jnp.asarray([4.0, 5.0])
+    centers = jnp.asarray([[-1500.0, 0.0, 0.0], [1500.0, 0.0, 0.0]])
+    vels = jnp.asarray([[0.3, 0.0, 0.0], [-0.45, 0.0, 0.0]])
+    rmax = jnp.asarray([5000.0, 5000.0])
+    # static per-halo counts (mass-prorated for this configuration)
+    ng, nd, ns = ((3_000_000, 2_000_000), (2_400_000, 1_600_000),
+                  (600_000, 400_000))
+
+    def run(key):
+        f = build_merger_models(M200, conc)
+        tb = build_speed_tables(f)
+        p = sample_merger_ic(f, tb, centers, vels, rmax, key, ng, nd, ns)
+        # force completion with a small checksum transfer
+        return float(jnp.sum(p["dm", "particle_velocity"][::4096])
+                     + jnp.sum(p["gas", "thermal_energy"][::4096]))
+
+    t0 = time.time()
+    checksum = run(jax.random.key(0))  # compile + first run
+    compile_s = time.time() - t0
+    print(f"# compile+first-run: {compile_s:.1f}s checksum={checksum:.6g}",
+          file=sys.stderr)
+
+    times = []
+    for trial in range(3):
+        t0 = time.time()
+        run(jax.random.key(trial + 1))
+        times.append(time.time() - t0)
+        print(f"# warm trial {trial}: {times[-1]:.3f}s", file=sys.stderr)
+
+    value = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": "binary_merger_ic_1e7_particles_wall_time",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / value, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

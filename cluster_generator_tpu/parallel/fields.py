@@ -1,0 +1,81 @@
+"""Multi-chip Gaussian random fields: grid-sharded generation.
+
+Scales the L5' field generator (fields/grf.py) past one chip's HBM: the
+grid is slab-sharded over the mesh, FFTs run as pencil decompositions
+(parallel/fft.py), and all k-space work (spectrum shaping, finite-
+difference divergence projection) is communication-free elementwise math on
+the sharded representation.  A 1024^3 three-component float32 field is
+~12 GB — out-of-core chunking in the reference ("disk as VRAM",
+model.py:1166-1168), a few HBM-resident slabs here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .fft import pencil_fftn, pencil_ifftn
+
+__all__ = ["sharded_gaussian_random_field"]
+
+
+def _waves(n, deltas):
+    kx = np.fft.fftfreq(n[0], d=deltas[0] / (2 * np.pi))[:, None, None]
+    ky = np.fft.fftfreq(n[1], d=deltas[1] / (2 * np.pi))[None, :, None]
+    kz = np.fft.fftfreq(n[2], d=deltas[2] / (2 * np.pi))[None, None, :]
+    return kx, ky, kz
+
+
+def sharded_gaussian_random_field(key, ddims, deltas, l_min, l_max, mesh,
+                                  alpha=-11.0 / 3.0, g_rms=1.0,
+                                  divergence_clean=True,
+                                  dtype=jnp.float32):
+    """Unit-rms (then g_rms-scaled) solenoidal GRF sharded over the mesh.
+
+    Returns (gx, gy, gz), each (nx, ny, nz) sharded over the first axis.
+    Same spectrum and projection math as fields.GaussianRandomField
+    (fields.py:341-573), distributed.
+    """
+    nx, ny, nz = (int(d) for d in ddims)
+    kx, ky, kz = _waves((nx, ny, nz), deltas)
+    k0 = 2.0 * np.pi / float(l_min)
+    k1 = 2.0 * np.pi / float(l_max)
+    kk = np.sqrt(kx**2 + ky**2 + kz**2)
+    sigma_np = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * np.exp(
+        -0.5 * (kk / k0) ** 2)
+    sigma_np[0, 0, 0] = 0.0
+    sigma = jnp.asarray(sigma_np, dtype=jnp.float32)
+    kxd = jnp.asarray(np.sin(kx * deltas[0]) / deltas[0], jnp.float32)
+    kyd = jnp.asarray(np.sin(ky * deltas[1]) / deltas[1], jnp.float32)
+    kzd = jnp.asarray(np.sin(kz * deltas[2]) / deltas[2], jnp.float32)
+
+    slab = NamedSharding(mesh, P("ens", None, None))
+
+    @jax.jit
+    def build(key):
+        keys = jax.random.split(key, 3)
+        comps_k = []
+        for i in range(3):
+            noise = jax.random.normal(keys[i], (nx, ny, nz), dtype=dtype)
+            noise = jax.lax.with_sharding_constraint(noise, slab)
+            comps_k.append(pencil_fftn(noise, mesh) * sigma)
+        gxk, gyk, gzk = comps_k
+        if divergence_clean:
+            kkd = jnp.sqrt(kxd**2 + kyd**2 + kzd**2)
+            inv = jnp.where(kkd > 0, 1.0 / jnp.where(kkd > 0, kkd, 1.0), 0.0)
+            ex, ey, ez = kxd * inv, kyd * inv, kzd * inv
+            kb = ex * gxk + ey * gyk + ez * gzk
+            gxk, gyk, gzk = gxk - ex * kb, gyk - ey * kb, gzk - ez * kb
+        gx = pencil_ifftn(gxk, mesh).real.astype(dtype)
+        gy = pencil_ifftn(gyk, mesh).real.astype(dtype)
+        gz = pencil_ifftn(gzk, mesh).real.astype(dtype)
+        g_avg = jnp.sqrt(jnp.mean(gx**2 + gy**2 + gz**2))
+        s = g_rms / g_avg
+        return gx * s, gy * s, gz * s
+
+    with mesh:
+        return build(key)

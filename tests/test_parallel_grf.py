@@ -30,14 +30,14 @@ def test_sharded_grf_spectrum_matches_single_device():
     mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("ens",))
     n = 32
     gx, gy, gz = sharded_gaussian_random_field(
-        jax.random.key(5), (n, n, n), (10.0, 10.0, 10.0), 40.0, 320.0, mesh,
+        jax.random.key(5), (n, n, n), (10.0, 10.0, 10.0), 20.0, 320.0, mesh,
         divergence_clean=False, g_rms=1.0)
     W = np.abs(np.fft.fftn(np.asarray(gx))) ** 2
     k = np.fft.fftfreq(n, d=10.0 / (2 * np.pi))
     kk = np.sqrt(k[:, None, None]**2 + k[None, :, None]**2
                  + k[None, None, :]**2)
     k1 = 2 * np.pi / 320.0
-    k0 = 2 * np.pi / 40.0
-    sel = (kk > 3 * k1) & (kk < k0 / 3)
+    k0 = 2 * np.pi / 20.0
+    sel = (kk > 2 * k1) & (kk < k0 / 3)
     slope = np.polyfit(np.log(kk[sel]), np.log(W[sel]), 1)[0]
     assert -5.5 < slope < -2.0  # consistent with -11/3 given small grid

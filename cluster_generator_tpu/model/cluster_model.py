@@ -323,6 +323,34 @@ class ClusterModel:
     def check_star_virial(self):
         return self.star_virial.check_virial()
 
+    def compute_velocity_dispersion(self, ptype: str = "dark_matter"):
+        """Isotropic Jeans radial velocity dispersion, stored as the
+        ``velocity_dispersion`` field.
+
+        sigma_r^2(r) = (1 / rho(r)) int_r^{rmax} rho(r') g(r') dr'
+        with g = -dPhi/dr < 0 taken from the model's gravitational field.
+        This supplies the sigma_v(r) profile that
+        :class:`~cluster_generator_tpu.fields.RadialRandomVelocityField`
+        scales by (the reference expects the field to pre-exist,
+        fields.py:779-790; here it is derivable from any model).
+        """
+        from ..core.quadrature import integrate_from
+
+        rr = jnp.asarray(self.fields["radius"])
+        rho = jnp.asarray(self.fields[f"{ptype}_density"]
+                          if ptype != "gas" else self.fields["density"])
+        g = jnp.asarray(self.fields["gravitational_field"])
+        rho_sp = cubic_spline(rr, rho)
+        g_sp = cubic_spline(rr, g)
+        integrand = lambda r: spline_eval(rho_sp, r) * (-spline_eval(g_sp, r))
+        num = integrate_from(integrand, rr)
+        sigma2 = np.asarray(num) / np.maximum(np.asarray(rho), 1e-300)
+        sigma = np.sqrt(np.maximum(sigma2, 0.0))
+        # the outermost point has an empty integral; extend smoothly
+        sigma[-1] = sigma[-2]
+        self.set_field("velocity_dispersion", sigma)
+        return self.fields["velocity_dispersion"]
+
     # ---------------------------------------------------- magnetic fields
     def set_magnetic_field_from_beta(self, beta, gaussian=True):
         """B = sqrt(8 pi P / beta) (Gaussian) or sqrt(2 P / beta) (LH)

@@ -45,11 +45,16 @@ def build_merger_models(M200, conc, z=0.1, num_points=1000,
 
 @jax.jit
 def build_speed_tables(fields):
-    """Per-halo inverse speed-CDF tables for DM and stars."""
+    """Per-halo inverse speed-CDF tables for DM and stars.
+
+    Tables accumulate/invert in float32 (see speed_inverse_cdf_table):
+    the f64 matmul-cumsum was the dominant warm-time cost of the merger
+    pipeline on TPU (f64 MXU emulation)."""
     ee = -fields["gravitational_potential"][:, ::-1]
 
     def tab(df):
-        return jax.vmap(speed_inverse_cdf_table)(ee, df[:, ::-1])
+        return jax.vmap(lambda e, d: speed_inverse_cdf_table(
+            e, d, table_dtype=jnp.float32))(ee, df[:, ::-1])
 
     return {"dm": tab(fields["dm_df"]), "star": tab(fields["star_df"])}
 

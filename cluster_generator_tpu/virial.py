@@ -90,19 +90,33 @@ def check_virial_density(ee, f_vals, order: int = _DF_QUAD_ORDER):
     return rho
 
 
-@partial(jax.jit, static_argnames=("n_s", "n_q"))
-def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512):
+@partial(jax.jit, static_argnames=("n_s", "n_q", "table_dtype", "use_pallas"))
+def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
+                            table_dtype=None, use_pallas: bool = False):
     """Tabulated inverse speed-CDF for every psi on the grid.
 
     For each psi_j: with v = v_esc s, s in [0,1], v_esc = sqrt(2 psi_j),
     pdf(s) ∝ s^2 f(psi_j (1 - s^2)).  Returns ``s_inv`` of shape
     (N, n_q): s_inv[j, m] is the speed fraction at quantile m/(n_q-1).
+
+    ``table_dtype`` controls the cumulative/inversion precision: the f(E)
+    spline is always evaluated at input precision, but the (N x n_s)
+    cumulative sum and quantile inversion can run in float32 — a ~10x saving
+    on TPU where f64 matmuls are emulated — with quantile error ~1e-7,
+    negligible against the 1/n_q table resolution.  ``use_pallas`` routes
+    the inversion through the gather-free Pallas kernel
+    (ops/pallas_kernels.invert_cdf_rows).
     """
     f_sp = cubic_spline(ee, f_vals)
     s = jnp.linspace(0.0, 1.0, n_s)
     E = ee[:, None] * (1.0 - s[None, :] ** 2)  # (N, n_s)
     pdf = s[None, :] ** 2 * jnp.maximum(
         spline_eval(f_sp, E.reshape(-1)).reshape(E.shape), 0.0)
+    if table_dtype is not None:
+        # normalize rows before the downcast to preserve dynamic range
+        pdf = (pdf / jnp.maximum(jnp.max(pdf, axis=1, keepdims=True), 1e-300)
+               ).astype(table_dtype)
+        s = s.astype(table_dtype)
     ds = s[1] - s[0]
     cdf = jnp.concatenate(
         [jnp.zeros((pdf.shape[0], 1), pdf.dtype),
@@ -110,11 +124,16 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512):
     total = cdf[:, -1:]
     cdf = cdf / jnp.where(total > 0.0, total, 1.0)
     # enforce strict monotonicity for clean inversion
-    eps = jnp.arange(n_s, dtype=cdf.dtype) * 1e-12
+    eps_val = 1e-12 if cdf.dtype == jnp.float64 else 1e-7
+    eps = jnp.arange(n_s, dtype=cdf.dtype) * eps_val
     cdf = cdf + eps[None, :]
     cdf = cdf / cdf[:, -1:]
 
-    q = jnp.linspace(0.0, 1.0, n_q)
+    if use_pallas:
+        from .ops.pallas_kernels import invert_cdf_rows
+
+        return invert_cdf_rows(cdf, n_q=n_q)
+    q = jnp.linspace(0.0, 1.0, n_q).astype(cdf.dtype)
     s_inv = jax.vmap(lambda c: jnp.interp(q, c, s))(cdf)
     return s_inv
 

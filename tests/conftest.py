@@ -22,6 +22,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    """Golden-answer options mirroring the reference's conftest
+    (conftest.py:140-161)."""
+    parser.addoption("--answer_dir", default=None,
+                     help="directory holding golden answers")
+    parser.addoption("--answer_store", action="store_true", default=False,
+                     help="(re)generate golden answers instead of comparing")
+
+
+@pytest.fixture(scope="session")
+def answer_dir(request):
+    d = request.config.getoption("--answer_dir")
+    if d is None:
+        pytest.skip("no --answer_dir supplied")
+    return d
+
+
+@pytest.fixture(scope="session")
+def answer_store(request):
+    return request.config.getoption("--answer_store")
+
+
 @pytest.fixture(scope="session")
 def canonical_model():
     """The reference test suite's canonical cluster

@@ -20,9 +20,6 @@ Everything is pure jnp, jit-safe and vmappable over ensemble axes.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,9 +13,6 @@ This replaces the reference's pervasive ``unyt`` arrays
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass
-
 import numpy as np
 
 from . import constants as C

@@ -6,11 +6,9 @@ from __future__ import annotations
 import os
 from collections import defaultdict
 from numbers import Number
-from pathlib import Path
 
 import numpy as np
 
-from .core.logging import mylog
 from .model import ClusterModel
 from .particles import (
     ClusterParticles,

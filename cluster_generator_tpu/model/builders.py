@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from ..core import constants as C
 from ..core.interp import cubic_spline, spline_eval
 from ..core.quadrature import (
-    cumulative_integral,
     integrate_from,
     integrate_mass,
     integrate_tail_to_inf,

@@ -12,10 +12,7 @@ from __future__ import annotations
 
 import os
 from collections import OrderedDict
-from numbers import Number
-from pathlib import Path
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

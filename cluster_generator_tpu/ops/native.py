@@ -8,7 +8,6 @@ toolchain.  ``available()`` reports whether the fast path is active.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -11,12 +11,10 @@ model.py:1166-1168), a few HBM-resident slabs here.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .fft import pencil_fftn, pencil_ifftn
 

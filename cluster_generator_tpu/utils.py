@@ -14,11 +14,7 @@ import numpy as np
 from .core.constants import G, X_H, kboltz, kpc_to_cm, mp, mu, mue  # noqa: F401
 from .core.logging import devLogger, mylog  # noqa: F401
 from .core.config import cgparams  # noqa: F401
-from .core.quadrature import (
-    cumulative_integral,
-    integrate_from,
-    integrate_tail_to_inf,
-)
+from .core.quadrature import integrate_from, integrate_tail_to_inf
 from .core.quadrature import integrate_mass as _integrate_mass
 from .sampling import generate_particle_radii, parse_prng  # noqa: F401
 

@@ -30,6 +30,7 @@ def main() -> None:
 
     from cluster_generator_tpu.pipeline import (
         build_merger_models,
+        build_radius_tables,
         build_speed_tables,
         sample_merger_ic,
     )
@@ -46,6 +47,7 @@ def main() -> None:
     def run(key):
         f = build_merger_models(M200, conc)
         tb = build_speed_tables(f)
+        tb["radius"] = build_radius_tables(f, rmax)
         p = sample_merger_ic(f, tb, centers, vels, rmax, key, ng, nd, ns)
         # force completion with a small checksum transfer
         return float(jnp.sum(p["dm", "particle_velocity"][::4096])

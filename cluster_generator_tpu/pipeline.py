@@ -23,7 +23,8 @@ import numpy as np
 from .parallel.ensemble import build_one_cluster
 from .virial import compute_df, speed_inverse_cdf_table
 
-__all__ = ["build_merger_models", "sample_merger_ic", "binary_merger_ic"]
+__all__ = ["build_merger_models", "build_speed_tables",
+           "build_radius_tables", "sample_merger_ic", "binary_merger_ic"]
 
 
 @partial(jax.jit, static_argnames=("num_points", "with_star_df"))
@@ -59,14 +60,56 @@ def build_speed_tables(fields):
     return {"dm": tab(fields["dm_df"]), "star": tab(fields["star_df"])}
 
 
-def _cdf_arrays(rr, mm, r_max, dtype):
-    """Truncated, normalized enclosed-mass CDF (static-shape; see
-    sampling._truncated_cdf for the host variant)."""
-    m_rmax = jnp.interp(r_max, rr, mm)
-    P = jnp.clip(mm / m_rmax, 0.0, 1.0)
-    P = jnp.concatenate([jnp.zeros((1,), P.dtype), P]).astype(dtype)
-    rins = jnp.concatenate([jnp.zeros((1,), rr.dtype), rr]).astype(dtype)
-    return P, rins, m_rmax
+_RQ = 2048  # radius quantile-table resolution
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def build_radius_tables(fields, r_max, dtype=jnp.float32):
+    """Per-halo inverse radius-CDF quantile tables for every species.
+
+    Sampling a radius then costs two gathers (lerp on the quantile table)
+    instead of a 1000-knot binary search per particle; together with the
+    log-spaced grid's *computed* index (no search) for psi/energy lookups,
+    the per-particle cost drops to a handful of gathers.
+    """
+    q = jnp.linspace(0.0, 1.0, _RQ)
+
+    def one(rr, mm, rm):
+        m_rmax = jnp.interp(rm, rr, mm)
+        P = jnp.clip(mm / m_rmax, 0.0, 1.0)
+        P = jnp.concatenate([jnp.zeros((1,), P.dtype), P])
+        rins = jnp.concatenate([jnp.zeros((1,), rr.dtype), rr])
+        r_q = jnp.interp(q, P, rins)
+        return r_q.astype(dtype), m_rmax
+
+    out = {}
+    for kind, key in [("gas", "gas_mass"), ("dm", "dark_matter_mass"),
+                      ("star", "stellar_mass")]:
+        r_q, m_rmax = jax.vmap(one)(fields["radius"], fields[key], r_max)
+        out[kind] = r_q
+        out[kind + "_mtot"] = m_rmax
+    return out
+
+
+def _log_grid_locate(radius, rr, dtype):
+    """Fractional index of ``radius`` on the log-spaced grid ``rr`` —
+    computed, not searched."""
+    n = rr.shape[0]
+    logr0 = jnp.log(rr[0]).astype(dtype)
+    dlog = ((jnp.log(rr[-1]) - jnp.log(rr[0])) / (n - 1)).astype(dtype)
+    x = (jnp.log(radius) - logr0) / dlog
+    x = jnp.clip(x, 0.0, n - 1 - 1e-6)
+    j = x.astype(jnp.int32)
+    return j, x - j.astype(dtype)
+
+
+def _table_lerp(table, u):
+    """1D lerp of ``table`` at fractional positions u in [0, 1]."""
+    n = table.shape[0]
+    x = jnp.clip(u * (n - 1), 0.0, n - 1 - 1e-6)
+    j = x.astype(jnp.int32)
+    w = x - j.astype(table.dtype)
+    return (1.0 - w) * table[j] + w * table[j + 1]
 
 
 def _isotropic(key, n, dtype):
@@ -78,33 +121,38 @@ def _isotropic(key, n, dtype):
                      axis=-1)
 
 
-def _sample_collisionless(key, fields_h, s_inv, mass_key, n, r_max, center,
+def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
                           bulk_v, dtype):
-    """Positions + virialized velocities for one halo's DM or stars."""
+    """Positions + virialized velocities for one halo's DM or stars.
+
+    Per particle: 2 gathers (radius quantile table) + 4 gathers (speed
+    table bilinear) — psi and the speed-table row come from the *computed*
+    log-grid index, no binary searches anywhere.
+    """
     rr = fields_h["radius"]
-    mm = fields_h[mass_key]
-    P, rins, m_rmax = _cdf_arrays(rr, mm, r_max, dtype)
     kr, kv, ka, kva = jax.random.split(key, 4)
 
     u = jax.random.uniform(kr, (n,), dtype=dtype)
-    radius = jnp.interp(u, P, rins)
+    radius = _table_lerp(r_q, u)
 
-    ee = -fields_h["gravitational_potential"][::-1]
-    psi_r = ee[::-1].astype(dtype)
-    psi = jnp.interp(radius, rr.astype(dtype), psi_r)
+    # psi at radius via the log-grid computed index
+    psi_r = (-fields_h["gravitational_potential"]).astype(dtype)
+    j, w = _log_grid_locate(radius, rr, dtype)
+    psi = (1.0 - w) * psi_r[j] + w * psi_r[j + 1]
 
-    # bilinear inverse-CDF speed lookup (virial.sample_speeds, f32 path)
+    # speed-table rows: s_inv rows follow ee = psi_r reversed, so the
+    # bracketing rows are (N-2-j, N-1-j) with weight (1 - w)
     n_grid, n_q = s_inv.shape
-    eed = ee.astype(dtype)
-    j = jnp.clip(jnp.searchsorted(eed, psi, side="right") - 1, 0, n_grid - 2)
-    wj = jnp.clip((psi - eed[j]) / (eed[j + 1] - eed[j]), 0.0, 1.0)
+    k_row = jnp.clip(n_grid - 2 - j, 0, n_grid - 2)
+    wk = 1.0 - w
     uq = jax.random.uniform(kv, (n,), dtype=dtype)
     qpos = uq * (n_q - 1)
     mq = jnp.clip(qpos.astype(jnp.int32), 0, n_q - 2)
-    wm = qpos - mq
+    wm = qpos - mq.astype(dtype)
     sd = s_inv.astype(dtype)
-    s = ((1.0 - wj) * ((1.0 - wm) * sd[j, mq] + wm * sd[j, mq + 1])
-         + wj * ((1.0 - wm) * sd[j + 1, mq] + wm * sd[j + 1, mq + 1]))
+    s = ((1.0 - wk) * ((1.0 - wm) * sd[k_row, mq] + wm * sd[k_row, mq + 1])
+         + wk * ((1.0 - wm) * sd[k_row + 1, mq]
+                 + wm * sd[k_row + 1, mq + 1]))
     speed = s * jnp.sqrt(2.0 * psi)
 
     pos = radius[:, None] * _isotropic(ka, n, dtype) + center.astype(dtype)
@@ -113,13 +161,11 @@ def _sample_collisionless(key, fields_h, s_inv, mass_key, n, r_max, center,
     return pos, vel, pmass
 
 
-def _sample_gas_halo(key, fields_h, n, r_max, center, dtype):
+def _sample_gas_halo(key, fields_h, r_q, m_rmax, n, center, dtype):
     """Gas positions (zero velocity pre-mix) for one halo."""
-    rr = fields_h["radius"]
-    P, rins, m_rmax = _cdf_arrays(rr, fields_h["gas_mass"], r_max, dtype)
     kr, ka = jax.random.split(key)
     u = jax.random.uniform(kr, (n,), dtype=dtype)
-    radius = jnp.interp(u, P, rins)
+    radius = _table_lerp(r_q, u)
     pos = radius[:, None] * _isotropic(ka, n, dtype) + center.astype(dtype)
     pmass = (m_rmax / n).astype(dtype) * jnp.ones((n,), dtype)
     return pos, pmass
@@ -127,16 +173,18 @@ def _sample_gas_halo(key, fields_h, n, r_max, center, dtype):
 
 def _mix_gas(pos, fields, centers, velocities, dtype):
     """Density-weighted gas mixing over all halos
-    (reference particles.py:587-639, vectorized)."""
+    (reference particles.py:587-639, vectorized; log-grid computed-index
+    interpolation — radii beyond the grid clamp to the last point, whose
+    density is ~0 at rmax=10^4 kpc)."""
     H = centers.shape[0]
-    rr = fields["radius"].astype(dtype)  # (H, N)
     dens_t = fields["density"].astype(dtype)
     e_t = (1.5 * fields["pressure"] / fields["density"]).astype(dtype)
 
     def halo(i):
         r = jnp.sqrt(((pos - centers[i].astype(dtype)) ** 2).sum(axis=1))
-        d = jnp.interp(r, rr[i], dens_t[i])
-        e = jnp.interp(r, rr[i], e_t[i]) * d
+        j, w = _log_grid_locate(r, fields["radius"][i], dtype)
+        d = (1.0 - w) * dens_t[i, j] + w * dens_t[i, j + 1]
+        e = ((1.0 - w) * e_t[i, j] + w * e_t[i, j + 1]) * d
         mom = velocities[i].astype(dtype)[None, :] * d[:, None]
         return d, e, mom
 
@@ -153,11 +201,14 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
     """One fused program: draw every particle of an H-halo merger.
 
     fields/tables carry a leading halo axis; n_* are per-halo tuples of
-    static counts.  Returns a dict of device arrays (f32 by default).
+    static counts.  ``tables`` must include the speed tables ("dm"/"star")
+    and radius quantile tables (build_radius_tables).  Returns a dict of
+    device arrays (f32 by default).
     """
     H = centers.shape[0]
     out = {}
     keys = jax.random.split(key, 3 * H)
+    rtab = tables["radius"]
 
     gas_pos, gas_mass = [], []
     dm_pos, dm_vel, dm_mass = [], [], []
@@ -165,21 +216,24 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
     for i in range(H):
         f_h = jax.tree_util.tree_map(lambda a: a[i], fields)
         if n_gas[i] > 0:
-            p, pm = _sample_gas_halo(keys[3 * i], f_h, n_gas[i], r_max[i],
+            p, pm = _sample_gas_halo(keys[3 * i], f_h, rtab["gas"][i],
+                                     rtab["gas_mtot"][i], n_gas[i],
                                      centers[i], dtype)
             gas_pos.append(p)
             gas_mass.append(pm)
         if n_dm[i] > 0:
             p, v, pm = _sample_collisionless(
-                keys[3 * i + 1], f_h, tables["dm"][i], "dark_matter_mass",
-                n_dm[i], r_max[i], centers[i], velocities[i], dtype)
+                keys[3 * i + 1], f_h, tables["dm"][i], rtab["dm"][i],
+                rtab["dm_mtot"][i], n_dm[i], centers[i], velocities[i],
+                dtype)
             dm_pos.append(p)
             dm_vel.append(v)
             dm_mass.append(pm)
         if n_star[i] > 0:
             p, v, pm = _sample_collisionless(
-                keys[3 * i + 2], f_h, tables["star"][i], "stellar_mass",
-                n_star[i], r_max[i], centers[i], velocities[i], dtype)
+                keys[3 * i + 2], f_h, tables["star"][i], rtab["star"][i],
+                rtab["star_mtot"][i], n_star[i], centers[i], velocities[i],
+                dtype)
             st_pos.append(p)
             st_vel.append(v)
             st_mass.append(pm)
@@ -229,6 +283,7 @@ def binary_merger_ic(M200s, concs, centers, velocities, num_particles,
 
     fields = build_merger_models(M200s, concs, z=z, num_points=num_points)
     tables = build_speed_tables(fields)
+    tables["radius"] = build_radius_tables(fields, r_max)
 
     # pro-rate counts by per-halo mass within r_max (host-side, static)
     rr = np.asarray(fields["radius"])

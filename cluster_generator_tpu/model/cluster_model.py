@@ -56,6 +56,15 @@ class ClusterModel:
         self._dm_virial = None
         self._star_virial = None
 
+    def __repr__(self):
+        rr = self.fields.get("radius")
+        span = (f"[{rr[0]:.3g}, {rr[-1]:.3g}] kpc"
+                if rr is not None and len(rr) else "?")
+        return (f"<ClusterModel: {self.num_elements} pts {span}, "
+                f"{len(self.fields)} fields>")
+
+    __str__ = __repr__
+
     # ------------------------------------------------------------ dict API
     def __getitem__(self, key):
         return self.fields[key]

@@ -30,7 +30,19 @@ from ..sampling import parse_prng
 __all__ = ["ClusterField", "GaussianRandomField", "RandomMagneticField",
            "RadialRandomMagneticField", "RandomMagneticVectorPotential",
            "RadialRandomMagneticVectorPotential", "RandomVelocityField",
-           "RadialRandomVelocityField"]
+           "RadialRandomVelocityField", "parse_value"]
+
+
+def parse_value(value, default_units: str):
+    """Coerce a number/array or a ``(value, unit)`` tuple into galactic
+    base values (reference fields.py:15-37 `parse_value`, minus unyt)."""
+    from ..core import units
+
+    if (isinstance(value, tuple) and len(value) == 2
+            and isinstance(value[1], str)):
+        return np.asarray(value[0], dtype=np.float64) \
+            * units.unit_factor(value[1]) / units.unit_factor(default_units)
+    return np.asarray(value, dtype=np.float64)
 
 
 # ------------------------------------------------------------- jitted cores
@@ -65,8 +77,8 @@ class ClusterField:
                  vector_potential=False, divergence_clean=False,
                  dtype=jnp.float64):
         ddims = np.array(ddims).astype(int)
-        left_edge = np.asarray(left_edge, dtype=np.float64)
-        right_edge = np.asarray(right_edge, dtype=np.float64)
+        left_edge = parse_value(left_edge, "kpc")
+        right_edge = parse_value(right_edge, "kpc")
         width = right_edge - left_edge
         self.deltas = width / ddims
         pad_dims = (2 * np.ceil(0.5 * padding * ddims)).astype(int)
@@ -250,8 +262,8 @@ class GaussianRandomField(ClusterField):
             rs.append(np.asarray(r3, np.float64))
             gs.append(np.asarray(g3, np.float64))
 
-        k0 = 2.0 * np.pi / float(np.asarray(l_min))
-        k1 = 2.0 * np.pi / float(np.asarray(l_max))
+        k0 = 2.0 * np.pi / float(parse_value(l_min, "kpc"))
+        k1 = 2.0 * np.pi / float(parse_value(l_max, "kpc"))
 
         mylog.info("Setting up the Gaussian random fields.")
         kx, ky, kz = self._compute_waves()

@@ -3,8 +3,11 @@
 the test suite).  Batches every real-chip experiment into a single process
 to amortize the environment's per-process compiler warm-up."""
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

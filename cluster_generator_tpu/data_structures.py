@@ -177,8 +177,13 @@ class YTHDF5:
             pass
 
     # -------------------------------------------------------------- adding
-    def add_model(self, model, center, velocity):
-        """Paint a ClusterModel onto the grid (data_structures.py:298-362)."""
+    def add_model(self, model, center, velocity, engine: str = "device"):
+        """Paint a ClusterModel onto the grid (data_structures.py:298-362).
+
+        engine: "device" evaluates chunks on the accelerator (default);
+        "native" uses the multithreaded C++ painter
+        (ops/native.cg_paint_radial_chunks) — useful when the accelerator
+        is busy or absent."""
         center = np.asarray(center, dtype=np.float64)
         velocity = np.asarray(velocity, dtype=np.float64)
         bbox = np.asarray(self.bbox)
@@ -212,7 +217,7 @@ class YTHDF5:
                     mylog.debug("Field %s not in model; skipping.", field)
                     continue
                 self._add_field(fo, rr, yy, field, left, deltas, chunk_starts,
-                                cs)
+                                cs, engine=engine)
             mylog.info("Core fields of %s were written to %s.", model, self)
             fo.attrs["model_count"] += 1
 
@@ -227,14 +232,23 @@ class YTHDF5:
             self.add_model(model, ics.center[ic_id], ics.velocity[ic_id])
 
     def _add_field(self, fileio, r, y, fieldname, left, deltas, chunk_starts,
-                   cs, batch=64):
-        """Device-evaluate the radial field on every chunk and stream the
-        blocks to disk (replaces opt.structures.dump_field_to_hdf5)."""
+                   cs, batch=64, engine="device"):
+        """Evaluate the radial field on every chunk and stream the blocks to
+        disk (replaces opt.structures.dump_field_to_hdf5)."""
         sp = cubic_spline(jnp.asarray(r), jnp.asarray(y))
         dset = fileio["grid"][fieldname]
+        n = chunk_starts.shape[0]
+        if engine == "native":
+            from .ops import native
+
+            for i0 in range(0, n, batch):
+                starts = chunk_starts[i0:i0 + batch].astype(np.int64)
+                blocks = native.paint_radial_chunks(sp, starts, cs, deltas,
+                                                    left)
+                dset[i0:i0 + blocks.shape[0], ...] += blocks
+            return
         paint = jax.vmap(lambda s: _paint_chunk(sp, s, jnp.asarray(deltas),
                                                 jnp.asarray(left), cs))
-        n = chunk_starts.shape[0]
         for i0 in range(0, n, batch):
             starts = jnp.asarray(chunk_starts[i0:i0 + batch])
             blocks = np.asarray(paint(starts))

@@ -101,3 +101,25 @@ def test_add_ics(canonical_model, tmp_path):
                       chunksize=16)
     ds.add_ICs(ics)
     assert ds.model_count == 2
+
+
+def test_native_engine_matches_device(canonical_model, tmp_path):
+    """C++ painter produces the same grid as the device path."""
+    from cluster_generator_tpu.ops import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    import h5py
+
+    f1 = str(tmp_path / "dev.h5")
+    f2 = str(tmp_path / "nat.h5")
+    bbox = np.array([[-2000.0, 2000.0]] * 3)
+    ds1 = YTHDF5.build(f1, (32, 32, 32), bbox, chunksize=16)
+    ds1.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0], engine="device")
+    ds2 = YTHDF5.build(f2, (32, 32, 32), bbox, chunksize=16)
+    ds2.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0], engine="native")
+    with h5py.File(f1) as a, h5py.File(f2) as b:
+        for field in a["grid"]:
+            va = np.asarray(a["grid"][field][()])
+            vb = np.asarray(b["grid"][field][()])
+            assert np.allclose(va, vb, rtol=1e-12, atol=1e-30), field

@@ -232,3 +232,28 @@ def test_set_rmax_and_lookups(canonical_model):
 def test_from_arrays(canonical_model):
     m2 = cg.ClusterModel.from_arrays(dict(canonical_model.fields))
     assert m2.num_elements == canonical_model.num_elements
+
+
+def test_4096_point_grid():
+    """BASELINE config 1: high-resolution grid improves HSE residual ~10x."""
+    rhog = cg.rescale_profile_by_mass(
+        cg.vikhlinin_density_profile(1.0, 100.0, 1200.0, 1.0, 0.67, 3),
+        1e14, 1000.0)
+    rhot = cg.nfw_density_profile(float(cg.nfw_scale_density(5.0)), 450.0)
+    m = cg.ClusterModel.from_dens_and_tden(0.1, 10000.0, rhog, rhot,
+                                           num_points=4096)
+    assert np.abs(m.check_hse()).max() < 1e-5
+    assert m.check_dm_virial()[1].max() < 1e-4
+
+
+def test_am06_pair():
+    """AM06 density+temperature pair (reference docs' canonical cool-core
+    model) builds at machine-precision HSE consistency."""
+    rho0 = cg.rescale_profile_by_mass(
+        cg.am06_density_profile(1.0, 600.0, 60.0, 0.17, 4.0), 5e13, 1000.0)
+    T = cg.am06_temperature_profile(8.0, 600.0, 60.0, 0.17)
+    m = cg.ClusterModel.from_dens_and_temp(0.5, 5000.0, rho0, T,
+                                           num_points=1000)
+    assert np.abs(m.check_hse()).max() < 1e-10
+    Tv = np.asarray(m["temperature"])
+    assert 0.5 < Tv.min() and Tv.max() < 10.0

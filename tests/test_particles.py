@@ -153,3 +153,48 @@ def test_resample_one_cluster(canonical_model):
     assert np.allclose(new["gas", "particle_velocity"][:, 0], 0.1)
     vol_after = new["gas", "particle_mass"] / new["gas", "density"]
     assert np.allclose(vol_before, vol_after, rtol=1e-10)
+
+
+def test_combine_three_clusters(canonical_model):
+    from cluster_generator_tpu.particles import combine_three_clusters
+
+    ps = []
+    for seed in [31, 32, 33]:
+        ps.append(canonical_model.generate_dm_particles(
+            2000, r_max=2000.0, prng=seed)
+            + canonical_model.generate_gas_particles(
+                2000, r_max=2000.0, prng=seed + 100))
+    centers = [[0.0, 0, 0], [3000.0, 0, 0], [1500.0, 2500.0, 0]]
+    vels = [[0.3, 0, 0], [-0.3, 0, 0], [0.0, -0.3, 0]]
+    parts = combine_three_clusters(
+        ps[0], ps[1], ps[2], canonical_model, canonical_model,
+        canonical_model, *centers, *vels)
+    assert parts.num_particles["gas"] == 6000
+    assert parts.num_particles["dm"] == 6000
+    assert np.isfinite(parts["gas", "thermal_energy"]).all()
+    assert (parts["gas", "density"] > 0).all()
+
+
+def test_resample_with_passive_scalars(canonical_model):
+    from cluster_generator_tpu.particles import resample_two_clusters
+
+    p1 = canonical_model.generate_gas_particles(3000, r_max=2000.0, prng=41)
+    p2 = canonical_model.generate_gas_particles(3000, r_max=2000.0, prng=42)
+    p1.add_offsets([0.0] * 3, [0.0] * 3)
+    p2.add_offsets([2500.0, 0.0, 0.0], [0.0] * 3)
+    parts = p1 + p2
+    # passive scalar: metal fraction profile on the model
+    canonical_model.set_field("metallicity",
+                              np.linspace(1.0, 0.1,
+                                          canonical_model.num_elements))
+    parts.set_field("gas", "metallicity", np.zeros(6000),
+                    passive_scalar=True)
+    out = resample_two_clusters(
+        parts, canonical_model, canonical_model, [0.0] * 3,
+        [2500.0, 0.0, 0.0], [0.1, 0, 0], [-0.1, 0, 0],
+        radii=[2000.0, 2000.0], passive_scalars=["metallicity"])
+    z = out["gas", "metallicity"]
+    assert (z > 0).any()
+    assert np.isfinite(z).all()
+    assert z.max() <= 1.0 + 1e-6
+    del canonical_model.fields["metallicity"]

@@ -53,23 +53,26 @@ class ClusterGeneratorHierarchy(GridIndex):
     def _count_grids(self):
         self.num_grids = self.dataset.parameters["NGRID"]
 
+    def _chunk_edges(self):
+        """Physical (left, right) edges of every chunk: chunkmap cell
+        indices scaled by the cell width."""
+        ds = self.dataset
+        dx = ((ds.domain_right_edge - ds.domain_left_edge)
+              / ds.parameters["domain_dimensions"])
+        cm = self._handle["chunks"]["chunkmap"][:]
+        return (cm[:, 0, :].T * dx + ds.domain_left_edge,
+                cm[:, 1, :].T * dx + ds.domain_left_edge)
+
     def _parse_index(self):
+        n = self.num_grids
         cs = self.dataset.parameters["chunksize"]
-        self.grid_dimensions = np.full((self.num_grids, 3), cs, dtype="int32")
-        dd = self.dataset.parameters["domain_dimensions"]
-        dx = (self.dataset.domain_right_edge
-              - self.dataset.domain_left_edge) / dd
-        chunkmap = self._handle["chunks"]["chunkmap"][:]
-        self.grid_left_edge = (chunkmap[:, 0, :].T * dx
-                               + self.dataset.domain_left_edge)
-        self.grid_right_edge = (chunkmap[:, 1, :].T * dx
-                                + self.dataset.domain_left_edge)
-        self.grid_particle_count = np.zeros((self.num_grids, 1), dtype="int32")
-        self.grid_levels = np.zeros((self.num_grids, 1), dtype="int32")
+        self.grid_dimensions = np.full((n, 3), cs, dtype="int32")
+        self.grid_left_edge, self.grid_right_edge = self._chunk_edges()
+        self.grid_particle_count = np.zeros((n, 1), dtype="int32")
+        self.grid_levels = np.zeros((n, 1), dtype="int32")
         self.max_level = 0
-        self.grids = np.empty(self.num_grids, dtype="object")
-        for i in range(self.num_grids):
-            self.grids[i] = self.grid(i, self, self.grid_levels[i, 0])
+        self.grids = np.array(
+            [self.grid(i, self, 0) for i in range(n)], dtype="object")
 
     def _populate_grid_objects(self):
         for g in self.grids:

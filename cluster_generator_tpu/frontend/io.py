@@ -1,10 +1,12 @@
-"""Chunk-batched fluid I/O for the yt frontend
-(reference frontend/io.py:15-110): consecutive grid ids are read as one
-HDF5 hyperslab, then distributed to selectors."""
+"""Chunk-batched fluid I/O for the yt frontend.
+
+Grids in our format are HDF5 chunk rows, so any run of consecutive grid ids
+can be read as a single hyperslab; ``_iter_hyperslabs`` yields those batched
+reads and both selection paths consume it (reference frontend/io.py:15-110
+implements the same batching inline per method).
+"""
 
 from __future__ import annotations
-
-from itertools import groupby
 
 import numpy as np
 from yt.utilities.io_handler import BaseIOHandler
@@ -12,10 +14,25 @@ from yt.utilities.io_handler import BaseIOHandler
 _FLUID = "cluster_generator"
 
 
-def grid_sequences(grids):
-    """Yield runs of grids with consecutive ids (already id-sorted)."""
-    for _k, g in groupby(enumerate(grids), lambda i_x: i_x[0] - i_x[1].id):
-        yield [v[1] for v in g]
+def _iter_hyperslabs(dataset, grids):
+    """Yield (grid, data_cube) over id-sorted grids, reading each maximal
+    run of consecutive ids as one HDF5 hyperslab."""
+    run = []
+    for g in grids:
+        if run and g.id != run[-1].id + 1:
+            yield from _emit(dataset, run)
+            run = []
+        run.append(g)
+    if run:
+        yield from _emit(dataset, run)
+
+
+def _emit(dataset, run):
+    lo = run[0].id - run[0]._id_offset
+    hi = run[-1].id - run[-1]._id_offset + 1
+    block = dataset[lo:hi, :, :, :].transpose()
+    for i, g in enumerate(run):
+        yield g, block[..., i]
 
 
 class ClusterGeneratorIOHandler(BaseIOHandler):
@@ -26,46 +43,34 @@ class ClusterGeneratorIOHandler(BaseIOHandler):
         super().__init__(ds)
         self._handle = ds._handle
 
+    # grid datasets carry no particles
     def _read_particle_coords(self, chunks, ptf):
-        pass  # grid datasets carry no particles
+        pass
 
     def _read_particle_fields(self, chunks, ptf, selector):
         pass
 
     def _read_fluid_selection(self, chunks, selector, fields, size):
         chunks = list(chunks)
-        if any(ftype != self._dataset_type for ftype, _ in fields):
+        bad = [f for f in fields if f[0] != self._dataset_type]
+        if bad:
             raise NotImplementedError(
-                f"One of the field types is not valid for dataset type "
+                f"Field types {bad} not valid for dataset type "
                 f"{self._dataset_type}.")
         out = {field: np.empty(size, dtype="=f8") for field in fields}
-        for field in fields:
-            _, fname = field
-            ds = self._handle[f"grid/{fname}"]
-            ind = 0
+        for ftype, fname in fields:
+            dset = self._handle[f"grid/{fname}"]
+            offset = 0
             for chunk in chunks:
-                for gs in grid_sequences(chunk.objs):
-                    start = gs[0].id - gs[0]._id_offset
-                    end = gs[-1].id - gs[-1]._id_offset + 1
-                    data = ds[start:end, :, :, :].transpose()
-                    for i, g in enumerate(gs):
-                        ind += g.select(selector, data[..., i], out[field],
-                                        ind)
+                for g, cube in _iter_hyperslabs(dset, chunk.objs):
+                    offset += g.select(selector, cube,
+                                       out[ftype, fname], offset)
         return out
 
     def _read_chunk_data(self, chunk, fields):
-        out = {}
-        if len(chunk.objs) == 0:
-            return out
-        for g in chunk.objs:
-            out[g.id] = {}
+        out = {g.id: {} for g in chunk.objs}
         for field in fields:
-            _, fname = field
-            ds = self._handle[f"grid/{fname}"]
-            for gs in grid_sequences(chunk.objs):
-                start = gs[0].id - gs[0]._id_offset
-                end = gs[-1].id - gs[-1]._id_offset + 1
-                buf = ds[start:end, :, :, :].transpose()
-                for i, g in enumerate(gs):
-                    out[g.id][field] = buf[..., i]
+            dset = self._handle[f"grid/{field[1]}"]
+            for g, cube in _iter_hyperslabs(dset, chunk.objs):
+                out[g.id][field] = cube
         return out

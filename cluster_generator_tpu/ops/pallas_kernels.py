@@ -35,26 +35,34 @@ _ROWS = 8  # rows per program: ROWS * n_q * n_s * 4B VMEM working set
 
 
 def _invert_kernel_matshaped(cdf_ref, out_ref, *, n_q):
-    """Vectorized variant: materialize the (R, n_q, n_s-1) mask per block.
+    """A block of _ROWS CDF rows per program; an in-kernel fori loop keeps
+    every tensor strictly 2D (Mosaic's gather-free lowering path, and the
+    (8, 128)-divisible tile constraint applies to the *block*, not the
+    per-row working set).
 
-    For R=8, n_q=512, n_s=1024 this is ~16 MB of f32 intermediates streamed
-    through the VPU — fused by Mosaic, never hitting HBM.
+    Per row: mask (n_q, n_s-1) from 2D broadcasted iotas — ~2 MB f32 in
+    VMEM for n_q=512, n_s=1024.
     """
-    c = cdf_ref[:, :]                     # (R, n_s)
-    R, n_s = c.shape
+    rows, n_s = cdf_ref.shape
     ds = 1.0 / (n_s - 1)
     dq = 1.0 / (n_q - 1)
-    c_lo = c[:, None, :-1]                # (R, 1, n_s-1)
-    c_hi = c[:, None, 1:]
-    q = (jax.lax.broadcasted_iota(jnp.float32, (1, n_q, 1), 1) * dq)
-    s_lo = (jax.lax.broadcasted_iota(jnp.float32, (1, 1, n_s - 1), 2) * ds)
-    inv_dc = 1.0 / jnp.maximum(c_hi - c_lo, 1e-30)
-    mask = (c_lo <= q) & (q < c_hi)
-    val = jnp.where(mask, s_lo + (q - c_lo) * inv_dc * ds, 0.0)
-    out = jnp.sum(val, axis=2)            # (R, n_q)
-    # q == 1 (or beyond the last cdf value): clamp to s = 1
-    covered = jnp.sum(mask.astype(jnp.float32), axis=2)
-    out_ref[:, :] = jnp.where(covered > 0.5, out, 1.0)
+    q = (jax.lax.broadcasted_iota(jnp.float32, (n_q, 1), 0) * dq)
+    s_lo = (jax.lax.broadcasted_iota(jnp.float32, (1, n_s - 1), 1) * ds)
+
+    def row(r, _):
+        c = cdf_ref[r, :]                       # (n_s,)
+        c2 = jnp.reshape(c, (1, n_s))
+        c_lo = c2[:, :-1]                       # (1, n_s-1)
+        c_hi = c2[:, 1:]
+        inv_dc = 1.0 / jnp.maximum(c_hi - c_lo, 1e-30)
+        mask = (c_lo <= q) & (q < c_hi)         # (n_q, n_s-1)
+        val = jnp.where(mask, s_lo + (q - c_lo) * inv_dc * ds, 0.0)
+        out = jnp.sum(val, axis=1)              # (n_q,)
+        covered = jnp.sum(mask.astype(jnp.float32), axis=1)
+        out_ref[r, :] = jnp.where(covered > 0.5, out, 1.0)
+        return 0
+
+    jax.lax.fori_loop(0, rows, row, 0)
 
 
 @partial(jax.jit, static_argnames=("n_q", "interpret"))

@@ -46,12 +46,16 @@ def _invert_kernel_matshaped(cdf_ref, out_ref, *, n_q):
     rows, n_s = cdf_ref.shape
     ds = 1.0 / (n_s - 1)
     dq = 1.0 / (n_q - 1)
-    q = (jax.lax.broadcasted_iota(jnp.float32, (n_q, 1), 0) * dq)
-    s_lo = (jax.lax.broadcasted_iota(jnp.float32, (1, n_s - 1), 1) * ds)
+    # Mosaic's tpu.iota is integer-only; cast afterwards
+    q = (jax.lax.broadcasted_iota(jnp.int32, (n_q, 1), 0)
+         .astype(jnp.float32) * dq)
+    s_lo = (jax.lax.broadcasted_iota(jnp.int32, (1, n_s - 1), 1)
+            .astype(jnp.float32) * ds)
 
-    def row(r, _):
-        c = cdf_ref[r, :]                       # (n_s,)
-        c2 = jnp.reshape(c, (1, n_s))
+    # static unroll over the block's rows: all slices/indices static, no
+    # dynamic sublane access for Mosaic to trip on
+    for r in range(rows):
+        c2 = cdf_ref[r:r + 1, :]                # (1, n_s)
         c_lo = c2[:, :-1]                       # (1, n_s-1)
         c_hi = c2[:, 1:]
         inv_dc = 1.0 / jnp.maximum(c_hi - c_lo, 1e-30)
@@ -60,9 +64,6 @@ def _invert_kernel_matshaped(cdf_ref, out_ref, *, n_q):
         out = jnp.sum(val, axis=1)              # (n_q,)
         covered = jnp.sum(mask.astype(jnp.float32), axis=1)
         out_ref[r, :] = jnp.where(covered > 0.5, out, 1.0)
-        return 0
-
-    jax.lax.fori_loop(0, rows, row, 0)
 
 
 @partial(jax.jit, static_argnames=("n_q", "interpret"))

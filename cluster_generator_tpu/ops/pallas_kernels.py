@@ -46,22 +46,27 @@ def _invert_kernel_matshaped(cdf_ref, out_ref, *, n_q):
     rows, n_s = cdf_ref.shape
     ds = 1.0 / (n_s - 1)
     dq = 1.0 / (n_q - 1)
-    # Mosaic's tpu.iota is integer-only; cast afterwards
+    # Mosaic's tpu.iota is integer-only; cast afterwards.  All lane widths
+    # stay n_s/n_q (128-aligned for the production sizes): the c_{k+1}
+    # shift uses pltpu.roll instead of an odd-width slice, with the wrapped
+    # last column masked off via a column iota.
     q = (jax.lax.broadcasted_iota(jnp.int32, (n_q, 1), 0)
          .astype(jnp.float32) * dq)
-    s_lo = (jax.lax.broadcasted_iota(jnp.int32, (1, n_s - 1), 1)
-            .astype(jnp.float32) * ds)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_s), 1)
+    s_lo = col.astype(jnp.float32) * ds
+    valid = col < (n_s - 1)
 
     # static unroll over the block's rows: all slices/indices static, no
     # dynamic sublane access for Mosaic to trip on
     for r in range(rows):
-        c2 = cdf_ref[r:r + 1, :]                # (1, n_s)
-        c_lo = c2[:, :-1]                       # (1, n_s-1)
-        c_hi = c2[:, 1:]
+        c_lo = cdf_ref[r:r + 1, :]              # (1, n_s)
+        # circular shift by -1 == +(n_s-1); pltpu.roll requires shift >= 0
+        c_hi = (pltpu.roll(c_lo, n_s - 1, axis=1) if _HAS_PLTPU
+                else jnp.roll(c_lo, n_s - 1, axis=1))
         inv_dc = 1.0 / jnp.maximum(c_hi - c_lo, 1e-30)
-        mask = (c_lo <= q) & (q < c_hi)         # (n_q, n_s-1)
+        mask = (c_lo <= q) & (q < c_hi) & valid  # (n_q, n_s)
         val = jnp.where(mask, s_lo + (q - c_lo) * inv_dc * ds, 0.0)
-        out = jnp.sum(val, axis=1)              # (n_q,)
+        out = jnp.sum(val, axis=1)               # (n_q,)
         covered = jnp.sum(mask.astype(jnp.float32), axis=1)
         out_ref[r, :] = jnp.where(covered > 0.5, out, 1.0)
 

@@ -73,13 +73,17 @@ def _invert_kernel_matshaped(cdf_ref, out_ref, *, n_q):
 
 @partial(jax.jit, static_argnames=("n_q", "interpret"))
 def invert_cdf_rows(cdf: jnp.ndarray, n_q: int = 512,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool | None = None) -> jnp.ndarray:
     """Invert monotone CDF rows sampled on a uniform [0, 1] s-grid.
 
     cdf: (N, n_s) float32/float64, each row non-decreasing with
     cdf[:, 0] == 0 and cdf[:, -1] == 1.
     Returns s_inv: (N, n_q) float32 — s at quantiles linspace(0, 1, n_q).
+
+    ``interpret=None`` compiles on TPU backends and interprets elsewhere.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     N, n_s = cdf.shape
     cdf32 = cdf.astype(jnp.float32)
     rows = _ROWS

@@ -29,3 +29,18 @@ def test_invert_cdf_rows_endpoints():
     out = np.asarray(invert_cdf_rows(jnp.asarray(c), n_q=33, interpret=True))
     # identity CDF -> identity inverse
     assert np.allclose(out, np.linspace(0, 1, 33)[None, :], atol=1e-6)
+
+
+def test_speed_table_pallas_route(canonical_model):
+    """speed_inverse_cdf_table(use_pallas=True) matches the interp route."""
+    import jax.numpy as jnp
+
+    from cluster_generator_tpu.virial import speed_inverse_cdf_table
+
+    v = canonical_model.dm_virial
+    ee = jnp.asarray(v.ee)
+    ff = jnp.asarray(v.ff)
+    a = np.asarray(speed_inverse_cdf_table(ee, ff, table_dtype=jnp.float32))
+    b = np.asarray(speed_inverse_cdf_table(ee, ff, table_dtype=jnp.float32,
+                                           use_pallas=True))
+    assert np.abs(a - b).max() < 5e-6

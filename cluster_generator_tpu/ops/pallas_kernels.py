@@ -61,8 +61,10 @@ def _invert_kernel_matshaped(cdf_ref, out_ref, *, n_q):
     for r in range(rows):
         c_lo = cdf_ref[r:r + 1, :]              # (1, n_s)
         # circular shift by -1 == +(n_s-1); pltpu.roll requires shift >= 0
-        c_hi = (pltpu.roll(c_lo, n_s - 1, axis=1) if _HAS_PLTPU
-                else jnp.roll(c_lo, n_s - 1, axis=1))
+        # and an i32 shift operand (x64 mode would promote a python int)
+        shift = jnp.array(n_s - 1, jnp.int32)
+        c_hi = (pltpu.roll(c_lo, shift, axis=1) if _HAS_PLTPU
+                else jnp.roll(c_lo, shift, axis=1))
         inv_dc = 1.0 / jnp.maximum(c_hi - c_lo, 1e-30)
         mask = (c_lo <= q) & (q < c_hi) & valid  # (n_q, n_s)
         val = jnp.where(mask, s_lo + (q - c_lo) * inv_dc * ds, 0.0)

@@ -57,7 +57,11 @@ def find_radius_mass(m_r: Profile, delta, z=0.0, cosmo: Cosmology | None = None)
 
     Bisection on f(r) = 3 M(r) / (4 pi r^3) - delta rho_crit over the same
     [0.01, 10000] kpc bracket the reference uses, unrolled to a fixed
-    iteration count (jit/vmap-safe, no data-dependent control flow).
+    iteration count (jit/vmap-safe, no data-dependent control flow) and
+    wrapped in ``lax.custom_root`` so r_delta carries exact *implicit*
+    derivatives with respect to the profile parameters — bisection alone is
+    piecewise-constant and would silently zero the dr/dtheta chain in any
+    gradient-based calibration (tests/test_autodiff.py).
     """
     if cosmo is None:
         cosmo = default_cosmology()
@@ -66,20 +70,28 @@ def find_radius_mass(m_r: Profile, delta, z=0.0, cosmo: Cosmology | None = None)
     def f(r):
         return 3.0 * m_r(r) / (4.0 * jnp.pi * r**3) - delta * rho_crit
 
-    lo = jnp.asarray(_BRACKET[0], jnp.float64)
-    hi = jnp.asarray(_BRACKET[1], jnp.float64)
-    flo = f(lo)
+    def solve(fn, x0):
+        lo = jnp.asarray(_BRACKET[0], jnp.float64)
+        hi = jnp.asarray(_BRACKET[1], jnp.float64)
+        flo = fn(lo)
 
-    def body(_, state):
-        lo, hi, flo = state
-        mid = 0.5 * (lo + hi)
-        fmid = f(mid)
-        go_right = jnp.sign(fmid) == jnp.sign(flo)
-        lo2 = jnp.where(go_right, mid, lo)
-        flo2 = jnp.where(go_right, fmid, flo)
-        hi2 = jnp.where(go_right, hi, mid)
-        return lo2, hi2, flo2
+        def body(_, state):
+            lo, hi, flo = state
+            mid = 0.5 * (lo + hi)
+            fmid = fn(mid)
+            go_right = jnp.sign(fmid) == jnp.sign(flo)
+            lo2 = jnp.where(go_right, mid, lo)
+            flo2 = jnp.where(go_right, fmid, flo)
+            hi2 = jnp.where(go_right, hi, mid)
+            return lo2, hi2, flo2
 
-    lo, hi, _ = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi, flo))
-    r_delta = 0.5 * (lo + hi)
+        lo, hi, _ = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi, flo))
+        return 0.5 * (lo + hi)
+
+    def tangent_solve(g, y):
+        # g is linear & scalar: solve g(x) = y
+        return y / g(1.0)
+
+    r_delta = jax.lax.custom_root(f, jnp.asarray(1000.0, jnp.float64), solve,
+                                  tangent_solve)
     return r_delta, m_r(r_delta)

@@ -56,6 +56,11 @@ def _invert_kernel_matshaped(cdf_ref, out_ref, *, n_q):
     s_lo = col.astype(jnp.float32) * ds
     valid = col < (n_s - 1)
 
+    # the final bin is right-closed (col == n_s-2 admits q up to 1.0), so
+    # exactly one bin matches every quantile — a single masked reduction,
+    # no follow-up coverage fixup
+    last_bin = col == (n_s - 2)
+
     # static unroll over the block's rows: all slices/indices static, no
     # dynamic sublane access for Mosaic to trip on
     for r in range(rows):
@@ -66,11 +71,9 @@ def _invert_kernel_matshaped(cdf_ref, out_ref, *, n_q):
         c_hi = (pltpu.roll(c_lo, shift, axis=1) if _HAS_PLTPU
                 else jnp.roll(c_lo, shift, axis=1))
         inv_dc = 1.0 / jnp.maximum(c_hi - c_lo, 1e-30)
-        mask = (c_lo <= q) & (q < c_hi) & valid  # (n_q, n_s)
+        mask = (c_lo <= q) & ((q < c_hi) | last_bin) & valid  # (n_q, n_s)
         val = jnp.where(mask, s_lo + (q - c_lo) * inv_dc * ds, 0.0)
-        out = jnp.sum(val, axis=1)               # (n_q,)
-        covered = jnp.sum(mask.astype(jnp.float32), axis=1)
-        out_ref[r, :] = jnp.where(covered > 0.5, out, 1.0)
+        out_ref[r, :] = jnp.sum(val, axis=1)
 
 
 @partial(jax.jit, static_argnames=("n_q", "interpret"))

@@ -98,14 +98,21 @@ def invert_cdf_rows(cdf: jnp.ndarray, n_q: int = 512,
             [cdf32, jnp.tile(cdf32[-1:], (pad, 1))], axis=0)
     n_pad = cdf32.shape[0]
 
-    out = pl.pallas_call(
-        partial(_invert_kernel_matshaped, n_q=n_q),
-        out_shape=jax.ShapeDtypeStruct((n_pad, n_q), jnp.float32),
-        grid=(n_pad // rows,),
-        in_specs=[pl.BlockSpec((rows, n_s), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((rows, n_q), lambda i: (i, 0)),
-        interpret=interpret,
-    )(cdf32)
+    # Trace the kernel with x64 disabled: under jax_enable_x64 the Mosaic
+    # module picks up stray 64-bit scalars (empirically: the identical
+    # kernel compiles with x64 off and crashes the TPU compiler with it
+    # on).  All kernel I/O is explicitly f32, so the result is unchanged.
+    from jax._src.config import enable_x64
+
+    with enable_x64(False):
+        out = pl.pallas_call(
+            partial(_invert_kernel_matshaped, n_q=n_q),
+            out_shape=jax.ShapeDtypeStruct((n_pad, n_q), jnp.float32),
+            grid=(n_pad // rows,),
+            in_specs=[pl.BlockSpec((rows, n_s), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((rows, n_q), lambda i: (i, 0)),
+            interpret=interpret,
+        )(cdf32)
     return out[:N]
 
 

@@ -57,8 +57,7 @@ def _panel_nodes(rr: jnp.ndarray, order: int):
     return nodes, weights
 
 
-def cumulative_integral(fn, rr, order: int = _DEFAULT_ORDER, from_zero: bool = True,
-                        sqrt_sub_first_panel: bool = True):
+def cumulative_integral(fn, rr, order: int = _DEFAULT_ORDER, from_zero: bool = True):
     """Cumulative integral F(r_i) = int_0^{r_i} fn(r) dr on grid ``rr``.
 
     ``fn`` must be a vectorized jnp-traceable integrand.  If ``from_zero`` is

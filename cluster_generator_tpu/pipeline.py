@@ -55,7 +55,7 @@ def build_speed_tables(fields):
 
     def tab(df):
         return jax.vmap(lambda e, d: speed_inverse_cdf_table(
-            e, d, table_dtype=jnp.float32))(ee, df[:, ::-1])
+            e, d, n_s=512, table_dtype=jnp.float32))(ee, df[:, ::-1])
 
     return {"dm": tab(fields["dm_df"]), "star": tab(fields["star_df"])}
 

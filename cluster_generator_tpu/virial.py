@@ -110,13 +110,25 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
     f_sp = cubic_spline(ee, f_vals)
     s = jnp.linspace(0.0, 1.0, n_s)
     E = ee[:, None] * (1.0 - s[None, :] ** 2)  # (N, n_s)
-    pdf = s[None, :] ** 2 * jnp.maximum(
-        spline_eval(f_sp, E.reshape(-1)).reshape(E.shape), 0.0)
     if table_dtype is not None:
-        # normalize rows before the downcast to preserve dynamic range
-        pdf = (pdf / jnp.maximum(jnp.max(pdf, axis=1, keepdims=True), 1e-300)
-               ).astype(table_dtype)
+        # evaluate the (grid-sized, f64-solved) spline at the (N x n_s)
+        # query block in reduced precision: the pdf only shapes a CDF that
+        # is re-normalized row-wise, and f64 arithmetic is emulated on TPU.
+        # Scale into f32 range first (f ~ 1e12 in galactic DF units).
+        fmax = jnp.max(jnp.abs(f_vals))
+        sp_lp = type(f_sp)(*[(jnp.asarray(v) / fmax).astype(table_dtype)
+                             if name in ("a", "b", "c", "d")
+                             else jnp.asarray(v).astype(table_dtype)
+                             for name, v in zip(f_sp._fields, f_sp)])
         s = s.astype(table_dtype)
+        E = E.astype(table_dtype)
+        pdf = s[None, :] ** 2 * jnp.maximum(
+            spline_eval(sp_lp, E.reshape(-1)).reshape(E.shape), 0.0)
+        pdf = pdf / jnp.maximum(jnp.max(pdf, axis=1, keepdims=True),
+                                jnp.asarray(1e-30, table_dtype))
+    else:
+        pdf = s[None, :] ** 2 * jnp.maximum(
+            spline_eval(f_sp, E.reshape(-1)).reshape(E.shape), 0.0)
     ds = s[1] - s[0]
     cdf = jnp.concatenate(
         [jnp.zeros((pdf.shape[0], 1), pdf.dtype),

@@ -290,8 +290,15 @@ class ClusterParticles:
 
     def set_field(self, ptype, name, value, units=None, add=False,
                   passive_scalar=False):
-        """Add/update a particle field (particles.py:368-421)."""
+        """Add/update a particle field (particles.py:368-421).
+
+        ``units``: if given, ``value`` is interpreted in that unit and
+        converted to galactic base units for storage."""
         value = np.asarray(value, dtype=np.float64)
+        if units is not None:
+            from .core.units import to_galactic
+
+            value = to_galactic(value, units)
         num_particles = self.num_particles[ptype]
         exists = (ptype, name) in self.fields
         if value.shape[0] != num_particles:

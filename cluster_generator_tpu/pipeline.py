@@ -195,35 +195,56 @@ def _mix_gas(pos, fields, centers, velocities, dtype):
     return dens, eint, vel
 
 
-@partial(jax.jit, static_argnames=("n_gas", "n_dm", "n_star", "dtype"))
+def _potential_at(pos, fields, centers, dtype):
+    """Total gravitational potential at particle positions: sum of every
+    halo's radial Phi(r) via the log-grid computed index."""
+    H = centers.shape[0]
+    phi_t = fields["gravitational_potential"].astype(dtype)
+
+    def halo(i):
+        r = jnp.sqrt(((pos - centers[i].astype(dtype)) ** 2).sum(axis=1))
+        j, w = _log_grid_locate(r, fields["radius"][i], dtype)
+        return (1.0 - w) * phi_t[i, j] + w * phi_t[i, j + 1]
+
+    return jax.vmap(halo)(jnp.arange(H)).sum(axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_gas", "n_dm", "n_star", "n_tracer",
+                                   "dtype", "compute_potential"))
 def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
-                     n_gas, n_dm, n_star, dtype=jnp.float32):
+                     n_gas, n_dm, n_star, n_tracer=None, dtype=jnp.float32,
+                     compute_potential=False):
     """One fused program: draw every particle of an H-halo merger.
 
     fields/tables carry a leading halo axis; n_* are per-halo tuples of
-    static counts.  ``tables`` must include the speed tables ("dm"/"star")
-    and radius quantile tables (build_radius_tables).  Returns a dict of
-    device arrays (f32 by default).
+    static counts (``n_tracer`` optional: massless tracers following the
+    gas distribution).  ``tables`` must include the speed tables
+    ("dm"/"star") and radius quantile tables (build_radius_tables).
+    ``compute_potential`` adds per-particle total gravitational potentials.
+    Returns a dict of device arrays (f32 by default).
     """
     H = centers.shape[0]
     out = {}
-    keys = jax.random.split(key, 3 * H)
+    keys = jax.random.split(key, 4 * H)
     rtab = tables["radius"]
+    if n_tracer is None:
+        n_tracer = (0,) * H
 
     gas_pos, gas_mass = [], []
     dm_pos, dm_vel, dm_mass = [], [], []
     st_pos, st_vel, st_mass = [], [], []
+    tr_pos = []
     for i in range(H):
         f_h = jax.tree_util.tree_map(lambda a: a[i], fields)
         if n_gas[i] > 0:
-            p, pm = _sample_gas_halo(keys[3 * i], f_h, rtab["gas"][i],
+            p, pm = _sample_gas_halo(keys[4 * i], f_h, rtab["gas"][i],
                                      rtab["gas_mtot"][i], n_gas[i],
                                      centers[i], dtype)
             gas_pos.append(p)
             gas_mass.append(pm)
         if n_dm[i] > 0:
             p, v, pm = _sample_collisionless(
-                keys[3 * i + 1], f_h, tables["dm"][i], rtab["dm"][i],
+                keys[4 * i + 1], f_h, tables["dm"][i], rtab["dm"][i],
                 rtab["dm_mtot"][i], n_dm[i], centers[i], velocities[i],
                 dtype)
             dm_pos.append(p)
@@ -231,12 +252,17 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
             dm_mass.append(pm)
         if n_star[i] > 0:
             p, v, pm = _sample_collisionless(
-                keys[3 * i + 2], f_h, tables["star"][i], rtab["star"][i],
+                keys[4 * i + 2], f_h, tables["star"][i], rtab["star"][i],
                 rtab["star_mtot"][i], n_star[i], centers[i], velocities[i],
                 dtype)
             st_pos.append(p)
             st_vel.append(v)
             st_mass.append(pm)
+        if n_tracer[i] > 0:
+            p, _ = _sample_gas_halo(keys[4 * i + 3], f_h, rtab["gas"][i],
+                                    rtab["gas_mtot"][i], n_tracer[i],
+                                    centers[i], dtype)
+            tr_pos.append(p)
 
     if gas_pos:
         gp = jnp.concatenate(gas_pos)
@@ -254,6 +280,16 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
         out["star", "particle_position"] = jnp.concatenate(st_pos)
         out["star", "particle_velocity"] = jnp.concatenate(st_vel)
         out["star", "particle_mass"] = jnp.concatenate(st_mass)
+    if tr_pos:
+        tp = jnp.concatenate(tr_pos)
+        out["tracer", "particle_position"] = tp
+        out["tracer", "particle_velocity"] = jnp.zeros_like(tp)
+        out["tracer", "particle_mass"] = jnp.zeros((tp.shape[0],), dtype)
+    if compute_potential:
+        for sp in ("gas", "dm", "star"):
+            if (sp, "particle_position") in out:
+                out[sp, "particle_potential"] = _potential_at(
+                    out[sp, "particle_position"], fields, centers, dtype)
     return out
 
 
@@ -289,7 +325,7 @@ def binary_merger_ic(M200s, concs, centers, velocities, num_particles,
     rr = np.asarray(fields["radius"])
     weights = {}
     for kind, mkey in [("gas", "gas_mass"), ("dm", "dark_matter_mass"),
-                       ("star", "stellar_mass")]:
+                       ("star", "stellar_mass"), ("tracer", "gas_mass")]:
         mm = np.asarray(fields[mkey])
         m_at = np.array([np.interp(float(r_max[i]), rr[i], mm[i])
                          for i in range(H)])
@@ -304,5 +340,7 @@ def binary_merger_ic(M200s, concs, centers, velocities, num_particles,
 
     particles = sample_merger_ic(
         fields, tables, centers, velocities, r_max, key,
-        counts("gas"), counts("dm"), counts("star"), dtype=dtype)
+        counts("gas"), counts("dm"), counts("star"),
+        n_tracer=counts("tracer") if num_particles.get("tracer") else None,
+        dtype=dtype)
     return particles, fields, tables

@@ -111,3 +111,36 @@ def test_speeds_below_escape(merger):
     psi_max = float(np.max(-np.asarray(fields["gravitational_potential"])))
     vesc_max = np.sqrt(2 * psi_max)
     assert (speed < vesc_max + 0.45 + 1e-3).all()
+
+
+def test_three_halo_pipeline_with_tracers_and_potential():
+    from cluster_generator_tpu.pipeline import (
+        build_merger_models,
+        build_radius_tables,
+        build_speed_tables,
+        sample_merger_ic,
+    )
+
+    M200 = jnp.asarray([1.5e15, 1.0e15, 8.0e14])
+    conc = jnp.asarray([4.0, 5.0, 5.5])
+    centers = jnp.asarray([[-1500.0, 0, 0], [1500.0, 0, 0], [0.0, 2000.0, 0]])
+    vels = jnp.asarray([[0.3, 0, 0], [-0.3, 0, 0], [0.0, -0.3, 0]])
+    rmax = jnp.asarray([4000.0, 4000.0, 4000.0])
+    f = build_merger_models(M200, conc, num_points=512)
+    tb = build_speed_tables(f)
+    tb["radius"] = build_radius_tables(f, rmax)
+    parts = sample_merger_ic(
+        f, tb, centers, vels, rmax, jax.random.key(1),
+        (30_000, 20_000, 10_000), (30_000, 20_000, 10_000),
+        (6_000, 4_000, 2_000), n_tracer=(5_000, 3_000, 2_000),
+        compute_potential=True)
+    assert parts["gas", "particle_position"].shape == (60_000, 3)
+    assert parts["tracer", "particle_position"].shape == (10_000, 3)
+    assert (np.asarray(parts["tracer", "particle_mass"]) == 0).all()
+    for sp in ("gas", "dm", "star"):
+        phi = np.asarray(parts[sp, "particle_potential"])
+        assert (phi < 0).all() and np.isfinite(phi).all()
+    # three bulk velocities present among dm draws
+    vx = np.asarray(parts["dm", "particle_velocity"][:, 0])
+    assert abs(vx[:30000].mean() - 0.3) < 0.05
+    assert abs(vx[30000:50000].mean() + 0.3) < 0.05

@@ -24,7 +24,8 @@ from .parallel.ensemble import build_one_cluster
 from .virial import compute_df, speed_inverse_cdf_table
 
 __all__ = ["build_merger_models", "build_speed_tables",
-           "build_radius_tables", "sample_merger_ic", "binary_merger_ic"]
+           "build_radius_tables", "sample_merger_ic", "binary_merger_ic",
+           "attach_field_to_particles"]
 
 
 @partial(jax.jit, static_argnames=("num_points", "with_star_df"))
@@ -291,6 +292,25 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
                 out[sp, "particle_potential"] = _potential_at(
                     out[sp, "particle_position"], fields, centers, dtype)
     return out
+
+
+def attach_field_to_particles(parts: dict, field, ptype: str = "gas"):
+    """Trilinear-sample a 3D ClusterField onto pipeline particle positions,
+    entirely on device (the fused-path analogue of
+    fields.ClusterField.map_field_to_particles).
+
+    Adds ``(ptype, field._name)`` of shape (N, 3) to the dict and returns it.
+    """
+    from .fields.grf import _trilinear
+
+    pos = parts[ptype, "particle_position"]
+    g = jnp.stack([jnp.asarray(field.gx), jnp.asarray(field.gy),
+                   jnp.asarray(field.gz)]).astype(pos.dtype)
+    vals = _trilinear(jnp.asarray(field.x, pos.dtype),
+                      jnp.asarray(field.y, pos.dtype),
+                      jnp.asarray(field.z, pos.dtype), g, pos)
+    parts[ptype, field._name] = vals.T
+    return parts
 
 
 def binary_merger_ic(M200s, concs, centers, velocities, num_particles,

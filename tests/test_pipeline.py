@@ -144,3 +144,24 @@ def test_three_halo_pipeline_with_tracers_and_potential():
     vx = np.asarray(parts["dm", "particle_velocity"][:, 0])
     assert abs(vx[:30000].mean() - 0.3) < 0.05
     assert abs(vx[30000:50000].mean() + 0.3) < 0.05
+
+
+def test_attach_field_to_particles(merger):
+    from cluster_generator_tpu.pipeline import attach_field_to_particles
+
+    parts, _, _ = merger
+    B = cg.RandomMagneticField([-4000.0] * 3, [4000.0] * 3, [32] * 3,
+                               200.0, 1000.0, 1.0e-6, prng=5,
+                               dtype=jnp.float32)
+    out = attach_field_to_particles(dict(parts), B)
+    v = np.asarray(out["gas", "magnetic_field"])
+    assert v.shape == (parts["gas", "particle_position"].shape[0], 3)
+    assert np.isfinite(v).all() and np.abs(v).max() > 0
+    # spot check vs scipy on a handful of particles
+    from scipy.interpolate import RegularGridInterpolator
+
+    rgi = RegularGridInterpolator((B["x"], B["y"], B["z"]),
+                                  B["magnetic_field_x"], bounds_error=False,
+                                  fill_value=0.0)
+    pos = np.asarray(parts["gas", "particle_position"][:64], np.float64)
+    assert np.allclose(v[:64, 0], rgi(pos), rtol=2e-4, atol=1e-12)

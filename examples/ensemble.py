@@ -14,7 +14,8 @@ from cluster_generator_tpu.parallel import (
     sample_ensemble_params,
 )
 
-B = 256
+import os
+B = max(8, int(256 / float(os.environ.get("CG_EXAMPLE_SCALE", "1"))))
 M200, conc = sample_ensemble_params(jax.random.key(0), B)
 
 mesh = make_mesh()  # all devices on the ensemble axis

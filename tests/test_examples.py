@@ -1,0 +1,47 @@
+"""Example scripts stay runnable (scaled down via CG_EXAMPLE_SCALE)."""
+
+import os
+import runpy
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(example, tmp_path, extra_env=None):
+    env = dict(os.environ)
+    env["CG_EXAMPLE_SCALE"] = "500"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = REPO
+    env["CG_FORCE_CPU"] = "1"
+    if extra_env:
+        env.update(extra_env)
+    script = os.path.join(REPO, "examples", example)
+    # prepend a platform override (examples run on whatever backend the
+    # user has; tests pin CPU)
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            f"exec(open(r'{script}').read())")
+    res = subprocess.run([sys.executable, "-c", code], cwd=tmp_path, env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    return res
+
+
+def test_single_cluster_example(tmp_path):
+    res = _run("single_cluster.py", tmp_path)
+    assert (tmp_path / "single_cluster_ic.h5").exists()
+    assert "HSE residual" in res.stdout
+
+
+def test_binary_merger_example(tmp_path):
+    _run("single_cluster.py", tmp_path)
+    res = _run("binary_merger.py", tmp_path)
+    assert (tmp_path / "merger_ic.h5").exists()
+    assert (tmp_path / "merger_B.h5").exists()
+
+
+def test_ensemble_example(tmp_path):
+    res = _run("ensemble.py", tmp_path)
+    assert "built" in res.stdout and "clusters" in res.stdout

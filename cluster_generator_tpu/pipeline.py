@@ -25,7 +25,7 @@ from .virial import compute_df, speed_inverse_cdf_table
 
 __all__ = ["build_merger_models", "build_speed_tables",
            "build_radius_tables", "sample_merger_ic", "binary_merger_ic",
-           "attach_field_to_particles"]
+           "sample_merger_ic_sharded", "attach_field_to_particles"]
 
 
 @partial(jax.jit, static_argnames=("num_points", "with_star_df"))
@@ -292,6 +292,47 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
                 out[sp, "particle_potential"] = _potential_at(
                     out[sp, "particle_position"], fields, centers, dtype)
     return out
+
+
+def sample_merger_ic_sharded(mesh, fields, tables, centers, velocities,
+                             r_max, key, n_gas, n_dm, n_star, n_tracer=None,
+                             axis: str = "part", dtype=jnp.float32,
+                             compute_potential=False):
+    """Multi-chip variant of :func:`sample_merger_ic`: the particle draws
+    shard over the ``axis`` mesh dimension.
+
+    Model fields and tables are replicated (they are grid-sized); each
+    device draws ``n/n_dev`` particles of every species with an independent
+    fold_in PRNG stream, and every output array comes back sharded along
+    its particle axis — ready for sharded downstream compute or per-host
+    export.  Counts must divide the axis size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+
+    def div(tup):
+        if tup is None:
+            return None
+        assert all(n % n_dev == 0 for n in tup), \
+            f"counts {tup} must divide mesh axis {axis}={n_dev}"
+        return tuple(n // n_dev for n in tup)
+
+    ng, nd, ns, nt = div(n_gas), div(n_dm), div(n_star), div(n_tracer)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_dev))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(), P(), P(axis)),
+             out_specs=P(axis),
+             check_vma=False)
+    def _draw(fields_, tables_, centers_, velocities_, r_max_, key_shard):
+        return sample_merger_ic(fields_, tables_, centers_, velocities_,
+                                r_max_, key_shard[0], ng, nd, ns,
+                                n_tracer=nt, dtype=dtype,
+                                compute_potential=compute_potential)
+
+    with mesh:
+        return _draw(fields, tables, centers, velocities, r_max, keys)
 
 
 def attach_field_to_particles(parts: dict, field, ptype: str = "gas"):

@@ -28,12 +28,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from cluster_generator_tpu.pipeline import (
-        build_merger_models,
-        build_radius_tables,
-        build_speed_tables,
-        sample_merger_ic,
-    )
+    from cluster_generator_tpu.pipeline import merger_ic_fused
 
     M200 = jnp.asarray([1.5e15, 1.0e15])
     conc = jnp.asarray([4.0, 5.0])
@@ -45,10 +40,9 @@ def main() -> None:
                   (600_000, 400_000))
 
     def run(key):
-        f = build_merger_models(M200, conc)
-        tb = build_speed_tables(f)
-        tb["radius"] = build_radius_tables(f, rmax)
-        p = sample_merger_ic(f, tb, centers, vels, rmax, key, ng, nd, ns)
+        # the whole IC (models + DFs + tables + 1e7 draws) is ONE program
+        p, _ = merger_ic_fused(M200, conc, centers, vels, rmax, key,
+                               ng, nd, ns)
         # force completion with a small checksum transfer
         return float(jnp.sum(p["dm", "particle_velocity"][::4096])
                      + jnp.sum(p["gas", "thermal_energy"][::4096]))

@@ -25,7 +25,8 @@ from .virial import compute_df, speed_inverse_cdf_table
 
 __all__ = ["build_merger_models", "build_speed_tables",
            "build_radius_tables", "sample_merger_ic", "binary_merger_ic",
-           "sample_merger_ic_sharded", "attach_field_to_particles"]
+           "sample_merger_ic_sharded", "merger_ic_fused",
+           "attach_field_to_particles"]
 
 
 @partial(jax.jit, static_argnames=("num_points", "with_star_df"))
@@ -292,6 +293,32 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
                 out[sp, "particle_potential"] = _potential_at(
                     out[sp, "particle_position"], fields, centers, dtype)
     return out
+
+
+@partial(jax.jit, static_argnames=("num_points", "n_gas", "n_dm", "n_star",
+                                   "n_tracer", "dtype", "compute_potential"))
+def merger_ic_fused(M200, conc, centers, velocities, r_max, key,
+                    n_gas, n_dm, n_star, n_tracer=None, z=0.1,
+                    num_points=1000, dtype=jnp.float32,
+                    compute_potential=False):
+    """The entire merger IC — equilibrium models, DFs, tables, every
+    particle draw — as ONE jitted program.
+
+    Functionally identical to build_merger_models + build_speed_tables +
+    build_radius_tables + sample_merger_ic, but a single dispatch: under
+    the axon tunnel each executed program costs a host round-trip (~0.1 s),
+    so fusing the four stages removes ~3 RPCs from the critical path and
+    lets XLA overlap table construction with the draws.
+    """
+    fields = build_merger_models.__wrapped__(M200, conc, z=z,
+                                             num_points=num_points)
+    tables = build_speed_tables.__wrapped__(fields)
+    tables["radius"] = build_radius_tables.__wrapped__(fields, r_max)
+    parts = sample_merger_ic.__wrapped__(
+        fields, tables, centers, velocities, r_max, key, n_gas, n_dm,
+        n_star, n_tracer=n_tracer, dtype=dtype,
+        compute_potential=compute_potential)
+    return parts, fields
 
 
 def sample_merger_ic_sharded(mesh, fields, tables, centers, velocities,

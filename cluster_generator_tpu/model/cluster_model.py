@@ -421,6 +421,9 @@ class ClusterModel:
         ax.loglog(self["radius"], self[field], **kwargs)
         ax.set_xlim(r_min, r_max)
         ax.set_xlabel("Radius (kpc)")
+        from ..utils import field_label_map
+
+        ax.set_ylabel(field_label_map.get(field, ""))
         return fig, ax
 
     # ------------------------------------------------------------- dataset

@@ -35,7 +35,12 @@ def pytest_addoption(parser):
 def answer_dir(request):
     d = request.config.getoption("--answer_dir")
     if d is None:
-        pytest.skip("no --answer_dir supplied")
+        # default to the committed goldens (regression tripwire between
+        # rounds); self-skip only if neither exists
+        default = os.path.join(os.path.dirname(__file__), "answers")
+        if os.path.isdir(default):
+            return default
+        pytest.skip("no --answer_dir supplied and no committed answers")
     return d
 
 

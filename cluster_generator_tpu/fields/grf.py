@@ -116,9 +116,11 @@ class ClusterField:
         gx = jnp.fft.fftn(jnp.asarray(self.gx, cdtype))
         gy = jnp.fft.fftn(jnp.asarray(self.gy, cdtype))
         gz = jnp.fft.fftn(jnp.asarray(self.gz, cdtype))
-        kxd = jnp.sin(jnp.asarray(kx) * self.dx) / self.dx
-        kyd = jnp.sin(jnp.asarray(ky) * self.dy) / self.dy
-        kzd = jnp.sin(jnp.asarray(kz) * self.dz) / self.dz
+        # keep wavenumbers at the field's real dtype: an f64 operand would
+        # promote the complex64 spectra to complex128 (unsupported on TPU)
+        kxd = (jnp.sin(jnp.asarray(kx) * self.dx) / self.dx).astype(self.dtype)
+        kyd = (jnp.sin(jnp.asarray(ky) * self.dy) / self.dy).astype(self.dtype)
+        kzd = (jnp.sin(jnp.asarray(kz) * self.dz) / self.dz).astype(self.dtype)
         gx, gy, gz = _div_clean_k(gx, gy, gz, kxd, kyd, kzd)
         self.gx = jnp.fft.ifftn(gx).real.astype(self.dtype)
         self.gy = jnp.fft.ifftn(gy).real.astype(self.dtype)
@@ -131,8 +133,10 @@ class ClusterField:
         gx = jnp.fft.fftn(jnp.asarray(self.gx, cdtype))
         gy = jnp.fft.fftn(jnp.asarray(self.gy, cdtype))
         gz = jnp.fft.fftn(jnp.asarray(self.gz, cdtype))
-        ax, ay, az = _vector_potential_k(gx, gy, gz, jnp.asarray(kx),
-                                         jnp.asarray(ky), jnp.asarray(kz))
+        ax, ay, az = _vector_potential_k(
+            gx, gy, gz, jnp.asarray(kx).astype(self.dtype),
+            jnp.asarray(ky).astype(self.dtype),
+            jnp.asarray(kz).astype(self.dtype))
         self.gx = jnp.fft.ifftn(ax).real.astype(self.dtype)
         self.gy = jnp.fft.ifftn(ay).real.astype(self.dtype)
         self.gz = jnp.fft.ifftn(az).real.astype(self.dtype)

@@ -145,9 +145,11 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
         from .ops.pallas_kernels import invert_cdf_rows
 
         return invert_cdf_rows(cdf, n_q=n_q)
-    if table_dtype is not None:
+    if table_dtype is not None and jax.default_backend() == "tpu":
         # fused masked-reduction inversion: 5x faster than the vmapped
-        # binary-search interp on TPU at these table sizes (bit-equivalent)
+        # binary-search interp on TPU at these table sizes (bit-equivalent);
+        # on CPU the O(n_q x n_s) streaming loses to binary search, so the
+        # route is picked per backend.
         return _invert_cdf_masked(cdf, s, n_q)
     q = jnp.linspace(0.0, 1.0, n_q).astype(cdf.dtype)
     s_inv = jax.vmap(lambda c: jnp.interp(q, c, s))(cdf)

@@ -202,3 +202,37 @@ def test_sharded_merger_sampling():
     psi_max = float(np.max(-np.asarray(f["gravitational_potential"])))
     speed = np.linalg.norm(vel, axis=1)
     assert speed.max() < np.sqrt(2 * psi_max) + 0.45 + 1e-3
+
+
+def test_merger_ic_fused_matches_staged():
+    """The single-program path equals the staged path for the same key."""
+    from cluster_generator_tpu.pipeline import (
+        build_merger_models,
+        build_radius_tables,
+        build_speed_tables,
+        merger_ic_fused,
+        sample_merger_ic,
+    )
+
+    M200 = jnp.asarray([1.5e15, 1.0e15])
+    conc = jnp.asarray([4.0, 5.0])
+    centers = jnp.asarray([[-1500.0, 0, 0], [1500.0, 0, 0]])
+    vels = jnp.asarray([[0.3, 0, 0], [-0.45, 0, 0]])
+    rmax = jnp.asarray([4000.0, 4000.0])
+    ng, nd, ns = (20_000, 12_000), (16_000, 10_000), (4_000, 2_000)
+
+    f = build_merger_models(M200, conc, num_points=512)
+    tb = build_speed_tables(f)
+    tb["radius"] = build_radius_tables(f, rmax)
+    staged = sample_merger_ic(f, tb, centers, vels, rmax, jax.random.key(7),
+                              ng, nd, ns)
+    fused, ffields = merger_ic_fused(M200, conc, centers, vels, rmax,
+                                     jax.random.key(7), ng, nd, ns,
+                                     num_points=512,
+                                     compute_potential=True)
+    for key in staged:
+        assert np.allclose(np.asarray(staged[key]), np.asarray(fused[key]),
+                           rtol=1e-5, atol=1e-7), key
+    assert (np.asarray(fused["dm", "particle_potential"]) < 0).all()
+    assert np.allclose(np.asarray(ffields["total_mass"]),
+                       np.asarray(f["total_mass"]), rtol=1e-12)

@@ -159,9 +159,27 @@ class ClusterField:
             return f"{self._units}*kpc"
         return self._units
 
+    def _output_value(self, field, length_unit, field_unit):
+        """Convert a component to the requested output units (the natural
+        storage units are kpc coordinates and ``self._units`` values;
+        vector potentials carry an extra length factor)."""
+        from ..core import units as U
+
+        v = self[field]
+        lfac = U.unit_factor(length_unit)  # kpc per length_unit
+        if field in "xyz":
+            return v / lfac, length_unit
+        if field_unit is None:
+            return v, self.units
+        ffac = U.unit_factor(field_unit) / U.unit_factor(self._units)
+        if self.vector_potential:
+            return v / (ffac * lfac), f"{length_unit}*{field_unit}"
+        return v / ffac, field_unit
+
     def write_file(self, filename, overwrite=False, length_unit=None,
                    field_unit=None, format="hdf5"):
-        """Write the field + coordinates (fields.py:247-306)."""
+        """Write the field + coordinates, optionally unit-converted
+        (fields.py:247-306)."""
         if length_unit is None:
             length_unit = "kpc"
         if os.path.exists(filename) and not overwrite:
@@ -173,8 +191,10 @@ class ClusterField:
 
             with h5py.File(filename, "w") as f:
                 for field in all_comps:
-                    d = f.create_dataset(field, data=self[field])
-                    d.attrs["units"] = ("kpc" if field in "xyz" else self.units)
+                    fd, unit = self._output_value(field, length_unit,
+                                                  field_unit)
+                    d = f.create_dataset(field, data=fd)
+                    d.attrs["units"] = unit
                 f.attrs["name"] = self._name
                 f.attrs["units"] = self.units
                 f.attrs["vector_potential"] = int(self.vector_potential)
@@ -185,7 +205,8 @@ class ClusterField:
             with FortranFile(filename, "w") as f:
                 f.write_record(self["x"].size)
                 for field in all_comps:
-                    f.write_record(np.asarray(self[field], dtype=np.float64))
+                    fd, _ = self._output_value(field, length_unit, field_unit)
+                    f.write_record(np.asarray(fd, dtype=np.float64))
         else:
             raise ValueError(f"Unknown format {format}")
 

@@ -94,3 +94,20 @@ def test_setup_arepo_ics_and_resample(small_ics, tmp_path, monkeypatch):
     out = str(tmp_path / "arepo_rs.h5")
     cg.resample_arepo_ics(ics, icfile, out, overwrite=True)
     assert os.path.exists(out)
+
+
+def test_setup_gamer_ics_with_tracers(small_ics, tmp_path, monkeypatch):
+    ics, d = small_ics
+    monkeypatch.chdir(tmp_path)
+    ics.tot_np["tracer"] = 500
+    ics._determine_num_particles()
+    lines = cg.setup_gamer_ics(ics, use_tracers=True,
+                               regenerate_particles=True)
+    assert any("Merger_File_Par1" in ln for ln in lines)
+    import h5py
+
+    with h5py.File("codes_gamerp_1.h5") as f:
+        types = np.unique(np.asarray(f["particle_type"][()]))
+        assert 0 in types  # tracer type id
+    ics.tot_np["tracer"] = 0
+    ics._determine_num_particles()

@@ -169,3 +169,16 @@ def test_velocity_field_units_name():
     assert f._name == "velocity"
     assert f.units == "kpc/Myr"
     assert "velocity_x" in f.comps
+
+
+def test_write_file_units(bfield, tmp_path):
+    import h5py
+
+    fn = str(tmp_path / "b_units.h5")
+    bfield.write_file(fn, field_unit="uG", length_unit="Mpc")
+    with h5py.File(fn) as f:
+        # coordinates in Mpc (grid spans ~1 Mpc + padding)
+        assert np.abs(np.asarray(f["x"][()])).max() < 2.0
+        # field stored in microgauss: rms 1e-6 G -> ~1 uG
+        bx = np.asarray(f["magnetic_field_x"][()])
+        assert 0.05 < np.sqrt((bx**2).mean()) < 5.0

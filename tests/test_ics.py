@@ -99,3 +99,16 @@ def test_resample_particle_ics(profile_file, tmp_path):
     new = ics.resample_particle_ics(parts)
     assert (new["gas", "density"] > 0).all()
     assert np.isfinite(new["gas", "thermal_energy"]).all()
+
+
+def test_ics_create_dataset(profile_file, tmp_path):
+    ics = cg.ClusterICs("ds2", 1, [profile_file], [0.0, 0.0, 0.0],
+                        [0.0, 0.0, 0.0], num_particles={"dm": 100},
+                        r_max=2000.0)
+    fn = ics.create_dataset(str(tmp_path / "scene.h5"),
+                            domain_dimensions=(32, 32, 32), chunksize=16)
+    import h5py
+
+    with h5py.File(fn) as f:
+        assert f.attrs["model_count"] == 1
+        assert (np.asarray(f["grid"]["density"][()]) > 0).any()

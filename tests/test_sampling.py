@@ -141,3 +141,48 @@ def test_reproducibility(canonical_model):
     p3 = canonical_model.generate_dm_particles(1000, prng=124)
     assert not np.array_equal(p1["dm", "particle_position"],
                               p3["dm", "particle_position"])
+
+
+def test_energy_distribution(canonical_model, dm_particles):
+    """Joint (r, v) correctness: sampled relative energies E = psi(r) - v^2/2
+    follow N(E) dE ∝ f(E) g(E) dE with the density of states
+    g(E) = (4 pi)^2 int r^2 sqrt(2 (psi(r) - E)) dr — a stronger check than
+    the radius/speed marginals."""
+    from scipy.integrate import quad
+
+    m = canonical_model
+    v = m.dm_virial
+    pos = np.asarray(dm_particles["dm", "particle_position"])
+    vel = np.asarray(dm_particles["dm", "particle_velocity"])
+    r = np.linalg.norm(pos, axis=1)
+    rr = np.asarray(m["radius"])
+    psi_r = IUS(rr, v.ee[::-1])
+    E = psi_r(r) - 0.5 * (vel**2).sum(axis=1)
+
+    # restrict to energies bound within the sampled region (r_max = 5000):
+    # particles at r < 5000 can carry E down to psi(5000) before truncation
+    # effects matter; use a safely interior window
+    e_lo = float(psi_r(4000.0))
+    e_hi = float(psi_r(50.0))
+    sel = (E > e_lo) & (E < e_hi)
+    assert sel.sum() > 50_000
+
+    f_sp = IUS(v.ee, v.ff)
+
+    def g_of_E(e):
+        # integrate over radii where psi(r) > e, i.e. r < r_of_psi(e)
+        r_max_e = float(IUS(v.ee, rr[::-1])(e))
+        r_max_e = min(r_max_e, 5000.0)
+        val, _ = quad(lambda x: x * x * np.sqrt(
+            max(2.0 * (psi_r(x) - e), 0.0)), rr[0], r_max_e, limit=200)
+        return 16.0 * np.pi**2 * val
+
+    grid = np.linspace(e_lo, e_hi, 200)
+    pdf = np.array([max(float(f_sp(e)), 0.0) * g_of_E(e) for e in grid])
+    cdf_vals = np.concatenate([[0.0], np.cumsum(
+        0.5 * (pdf[1:] + pdf[:-1]) * np.diff(grid))])
+    # normalize over the window and condition the sample on it
+    cdf_vals /= cdf_vals[-1]
+    cdf = lambda x: np.interp(x, grid, cdf_vals)
+    stat, pval = kstest(E[sel], cdf)
+    assert pval > 1e-4, (stat, pval, sel.sum())

@@ -236,3 +236,61 @@ def test_merger_ic_fused_matches_staged():
     assert (np.asarray(fused["dm", "particle_potential"]) < 0).all()
     assert np.allclose(np.asarray(ffields["total_mass"]),
                        np.asarray(f["total_mass"]), rtol=1e-12)
+
+
+def test_pipeline_energy_distribution():
+    """Joint (r, v) validation of the f32 fast path: single-halo pipeline
+    draws follow N(E) ∝ f(E) g(E) (same check as the class API's
+    tests/test_sampling.py::test_energy_distribution)."""
+    from scipy.integrate import quad
+    from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+
+    from cluster_generator_tpu.pipeline import (
+        build_merger_models,
+        build_radius_tables,
+        build_speed_tables,
+        sample_merger_ic,
+    )
+
+    M200 = jnp.asarray([1.5e15])
+    conc = jnp.asarray([4.0])
+    centers = jnp.zeros((1, 3))
+    vels = jnp.zeros((1, 3))
+    rmax = jnp.asarray([5000.0])
+    f = build_merger_models(M200, conc, num_points=1000)
+    tb = build_speed_tables(f)
+    tb["radius"] = build_radius_tables(f, rmax)
+    parts = sample_merger_ic(f, tb, centers, vels, rmax, jax.random.key(21),
+                             (1,), (200_000,), (1,))
+
+    rr = np.asarray(f["radius"][0])
+    psi_arr = -np.asarray(f["gravitational_potential"][0])
+    psi_r = IUS(rr, psi_arr)
+    pos = np.asarray(parts["dm", "particle_position"], np.float64)
+    vel = np.asarray(parts["dm", "particle_velocity"], np.float64)
+    r = np.linalg.norm(pos, axis=1)
+    E = psi_r(r) - 0.5 * (vel**2).sum(axis=1)
+
+    ee = psi_arr[::-1]
+    ff = np.asarray(f["dm_df"][0])[::-1]
+    f_sp = IUS(ee, ff)
+    e_lo = float(psi_r(4000.0))
+    e_hi = float(psi_r(50.0))
+    sel = (E > e_lo) & (E < e_hi)
+    assert sel.sum() > 50_000
+
+    def g_of_E(e):
+        r_max_e = min(float(IUS(ee, rr[::-1])(e)), 5000.0)
+        val, _ = quad(lambda x: x * x * np.sqrt(
+            max(2.0 * (psi_r(x) - e), 0.0)), rr[0], r_max_e, limit=200)
+        return 16.0 * np.pi**2 * val
+
+    grid = np.linspace(e_lo, e_hi, 200)
+    pdf = np.array([max(float(f_sp(e)), 0.0) * g_of_E(e) for e in grid])
+    cdf_vals = np.concatenate([[0.0], np.cumsum(
+        0.5 * (pdf[1:] + pdf[:-1]) * np.diff(grid))])
+    cdf_vals /= cdf_vals[-1]
+    from scipy.stats import kstest
+
+    stat, pval = kstest(E[sel], lambda x: np.interp(x, grid, cdf_vals))
+    assert pval > 1e-4, (stat, pval, int(sel.sum()))

@@ -14,11 +14,16 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 BASELINE_S = 5.0
 NUM_PARTICLES = {"gas": 5_000_000, "dm": 4_000_000, "star": 1_000_000}
+
+# BENCH_SMOKE=1 shrinks the workload 100x (CI/format guard; the official
+# metric is always the full 1e7-particle run)
+_SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
 
 def main() -> None:
@@ -38,6 +43,9 @@ def main() -> None:
     # static per-halo counts (mass-prorated for this configuration)
     ng, nd, ns = ((3_000_000, 2_000_000), (2_400_000, 1_600_000),
                   (600_000, 400_000))
+    if _SMOKE:
+        div = 100
+        ng, nd, ns = (tuple(n // div for n in t) for t in (ng, nd, ns))
 
     def run(key):
         # the whole IC (models + DFs + tables + 1e7 draws) is ONE program

@@ -45,3 +45,23 @@ def test_binary_merger_example(tmp_path):
 def test_ensemble_example(tmp_path):
     res = _run("ensemble.py", tmp_path)
     assert "built" in res.stdout and "clusters" in res.stdout
+
+
+def test_bench_smoke(tmp_path):
+    """bench.py stays runnable and emits exactly one valid JSON line."""
+    import json
+
+    env = dict(os.environ)
+    env["BENCH_SMOKE"] = "1"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = REPO
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            f"exec(open(r'{os.path.join(REPO, 'bench.py')}').read())")
+    res = subprocess.run([sys.executable, "-c", code], cwd=tmp_path, env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["unit"] == "s" and rec["value"] > 0

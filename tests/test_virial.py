@@ -13,27 +13,67 @@ from cluster_generator_tpu.virial import (
 )
 
 
-def _scipy_df(ee, pden):
-    """Reference DF algorithm (virial.py:43-68) with scipy."""
+def _scipy_df(ee, pden, eps=1.49e-8):
+    """Reference DF algorithm (virial.py:43-68) with scipy, at the
+    reference's default quad tolerance."""
+    import warnings
+
     dens_sp = IUS(ee, pden)
     g = np.zeros(ee.size)
     dgdp = lambda t, e: 2 * dens_sp(e - t * t, 1)
-    for i in range(ee.size):
-        g[i] = quad(dgdp, 0.0, np.sqrt(ee[i]), epsabs=1.49e-5, epsrel=1.49e-5,
-                    args=(ee[i],))[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # quad roundoff warning at E_max
+        for i in range(ee.size):
+            g[i] = quad(dgdp, 0.0, np.sqrt(ee[i]), epsabs=eps, epsrel=eps,
+                        limit=400, args=(ee[i],))[0]
     g_sp = IUS(ee, g)
     return g_sp(ee, 1) / (np.sqrt(8.0) * np.pi**2)
 
 
 def test_df_matches_scipy_reference(canonical_model):
+    """f(E) parity at the BASELINE.md target: median <= 1e-6 relative.
+
+    compute_df's g(E) is exact (closed-form Abel integral), so the residual
+    here is scipy.quad's own default tolerance amplified by the g-spline
+    differentiation.  Floor proof (2026-08, canonical model): mine vs
+    scipy(eps=1e-12) median 1.8e-7 / max 9.3e-6; scipy(default) vs
+    scipy(1e-12) median 6.9e-7 / max 9.3e-6 — scipy's default-tolerance
+    noise IS the observed gap, and the endpoint max is scipy roundoff-
+    limited (quad emits its roundoff warning at E_max)."""
     v = canonical_model.dm_virial
     ee = v.ee
     pden = np.asarray(canonical_model["dark_matter_density"])[::-1]
     ref = _scipy_df(ee, pden)
     mine = v.ff
     rel = np.abs(mine - ref) / np.abs(ref)
-    assert np.median(rel) < 1e-5, np.median(rel)
-    assert rel.max() < 5e-4, rel.max()
+    assert np.median(rel) < 1e-6, np.median(rel)
+    assert rel.max() < 5e-5, rel.max()
+
+
+def test_df_g_integral_exact(canonical_model):
+    """_abel_g_exact against tight-tolerance quadrature of the SAME spline:
+    the closed form must agree to ~1e-9 (it is exact; quad's 1e-12-eps
+    adaptive error is the comparison floor)."""
+    import jax.numpy as jnp
+
+    from cluster_generator_tpu.core.interp import cubic_spline, spline_eval
+    from cluster_generator_tpu.virial import _abel_g_exact
+
+    v = canonical_model.dm_virial
+    ee = v.ee
+    pden = np.asarray(canonical_model["dark_matter_density"])[::-1]
+    sp = cubic_spline(jnp.asarray(ee), jnp.asarray(pden))
+    g = np.asarray(_abel_g_exact(sp, jnp.asarray(ee)))
+
+    def rho_prime(psi):
+        return np.asarray(spline_eval(sp, psi, nu=1))
+
+    idx = np.unique(np.linspace(1, ee.size - 1, 12).astype(int))
+    for i in idx:
+        ref = quad(lambda t, e: 2 * rho_prime(e - t * t), 0.0,
+                   np.sqrt(ee[i]), args=(ee[i],), epsabs=1e-12,
+                   epsrel=1e-12, limit=500)[0]
+        assert abs(g[i] - ref) / abs(ref) < 5e-8, (i, abs(g[i] - ref) / ref)
 
 
 def test_df_positive(canonical_model):

@@ -35,8 +35,15 @@ defaults: dict = {
     "numerical": {
         # fixed Gauss-Legendre panel order for cumulative integrals
         "quadrature_order": 16,
-        # number of speed-grid points for the velocity inverse-CDF tables
-        "velocity_table_size": 256,
+        # inverse speed-CDF tables, shared by the class API
+        # (VirialEquilibrium._speed_table) and the fused pipeline
+        # (pipeline.build_speed_tables): speed-grid resolution, quantile
+        # resolution, and whether the cumulative/inversion runs in float32
+        # (quantile error ~1e-7, negligible vs 1/n_q; ~10x faster on TPU
+        # where f64 is emulated)
+        "velocity_table_speeds": 512,
+        "velocity_table_quantiles": 512,
+        "velocity_table_float32": True,
         # default float precision for the compute path
         "enable_x64": True,
     },

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .parallel.ensemble import build_one_cluster
-from .virial import compute_df, speed_inverse_cdf_table
+from .virial import compute_df, speed_inverse_cdf_table, speed_table_defaults
 
 __all__ = ["build_merger_models", "build_speed_tables",
            "build_radius_tables", "sample_merger_ic", "binary_merger_ic",
@@ -50,14 +50,16 @@ def build_merger_models(M200, conc, z=0.1, num_points=1000,
 def build_speed_tables(fields):
     """Per-halo inverse speed-CDF tables for DM and stars.
 
-    Tables accumulate/invert in float32 (see speed_inverse_cdf_table):
+    Builder arguments come from :func:`virial.speed_table_defaults` — the
+    SAME defaults the class API uses (by default: float32 accumulate/invert;
     the f64 matmul-cumsum was the dominant warm-time cost of the merger
-    pipeline on TPU (f64 MXU emulation)."""
+    pipeline on TPU under f64 MXU emulation)."""
     ee = -fields["gravitational_potential"][:, ::-1]
+    kw = speed_table_defaults()
 
     def tab(df):
         return jax.vmap(lambda e, d: speed_inverse_cdf_table(
-            e, d, n_s=512, table_dtype=jnp.float32))(ee, df[:, ::-1])
+            e, d, **kw))(ee, df[:, ::-1])
 
     return {"dm": tab(fields["dm_df"]), "star": tab(fields["star_df"])}
 

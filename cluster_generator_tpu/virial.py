@@ -34,7 +34,20 @@ from .core.interp import cubic_spline, spline_eval
 from .core.logging import mylog
 from .core.scan_ops import cumsum
 
-__all__ = ["VirialEquilibrium", "compute_df", "speed_inverse_cdf_table"]
+__all__ = ["VirialEquilibrium", "compute_df", "speed_inverse_cdf_table",
+           "speed_table_defaults"]
+
+
+def speed_table_defaults():
+    """Shared speed-table builder arguments for BOTH sampling paths (the
+    class API and the fused pipeline), from ``cgparams['numerical']`` —
+    the two paths must not drift in table resolution or precision."""
+    num = cgparams["numerical"]
+    return {
+        "n_s": int(num["velocity_table_speeds"]),
+        "n_q": int(num["velocity_table_quantiles"]),
+        "table_dtype": jnp.float32 if num["velocity_table_float32"] else None,
+    }
 
 
 def _safe_sqrt(x):
@@ -318,9 +331,9 @@ class VirialEquilibrium:
     # ----------------------------------------------------------- sampling
     def _speed_table(self):
         if self._s_inv is None:
-            n_q = int(cgparams["numerical"]["velocity_table_size"]) * 2
             self._s_inv = speed_inverse_cdf_table(
-                jnp.asarray(self.ee), jnp.asarray(self.ff), n_q=n_q)
+                jnp.asarray(self.ee), jnp.asarray(self.ff),
+                **speed_table_defaults())
         return self._s_inv
 
     def generate_particles(self, num_particles, r_max=None, sub_sample=1,

@@ -109,8 +109,11 @@ def build_from_dens_and_tden(rr, density, total_density, stellar_density=None,
         lambda r: density(r) * g[-1] * (rr[-1] / r) ** 2, rr[-1])
     P = P - tail
     fields["pressure"] = P
-    # T[keV] = P mu m_p / rho  (energy in galactic units -> keV)
-    fields["temperature"] = (P * C.mu * C.mp / fields["density"]) / C.keV
+    # T[keV] = P mu m_p / rho  (energy in galactic units -> keV).
+    # The constant MUST be folded on the host: mp (8.4e-58) and keV
+    # (7.3e-61) individually underflow TPU f64 emulation, whose exponent
+    # range is float32's; their folded ratio (~7e2) is well-scaled.
+    fields["temperature"] = P / fields["density"] * (C.mu * C.mp / C.keV)
     return derive_secondary_fields(fields, stellar_density)
 
 
@@ -127,8 +130,9 @@ def build_from_dens_and_temp(rr, density, temperature, stellar_density=None,
     fields["density"] = density(rr)
     fields["temperature"] = temperature(rr)
     # pressure in galactic units; T[keV] -> galactic energy via keV factor
-    fields["pressure"] = (fields["density"] * fields["temperature"] * C.keV
-                          / (C.mu * C.mp))
+    # (folded on host — see build_from_dens_and_tden's temperature note)
+    fields["pressure"] = (fields["density"] * fields["temperature"]
+                          * (C.keV / (C.mu * C.mp)))
     p_sp = cubic_spline(rr, fields["pressure"])
     dPdr = spline_eval(p_sp, rr, nu=1)
     fields["gravitational_field"] = dPdr / fields["density"]

@@ -107,6 +107,18 @@ def main():
     except Exception as e:
         log(f"PALLAS FAILED: {type(e).__name__}: {e}")
 
+    # ---------------------------------------------------------------- 2b.
+    log("== 2b. every model field finite ON DEVICE ==")
+    # Regression for the TPU f64-emulation underflow: mp (8.4e-58) and keV
+    # (7.3e-61) individually fall outside the emulated-f64 exponent range
+    # (float32's), which made temperature/entropy NaN on TPU while every
+    # CPU test stayed green.  Constants must reach the device pre-folded.
+    f1 = build_merger_models(M200, conc)
+    for name, arr in f1.items():
+        bad = int(jnp.sum(~jnp.isfinite(arr)))
+        log(f"   {name}: {'OK' if bad == 0 else f'{bad} NON-FINITE'}")
+        assert bad == 0, f"{name} has {bad} non-finite values on TPU"
+
     # ---------------------------------------------------------------- 3.
     log("== 3. ensemble throughput (256 clusters, 512-pt grids) ==")
     from cluster_generator_tpu.parallel import (

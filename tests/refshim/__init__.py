@@ -37,20 +37,31 @@ def _opt_cython_utils():
     mod = types.ModuleType("cluster_generator.opt.cython_utils")
 
     def generate_velocities(psi, vesc, fv2esc, t, c, k, no_pbar=1,
-                            _seed=25):
+                            _seed=987654321):
         """Rejection-sample particle speeds from the Eddington DF
         (contract per reference virial.py:198-206): accept v ~ U(0, vesc)
         when u * fv2esc <= v^2 f(psi - v^2/2), f evaluated as the FITPACK
         B-spline (t, c, k).  Vectorized numpy; fixed seed for
-        deterministic goldens (the Cython original's internal RNG state is
-        not recoverable — cross-package particle parity is by
+        deterministic goldens; the seed must NOT collide with the seeds
+        callers use for their position draws (a shared MT19937 stream
+        correlates v with the radius quantile and skews the joint
+        distribution — bitten once with _seed=25).  The Cython original's
+        internal RNG state is not recoverable — cross-package particle parity is by
         distribution, not bitwise; SURVEY.md §7 hard part (e))."""
         rng = np.random.RandomState(_seed)
         psi = np.asarray(psi, dtype=np.float64)
         n = psi.shape[0]
         out = np.empty(n)
         todo = np.arange(n)
-        tck = (np.asarray(t), np.asarray(c), int(k))
+        # the caller passes get_knots()/get_coeffs() — the UNIQUE knots;
+        # rebuild the full FITPACK knot vector (ends repeated k+1 times)
+        # or splev evaluates a different spline entirely
+        k = int(k)
+        t = np.asarray(t, dtype=np.float64)
+        c = np.asarray(c, dtype=np.float64)
+        t_full = np.concatenate([np.repeat(t[0], k), t, np.repeat(t[-1], k)])
+        c_full = np.concatenate([c, np.zeros(len(t_full) - k - 1 - len(c))])
+        tck = (t_full, c_full, k)
         while todo.size:
             v = rng.uniform(size=todo.size) * vesc[todo]
             u = rng.uniform(size=todo.size)

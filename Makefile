@@ -1,6 +1,6 @@
 # Convenience targets for cluster_generator_tpu
 
-.PHONY: test test-fast bench native answers clean
+.PHONY: test test-fast bench bench-all native answers ref-answers clean
 
 test: native
 	python -m pytest tests/ -q
@@ -10,6 +10,16 @@ test-fast: native
 
 bench:
 	python bench.py
+
+# all five BASELINE.md configs: the headline (bench.py, config 4) plus
+# configs 1-3, 5 and the 512^3 field (vs measured reference CPU baselines)
+bench-all: bench
+	python benchmarks/bench_configs.py all
+
+# regenerate the reference-package goldens + measured CPU baselines
+ref-answers:
+	python scripts/generate_reference_answers.py
+	python benchmarks/measure_reference_extra.py
 
 native:
 	$(MAKE) -C native

@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""BASELINE.md benchmark configs 1-3, 5 and the 512^3 field build, each
+printing ONE JSON line like bench.py (which owns config 4, the headline).
+
+    python benchmarks/bench_configs.py cfg1|cfg2|cfg3|cfg5|field|all
+
+vs_baseline denominators are the MEASURED reference wall-times on this
+machine's CPU (benchmarks/reference_baselines.json, produced by running
+the upstream package via tests/refshim) — not guesses:
+  cfg1: reference from_dens_and_tden at 4096 points
+  cfg2: + Eddington DF + 1e6 velocity draws (reference total)
+  cfg3: full 3-component + B-field + HSE/virial checks (reference total)
+  cfg5: 1024 x cfg-3-equivalent serial extrapolation (the reference has
+        no batch axis; documented as an extrapolation)
+  field: reference RandomMagneticField at 512^3 (numpy FFT + div-clean)
+
+Timing protocol: compile + first run, then median of 3 warm runs; honest
+completion via a small scalar D2H per run (block_until_ready is not
+reliable under the axon tunnel).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+_SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+
+
+def _baselines():
+    path = os.path.join(ROOT, "benchmarks", "reference_baselines.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _force(*xs):
+    import jax.numpy as jnp
+
+    return float(sum(jnp.sum(jnp.ravel(x)[-2:]) for x in xs))
+
+
+def _timed(metric, baseline_s, run, n_warm=3):
+    t0 = time.time()
+    run(0)
+    compile_s = time.time() - t0
+    print(f"# {metric}: compile+first-run {compile_s:.1f}s", file=sys.stderr)
+    times = []
+    for i in range(n_warm):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+        print(f"# {metric}: warm {times[-1]:.3f}s", file=sys.stderr)
+    value = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / value, 3) if baseline_s else None,
+    }))
+
+
+def bench_cfg1():
+    """Gas-only hydrostatic model, 4096-point grid, no particles."""
+    import jax
+
+    from cluster_generator_tpu.parallel.ensemble import build_one_cluster
+
+    n = 512 if _SMOKE else 4096
+    fn = jax.jit(lambda m, c: build_one_cluster(m, c, num_points=n,
+                                                with_df=False))
+    b = _baselines().get("cfg1_model_build_4096pt_s") or \
+        _baselines().get("cfg1_model_build_1000pt_s")
+    _timed("cfg1_gas_model_4096pt_wall_time", b,
+           lambda i: _force(fn(1.5e15 * (1 + 1e-6 * i), 4.0)["pressure"]))
+
+
+def bench_cfg2():
+    """Model + virialized DM halo: DF + 1e6 velocity samples, f(E)>0."""
+    import jax
+    import jax.numpy as jnp
+
+    from cluster_generator_tpu.parallel.ensemble import build_one_cluster
+    from cluster_generator_tpu.virial import (
+        sample_speeds,
+        speed_inverse_cdf_table,
+        speed_table_defaults,
+    )
+
+    n_part = 10_000 if _SMOKE else 1_000_000
+    kw = speed_table_defaults()
+
+    @jax.jit
+    def run(m, key):
+        f = build_one_cluster(m, 4.0, num_points=1000, with_df=True)
+        ee = -f["gravitational_potential"][::-1]
+        df = f["dm_df"][::-1]
+        tab = speed_inverse_cdf_table(ee, df, **kw)
+        # radii via the enclosed-mass quantiles, then speeds
+        u = jax.random.uniform(key, (n_part,))
+        rr, mm = f["radius"], f["dark_matter_mass"]
+        radius = jnp.interp(u * mm[-1], mm, rr)
+        psi = jnp.interp(radius, rr, -f["gravitational_potential"])
+        v = sample_speeds(radius.astype(tab.dtype),
+                          psi.astype(tab.dtype),
+                          ee.astype(tab.dtype), tab, key)
+        return v, jnp.min(df)
+
+    def once(i):
+        v, fmin = run(1.5e15 * (1 + 1e-6 * i), jax.random.key(i))
+        assert float(fmin) >= 0.0, "f(E) < 0"
+        return _force(v)
+
+    _timed("cfg2_dm_virialized_1e6_wall_time",
+           _baselines().get("cfg2_total_s"), once)
+
+
+def bench_cfg3():
+    """Full gas+DM+stars + tangential B-field + HSE/virial residuals."""
+    import jax
+    import jax.numpy as jnp
+
+    from cluster_generator_tpu.core.interp import cubic_spline, spline_eval
+    from cluster_generator_tpu.pipeline import build_merger_models
+    from cluster_generator_tpu.virial import check_virial_density
+
+    n = 256 if _SMOKE else 1000
+
+    @jax.jit
+    def run(m):
+        f = build_merger_models(jnp.asarray([m]), jnp.asarray([4.0]),
+                                num_points=n)
+        f1 = jax.tree_util.tree_map(lambda a: a[0], f)
+        # tangential B from beta = 100 (model.py:718-740 math)
+        B = jnp.sqrt(8.0 * jnp.pi * f1["pressure"] / 100.0)
+        ee = -f1["gravitational_potential"][::-1]
+        rho_df = check_virial_density(ee, f1["dm_df"][::-1])
+        # HSE residual (model.py:667-690 math, jitted inline)
+        rr = f1["radius"]
+        dPdx = spline_eval(cubic_spline(rr, f1["pressure"]), rr, nu=1)
+        rhog = f1["density"] * f1["gravitational_field"]
+        hse = (dPdx - rhog) / rhog
+        return B, rho_df, hse
+
+    def once(i):
+        B, rho_df, hse = run(1.5e15 * (1 + 1e-6 * i))
+        # coarse smoke grids (n=256) carry larger spline-derivative noise
+        assert float(jnp.max(jnp.abs(hse))) < (5e-3 if _SMOKE else 1e-4)
+        return _force(B, rho_df)
+
+    _timed("cfg3_full_cluster_checks_wall_time",
+           _baselines().get("cfg3_total_s"), once)
+
+
+def bench_cfg5():
+    """1024-cluster vmapped ensemble (M500-c sampled), HSE + DF."""
+    import jax
+
+    from cluster_generator_tpu.parallel import (
+        build_ensemble,
+        sample_ensemble_params,
+    )
+
+    n_cl = 32 if _SMOKE else 1024
+    n_pts = 128 if _SMOKE else 512
+    M, c = sample_ensemble_params(jax.random.key(7), n_cl)
+    b = _baselines().get("cfg3_total_s")
+    base = 1024.0 * b if b else None  # serial reference extrapolation
+
+    def once(i):
+        out = build_ensemble(M * (1 + 1e-6 * i), c, num_points=n_pts)
+        return _force(out["dm_df"])
+
+    _timed("cfg5_ensemble_1024_clusters_wall_time", base, once)
+
+
+def bench_field():
+    """512^3 divergence-free Gaussian random magnetic field.
+
+    float32 spectra (c64 FFTs): TPU has no c128 FFT, and a GRF's content
+    is statistical — the f64 path is covered by CPU correctness tests.
+    The reference baseline computes in numpy f64 (its only option).
+    """
+    import jax.numpy as jnp
+
+    from cluster_generator_tpu.fields.grf import RandomMagneticField
+
+    dim = 128 if _SMOKE else 512
+
+    def once(i):
+        f = RandomMagneticField([-1000.0] * 3, [1000.0] * 3,
+                                (dim, dim, dim), 50.0, 500.0, 1.0e-6,
+                                padding=0.0, prng=42 + i,
+                                dtype=jnp.float32)
+        return _force(f.gx, f.gy, f.gz)
+
+    _timed("field_512_grf_wall_time", _baselines().get("field_512_s"), once)
+
+
+ALL = {"cfg1": bench_cfg1, "cfg2": bench_cfg2, "cfg3": bench_cfg3,
+       "cfg5": bench_cfg5, "field": bench_field}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    names = list(ALL) if which == "all" else [which]
+    for name in names:
+        ALL[name]()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,3 +65,31 @@ def test_bench_smoke(tmp_path):
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["unit"] == "s" and rec["value"] > 0
+
+
+def test_bench_configs_smoke(tmp_path):
+    """benchmarks/bench_configs.py covers BASELINE configs 1-3, 5 and the
+    512^3 field: runnable, one valid JSON line per config."""
+    import json
+
+    env = dict(os.environ)
+    env["BENCH_SMOKE"] = "1"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = REPO
+    script = os.path.join(REPO, "benchmarks", "bench_configs.py")
+    code = ("import sys; sys.argv=['bench_configs.py','all'];"
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            f"g={{'__file__': r'{script}', '__name__': '__main__'}};"
+            f"exec(open(r'{script}').read(), g)")
+    res = subprocess.run([sys.executable, "-c", code], cwd=tmp_path, env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 5, res.stdout
+    metrics = set()
+    for ln in lines:
+        rec = json.loads(ln)
+        assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+        assert rec["unit"] == "s" and rec["value"] > 0
+        metrics.add(rec["metric"].split("_")[0])
+    assert metrics == {"cfg1", "cfg2", "cfg3", "cfg5", "field"}

@@ -227,23 +227,44 @@ class ClusterModel:
                                       data=self.star_virial.df[mask])
                 ds.attrs["units"] = "Msun*Myr**3/kpc**6"
 
+    # astropy-parseable unit labels for the ECSV header (our internal
+    # strings are already astropy 'generic'-format compatible except these)
+    _ECSV_UNIT_MAP = {"dimensionless": "", "gauss": "G"}
+
     def write_model_to_ascii(self, output_filename, in_cgs=False,
                              overwrite=False):
-        """Write the model as an ASCII table with a unit header row
-        (reference model.py:307-340 uses astropy QTable; here a plain
-        whitespace table with a commented header keeps zero-dependency)."""
+        """Write the model as an ECSV table — the format astropy QTable
+        emits, so reference-side tooling (model.py:307-340 writes via
+        QTable) can ``QTable.read`` repo models with units intact.
+
+        The ECSV v1.0 header is a YAML block in ``#``-comments followed by
+        space-delimited columns; no astropy dependency is needed to WRITE
+        it (the round-trip test parses it with PyYAML, and with real
+        astropy when available)."""
         if os.path.exists(output_filename) and not overwrite:
             raise IOError(f"Cannot create {output_filename}. "
                           "It exists and overwrite=False.")
-        names, cols, unit_row = [], [], []
+        names, cols, units_ = [], [], []
         for k, v in self.fields.items():
             fd, unit = self._field_for_output(k, v, in_cgs)
             names.append(k)
-            unit_row.append(unit if unit else "-")
+            units_.append(self._ECSV_UNIT_MAP.get(unit, unit))
             cols.append(np.asarray(fd))
-        header = (f"unit_system={'cgs' if in_cgs else 'galactic'}\n"
-                  + " ".join(names) + "\n" + " ".join(unit_row))
-        np.savetxt(output_filename, np.column_stack(cols), header=header)
+        lines = ["# %ECSV 1.0", "# ---", "# datatype:"]
+        for name, unit in zip(names, units_):
+            entry = f"# - {{name: {name}"
+            if unit:
+                entry += f", unit: {unit}"
+            entry += ", datatype: float64}"
+            lines.append(entry)
+        lines.append("# meta: {comments: [unit_system="
+                     f"{'cgs' if in_cgs else 'galactic'}]}}")
+        lines.append("# schema: astropy-2.0")
+        lines.append(" ".join(names))
+        data = np.column_stack(cols)
+        with open(output_filename, "w") as f:
+            f.write("\n".join(lines) + "\n")
+            np.savetxt(f, data, fmt="%.18e", delimiter=" ")
 
     def write_model_to_binary(self, output_filename, fields_to_write=None,
                               in_cgs=False, r_min=None, r_max=None,

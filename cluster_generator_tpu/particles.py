@@ -13,6 +13,7 @@ import math
 from collections import OrderedDict, defaultdict
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -427,67 +428,80 @@ class ClusterParticles:
 # ----------------------------------------------------------- cluster mixing
 def _sample_clusters(particles, hses, center, velocity, radii=None,
                      resample=False, passive_scalars=None):
-    """Mix overlapping gas distributions (particles.py:587-639).
+    """Mix overlapping gas distributions (behavioral parity with reference
+    particles.py:587-639; internals redesigned).
 
-    Densities from each HSE profile are summed at every gas particle; thermal
-    energy and momentum are density-weighted.  Vectorized over
-    (halo, particle) — the O(N_halo x N_gas) loop of the reference is one
-    batched spline evaluation here.
+    Each halo's gas density is evaluated at every particle position and
+    summed; thermal energy and bulk momentum mix density-weighted:
+        rho   = sum_h rho_h(r_h)
+        e_int = sum_h e_h rho_h / rho
+        v     = sum_h v_h rho_h / rho
+    The (halo x particle) sweep is one vmapped spline batch over halos —
+    no Python accumulation loop, no in-place functional updates.
     """
-    num_halos = len(hses)
-    centers = [np.asarray(c, dtype=np.float64) for c in center]
-    velocities = [np.asarray(v, dtype=np.float64) for v in velocity]
+    scalars = list(passive_scalars) if passive_scalars else []
+    halo_centers = jnp.asarray(np.asarray(center, dtype=np.float64))
+    bulk_velocities = jnp.asarray(np.asarray(velocity, dtype=np.float64))
     pos = jnp.asarray(particles["gas", "particle_position"])
-    ngas = pos.shape[0]
 
-    r = jnp.stack([jnp.sqrt(((pos - jnp.asarray(c)) ** 2).sum(axis=1))
-                   for c in centers])  # (H, N)
+    usable = [h for h in hses if "density" in h]
+    for h in hses:
+        if "density" not in h:
+            mylog.warning("No density field found in %s. Skipping.", h)
+    # (H, N) halo-centric particle radii — built for ALL halos so the
+    # radial cut matches the reference even when a halo lacks gas fields
+    halo_radius_all = jnp.linalg.norm(
+        pos[None, :, :] - halo_centers[:, None, :], axis=-1)
     if radii is None:
-        idxs = np.ones(ngas, dtype=bool)
+        in_cut = np.ones(pos.shape[0], dtype=bool)
     else:
-        radii = np.asarray(radii)
-        idxs = np.asarray(
-            jnp.any(r <= jnp.asarray(radii)[:, None], axis=0))
+        in_cut = np.asarray(jnp.any(
+            halo_radius_all <= jnp.asarray(np.asarray(radii))[:, None],
+            axis=0))
 
-    d = jnp.zeros((num_halos, ngas))
-    e = jnp.zeros((num_halos, ngas))
-    m = jnp.zeros((num_halos, 3, ngas))
-    num_scalars = len(passive_scalars) if passive_scalars else 0
-    if num_scalars:
-        s = jnp.zeros((num_halos, num_scalars, ngas))
+    keep = np.asarray([("density" in h) for h in hses])
+    grids = jnp.stack([jnp.asarray(h["radius"]) for h in usable])
+    dens_grids = jnp.stack([jnp.asarray(h["density"]) for h in usable])
+    eint_grids = jnp.stack([1.5 * jnp.asarray(h["pressure"])
+                            / jnp.asarray(h["density"]) for h in usable])
+    scalar_grids = (jnp.stack(
+        [jnp.stack([jnp.asarray(h[name]) for name in scalars])
+         for h in usable]) if scalars else None)
+    halo_radius = halo_radius_all[jnp.asarray(keep)]
 
-    for i, hse in enumerate(hses):
-        if "density" not in hse:
-            mylog.warning("No density field found in %s. Skipping.", hse)
-            continue
-        rr = jnp.asarray(hse["radius"])
-        dens_sp = cubic_spline(rr, jnp.asarray(hse["density"]))
-        e_arr = 1.5 * jnp.asarray(hse["pressure"]) / jnp.asarray(hse["density"])
-        e_sp = cubic_spline(rr, e_arr)
-        di = spline_eval(dens_sp, r[i])
-        d = d.at[i].set(di)
-        e = e.at[i].set(spline_eval(e_sp, r[i]) * di)
-        m = m.at[i].set(jnp.asarray(velocities[i])[:, None] * di[None, :])
-        if num_scalars:
-            for j, name in enumerate(passive_scalars):
-                sc_sp = cubic_spline(rr, jnp.asarray(hse[name]))
-                s = s.at[i, j].set(spline_eval(sc_sp, r[i]) * di)
+    def one_halo(rr, dens_grid, eint_grid, r_part):
+        rho = spline_eval(cubic_spline(rr, dens_grid), r_part)
+        e_w = spline_eval(cubic_spline(rr, eint_grid), r_part) * rho
+        return rho, e_w
 
-    dens = np.asarray(d.sum(axis=0))
-    eint = np.asarray(e.sum(axis=0)) / dens
-    mom = np.asarray(m.sum(axis=0)) / dens
-    if num_scalars:
-        ps = np.asarray(s.sum(axis=0)) / dens
+    rho_h, e_h = jax.vmap(one_halo)(grids, dens_grids, eint_grids,
+                                    halo_radius)
+    rho = rho_h.sum(axis=0)
+    eint = e_h.sum(axis=0) / rho
+    vel = (bulk_velocities[jnp.asarray(keep), :, None]
+           * rho_h[:, None, :]).sum(axis=0) / rho
+
+    dens = np.asarray(rho)
+    eint = np.asarray(eint)
+    vel = np.asarray(vel).T
     if resample:
         vol = (particles["gas", "particle_mass"]
                / particles["gas", "density"])
-        particles["gas", "particle_mass"][idxs] = dens[idxs] * vol[idxs]
-    particles["gas", "density"][idxs] = dens[idxs]
-    particles["gas", "thermal_energy"][idxs] = eint[idxs]
-    particles["gas", "particle_velocity"][idxs] = mom.T[idxs]
-    if num_scalars:
-        for j, name in enumerate(passive_scalars):
-            particles["gas", name][idxs] = ps[j, idxs]
+        particles["gas", "particle_mass"][in_cut] = \
+            dens[in_cut] * vol[in_cut]
+    particles["gas", "density"][in_cut] = dens[in_cut]
+    particles["gas", "thermal_energy"][in_cut] = eint[in_cut]
+    particles["gas", "particle_velocity"][in_cut] = vel[in_cut]
+    if scalars:
+        def one_scalar_halo(rr, sc_grid, rho_i, r_part):
+            return jax.vmap(lambda g: spline_eval(
+                cubic_spline(rr, g), r_part) * rho_i)(sc_grid)
+
+        sc_h = jax.vmap(one_scalar_halo)(grids, scalar_grids, rho_h,
+                                         halo_radius)
+        mixed = np.asarray(sc_h.sum(axis=0) / rho)
+        for j, name in enumerate(scalars):
+            particles["gas", name][in_cut] = mixed[j, in_cut]
     return particles
 
 

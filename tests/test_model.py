@@ -192,8 +192,51 @@ def test_h5_rmin_rmax_mask(canonical_model, tmp_path):
 def test_ascii_and_binary_writers(canonical_model, tmp_path):
     fa = str(tmp_path / "model.dat")
     canonical_model.write_model_to_ascii(fa)
-    data = np.loadtxt(fa)
+    data = _read_ecsv_data(fa)
     assert data.shape[0] == canonical_model.num_elements
+
+
+def _read_ecsv_data(fa):
+    lines = open(fa).read().splitlines()
+    first_data = next(i for i, ln in enumerate(lines)
+                      if not ln.startswith("#")) + 1  # + names row
+    return np.loadtxt(fa, skiprows=first_data)
+
+
+def test_ascii_is_valid_ecsv(canonical_model, tmp_path):
+    """The ASCII writer emits ECSV 1.0 (the format the reference's
+    QTable.write produces, model.py:307-340): validate the YAML header
+    structure + column/units round-trip without astropy, and with real
+    astropy when the environment has it."""
+    import yaml
+
+    fa = str(tmp_path / "model.ecsv")
+    canonical_model.write_model_to_ascii(fa)
+    lines = open(fa).read().splitlines()
+    assert lines[0] == "# %ECSV 1.0"
+    header_yaml = "\n".join(ln[2:] for ln in lines[1:]
+                            if ln.startswith("# "))
+    header = yaml.safe_load(header_yaml)
+    names = [c["name"] for c in header["datatype"]]
+    assert set(names) == set(canonical_model.fields.keys())
+    units_by_name = {c["name"]: c.get("unit", "") for c in header["datatype"]}
+    assert units_by_name["density"] == "Msun/kpc**3"
+    assert units_by_name["magnetic_field_strength"] == "G"
+    # column names row then data
+    name_row = next(ln for ln in lines if not ln.startswith("#"))
+    assert name_row.split() == names
+    data = _read_ecsv_data(fa)
+    assert data.shape == (canonical_model.num_elements, len(names))
+    assert np.allclose(data[:, names.index("radius")],
+                       np.asarray(canonical_model["radius"]), rtol=1e-12)
+
+    try:
+        from astropy.table import QTable
+    except ImportError:
+        return  # structural validation above is the in-image guarantee
+    t = QTable.read(fa)
+    assert t.colnames == names
+    assert str(t["radius"].unit) == "kpc"
 
     fb = str(tmp_path / "model.bin")
     canonical_model.write_model_to_binary(

@@ -30,9 +30,13 @@ def _iter_hyperslabs(dataset, grids):
 def _emit(dataset, run):
     lo = run[0].id - run[0]._id_offset
     hi = run[-1].id - run[-1]._id_offset + 1
-    block = dataset[lo:hi, :, :, :].transpose()
+    block = dataset[lo:hi, :, :, :]
+    # Our painter (data_structures._paint_chunk) writes blocks x-first, so
+    # each row is already the (nx, ny, nz) cube yt's grid.select expects —
+    # C-contiguous, z-fastest.  (The reference transposes here,
+    # frontend/io.py:81, because its Cython painter wrote z-first blocks.)
     for i, g in enumerate(run):
-        yield g, block[..., i]
+        yield g, block[i]
 
 
 class ClusterGeneratorIOHandler(BaseIOHandler):

@@ -83,7 +83,10 @@ def build_radius_tables(fields, r_max, dtype=jnp.float32):
         P = jnp.clip(mm / m_rmax, 0.0, 1.0)
         P = jnp.concatenate([jnp.zeros((1,), P.dtype), P])
         rins = jnp.concatenate([jnp.zeros((1,), rr.dtype), rr])
-        r_q = jnp.interp(q, P, rins)
+        # clamp at rm: beyond r_max, P plateaus at 1 and interp would walk
+        # the top quantile bin out to the plateau's far edge, giving draws
+        # past the truncation radius (the mass in that bin belongs AT rm)
+        r_q = jnp.minimum(jnp.interp(q, P, rins), rm)
         return r_q.astype(dtype), m_rmax
 
     out = {}
@@ -108,12 +111,21 @@ def _log_grid_locate(radius, rr, dtype):
 
 
 def _table_lerp(table, u):
-    """1D lerp of ``table`` at fractional positions u in [0, 1]."""
+    """1D lerp of ``table`` at fractional positions u in [0, 1].
+
+    The two lerp endpoints come back as ONE row-of-2 gather from a paired
+    (n-1, 2) copy of the table: on TPU a contiguous row gather costs ~2.7x
+    LESS than a single scalar gather (measured on v5e,
+    scripts/tpu_gather_experiments2.py A8), so pairing halves-then-some the
+    draw stage's dominant cost.
+    """
     n = table.shape[0]
+    pair = jnp.stack([table[:-1], table[1:]], axis=-1)  # (n-1, 2)
     x = jnp.clip(u * (n - 1), 0.0, n - 1 - 1e-6)
     j = x.astype(jnp.int32)
     w = x - j.astype(table.dtype)
-    return (1.0 - w) * table[j] + w * table[j + 1]
+    row = pair[j]
+    return (1.0 - w) * row[:, 0] + w * row[:, 1]
 
 
 def _isotropic(key, n, dtype):
@@ -125,39 +137,70 @@ def _isotropic(key, n, dtype):
                      axis=-1)
 
 
+def _build_joint_speed_pairs(fields_h, s_inv, r_q, dtype):
+    """Fold the per-psi inverse speed-CDF table onto the radius-quantile
+    axis as ABSOLUTE speeds, paired along the quantile axis for row
+    gathers.
+
+    The (n_grid, n_q) speed-fraction table ``s_inv`` is interpolated onto
+    the RQ radius-quantile nodes and multiplied by v_esc = sqrt(2 psi) at
+    each node, giving a single (RQ, n_q) joint table: a particle's speed
+    then needs no psi lookup at all.  Returned reshaped to
+    ``(RQ * (n_q - 1), 2)`` so the speed lerp at row k, quantile m is the
+    one row gather ``pairs[k * (n_q - 1) + m]``.  O(RQ x n_q) elementwise
+    work — trivial against the O(N_particle) draws it accelerates.
+    """
+    rr = fields_h["radius"]
+    psi_r = (-fields_h["gravitational_potential"]).astype(dtype)
+    j, w = _log_grid_locate(r_q.astype(dtype), rr, dtype)
+    psi_q = (1.0 - w) * psi_r[j] + w * psi_r[j + 1]
+    n_grid, n_q = s_inv.shape
+    # s_inv rows follow ee = psi_r reversed: bracketing rows are
+    # (n-2-j, n-1-j) with weight (1 - w)
+    k_row = jnp.clip(n_grid - 2 - j, 0, n_grid - 2)
+    wk = (1.0 - w)[:, None]
+    sd = s_inv.astype(dtype)
+    srow = (1.0 - wk) * sd[k_row] + wk * sd[k_row + 1]
+    joint = srow * jnp.sqrt(2.0 * psi_q)[:, None]  # (RQ, n_q)
+    pairs = jnp.stack([joint[:, :-1], joint[:, 1:]], axis=-1)
+    return pairs.reshape(-1, 2)
+
+
 def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
                           bulk_v, dtype):
     """Positions + virialized velocities for one halo's DM or stars.
 
-    Per particle: 2 gathers (radius quantile table) + 4 gathers (speed
-    table bilinear) — psi and the speed-table row come from the *computed*
-    log-grid index, no binary searches anywhere.
+    Per particle: ONE row-of-2 gather for the radius (paired quantile
+    table) + ONE row-of-2 gather for the speed (joint absolute-speed table,
+    :func:`_build_joint_speed_pairs`) — no psi lookup, no binary searches.
+    The joint table's radius-quantile row is picked stochastically between
+    the two nodes bracketing the drawn radius (Bernoulli on the lerp
+    weight), which preserves the conditional speed distribution to the
+    table's O(1/RQ) resolution; measured 5.7x faster than the previous
+    8-scalar-gather draw (scripts/tpu_gather_experiments2.py B).
     """
-    rr = fields_h["radius"]
-    kr, kv, ka, kva = jax.random.split(key, 4)
+    kr, kv, kb, ka, kva = jax.random.split(key, 5)
+    rq = r_q.astype(dtype)
+    RQ = rq.shape[0]
+    n_q = s_inv.shape[1]
+    r_pair = jnp.stack([rq[:-1], rq[1:]], axis=-1)            # (RQ-1, 2)
+    j_pair = _build_joint_speed_pairs(fields_h, s_inv, rq, dtype)
 
     u = jax.random.uniform(kr, (n,), dtype=dtype)
-    radius = _table_lerp(r_q, u)
+    x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-6)
+    kq = x.astype(jnp.int32)
+    wq = x - kq.astype(dtype)
+    rp = r_pair[kq]                                           # row gather 1
+    radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
 
-    # psi at radius via the log-grid computed index
-    psi_r = (-fields_h["gravitational_potential"]).astype(dtype)
-    j, w = _log_grid_locate(radius, rr, dtype)
-    psi = (1.0 - w) * psi_r[j] + w * psi_r[j + 1]
-
-    # speed-table rows: s_inv rows follow ee = psi_r reversed, so the
-    # bracketing rows are (N-2-j, N-1-j) with weight (1 - w)
-    n_grid, n_q = s_inv.shape
-    k_row = jnp.clip(n_grid - 2 - j, 0, n_grid - 2)
-    wk = 1.0 - w
     uq = jax.random.uniform(kv, (n,), dtype=dtype)
-    qpos = uq * (n_q - 1)
-    mq = jnp.clip(qpos.astype(jnp.int32), 0, n_q - 2)
-    wm = qpos - mq.astype(dtype)
-    sd = s_inv.astype(dtype)
-    s = ((1.0 - wk) * ((1.0 - wm) * sd[k_row, mq] + wm * sd[k_row, mq + 1])
-         + wk * ((1.0 - wm) * sd[k_row + 1, mq]
-                 + wm * sd[k_row + 1, mq + 1]))
-    speed = s * jnp.sqrt(2.0 * psi)
+    qm = jnp.clip(uq * (n_q - 1), 0.0, n_q - 1 - 1e-6)
+    m = qm.astype(jnp.int32)
+    wm = qm - m.astype(dtype)
+    bern = jax.random.uniform(kb, (n,), dtype=dtype) < wq
+    k_row = kq + bern.astype(jnp.int32)
+    sp = j_pair[k_row * (n_q - 1) + m]                        # row gather 2
+    speed = (1.0 - wm) * sp[:, 0] + wm * sp[:, 1]
 
     pos = radius[:, None] * _isotropic(ka, n, dtype) + center.astype(dtype)
     vel = speed[:, None] * _isotropic(kva, n, dtype) + bulk_v.astype(dtype)
@@ -179,38 +222,50 @@ def _mix_gas(pos, fields, centers, velocities, dtype):
     """Density-weighted gas mixing over all halos
     (reference particles.py:587-639, vectorized; log-grid computed-index
     interpolation — radii beyond the grid clamp to the last point, whose
-    density is ~0 at rmax=10^4 kpc)."""
+    density is ~0 at rmax=10^4 kpc).
+
+    Per particle per halo: ONE row-of-4 gather of
+    ``[rho_j, (rho e)_j, rho_{j+1}, (rho e)_{j+1}]`` instead of four scalar
+    gathers — 2.7x faster measured (scripts/tpu_gather_experiments2.py C).
+    The halo loop is a static Python unroll (H is 1-3) so each gather
+    stays a cheap 1D row fetch rather than a 2D (halo, row) gather.
+    """
     H = centers.shape[0]
     dens_t = fields["density"].astype(dtype)
     e_t = (1.5 * fields["pressure"] / fields["density"]).astype(dtype)
+    de = jnp.stack([dens_t, dens_t * e_t], axis=-1)          # (H, n, 2)
+    packed = jnp.concatenate([de[:, :-1], de[:, 1:]], axis=-1)  # (H, n-1, 4)
 
-    def halo(i):
+    dens = 0.0
+    eint = 0.0
+    mom = 0.0
+    for i in range(H):
         r = jnp.sqrt(((pos - centers[i].astype(dtype)) ** 2).sum(axis=1))
         j, w = _log_grid_locate(r, fields["radius"][i], dtype)
-        d = (1.0 - w) * dens_t[i, j] + w * dens_t[i, j + 1]
-        e = ((1.0 - w) * e_t[i, j] + w * e_t[i, j + 1]) * d
-        mom = velocities[i].astype(dtype)[None, :] * d[:, None]
-        return d, e, mom
-
-    d, e, mom = jax.vmap(halo)(jnp.arange(H))
-    dens = d.sum(axis=0)
-    eint = e.sum(axis=0) / dens
-    vel = mom.sum(axis=0) / dens[:, None]
-    return dens, eint, vel
+        row = packed[i][j]                                   # one row gather
+        d = (1.0 - w) * row[:, 0] + w * row[:, 2]
+        e = (1.0 - w) * row[:, 1] + w * row[:, 3]
+        dens = dens + d
+        eint = eint + e
+        mom = mom + velocities[i].astype(dtype)[None, :] * d[:, None]
+    return dens, eint / dens, mom / dens[:, None]
 
 
 def _potential_at(pos, fields, centers, dtype):
     """Total gravitational potential at particle positions: sum of every
-    halo's radial Phi(r) via the log-grid computed index."""
+    halo's radial Phi(r), each lerp one row-of-2 gather on the log-grid
+    computed index."""
     H = centers.shape[0]
     phi_t = fields["gravitational_potential"].astype(dtype)
+    pairs = jnp.stack([phi_t[:, :-1], phi_t[:, 1:]], axis=-1)  # (H, n-1, 2)
 
-    def halo(i):
+    total = 0.0
+    for i in range(H):
         r = jnp.sqrt(((pos - centers[i].astype(dtype)) ** 2).sum(axis=1))
         j, w = _log_grid_locate(r, fields["radius"][i], dtype)
-        return (1.0 - w) * phi_t[i, j] + w * phi_t[i, j + 1]
-
-    return jax.vmap(halo)(jnp.arange(H)).sum(axis=0)
+        row = pairs[i][j]
+        total = total + (1.0 - w) * row[:, 0] + w * row[:, 1]
+    return total
 
 
 @partial(jax.jit, static_argnames=("n_gas", "n_dm", "n_star", "n_tracer",

@@ -61,13 +61,14 @@ def main():
     key = jax.random.key(0)
 
     # ---------------------------------------------------------------- A8
-    log("== A8: row-of-2 gather vs table size ==")
-    N = 30_000_000
-    for rows in (2048, 1_048_576):
-        tab = jnp.asarray(np.random.rand(rows, 2).astype(np.float32))
-        idx = jax.random.randint(jax.random.key(1), (N,), 0, rows - 1)
-        timed(f"A8 rows={rows}", jax.jit(lambda t, i: t[i].sum(-1)),
-              tab, idx)
+    if not os.environ.get("SKIP_A8"):
+        log("== A8: row-of-2 gather vs table size ==")
+        N = 30_000_000
+        for rows in (2048, 1_048_576):
+            tab = jnp.asarray(np.random.rand(rows, 2).astype(np.float32))
+            idx = jax.random.randint(jax.random.key(1), (N,), 0, rows - 1)
+            timed(f"A8 rows={rows}", jax.jit(lambda t, i: t[i].sum(-1)),
+                  tab, idx)
 
     # ---------------------------------------------------------------- B
     log("== B. collisionless draw variants (4e6 particles) ==")

@@ -271,6 +271,38 @@ class ClusterParticles:
                         * np.ones(n_ptype))
         return cls(particle_types, fields)
 
+    @classmethod
+    def from_gadget_files(cls, filenames, ptypes=None):
+        """Read a multi-file Gadget snapshot (``NumFilesPerSnapshot > 1``).
+
+        ``filenames``: either an explicit list of shard paths, or a single
+        path to shard 0 (``...0.h5`` / ``...0.hdf5``) from which the
+        remaining shard names are derived using the header's
+        ``NumFilesPerSnapshot``.  Shards are concatenated in file order, so
+        round-trips preserve the particle order of
+        :func:`~cluster_generator_tpu.parallel.export
+        .write_sharded_gadget_files`.
+        """
+        import h5py
+
+        if isinstance(filenames, (str, Path)):
+            first = Path(filenames)
+            with h5py.File(first, "r") as f:
+                n_files = int(f["Header"].attrs["NumFilesPerSnapshot"])
+            stem, suffix = first.name, first.suffix
+            assert stem.endswith(f".0{suffix}"), \
+                (f"Pass shard 0 (named *.0{suffix}) or an explicit list; "
+                 f"got {first}")
+            base = stem[: -len(f".0{suffix}")]
+            filenames = [first.parent / f"{base}.{i}{suffix}"
+                         for i in range(n_files)]
+        shards = [cls.from_gadget_file(fn, ptypes=ptypes)
+                  for fn in filenames]
+        out = shards[0]
+        for s in shards[1:]:
+            out = out + s
+        return out
+
     def write_particles(self, output_filename, overwrite=False):
         """Write native-HDF5 particles (particles.py:337-363)."""
         import h5py
@@ -353,15 +385,27 @@ class ClusterParticles:
                     h5_group.create_dataset(field, data=data)
 
     def write_to_gadget_file(self, ic_filename, box_size, dtype="float32",
-                             overwrite=False, code=None):
-        """Write a Gadget-HDF5 IC file (particles.py:475-552)."""
+                             overwrite=False, code=None, num_files=1,
+                             file_num=0, id_offset=0):
+        """Write a Gadget-HDF5 IC file (particles.py:475-552).
+
+        ``num_files``/``file_num``/``id_offset`` support multi-file
+        snapshots (``NumFilesPerSnapshot > 1``): this container becomes
+        file ``file_num`` of ``num_files`` with particle IDs starting at
+        ``id_offset + 1``.  ``NumPart_Total`` is written equal to
+        ``NumPart_ThisFile``; for multi-file snapshots the caller patches
+        the global totals once every shard's counts are known
+        (:func:`~cluster_generator_tpu.parallel.export
+        .write_sharded_gadget_files` does this).  Returns the per-type
+        counts written to this file.
+        """
         import h5py
 
         if Path(ic_filename).exists() and not overwrite:
             raise IOError(f"Cannot create {ic_filename}. "
                           "It exists and overwrite=False.")
         num_particles = {}
-        npart = 0
+        npart = id_offset
         mass_table = np.zeros(6)
         with h5py.File(ic_filename, "w") as f:
             for ptype in self.particle_types:
@@ -373,7 +417,8 @@ class ClusterParticles:
                 ids = np.arange(num_particles[ptype]) + 1 + npart
                 g.create_dataset("ParticleIDs", data=ids.astype("uint32"))
                 npart += num_particles[ptype]
-                if ptype in ["star", "dm", "black_hole"]:
+                if ptype in ["star", "dm", "black_hole"] \
+                        and num_particles[ptype] > 0:
                     mass_table[int(rptype_map[ptype][-1])] = g["Masses"][0]
             hg = f.create_group("Header")
             hg.attrs["Time"] = 0.0
@@ -389,7 +434,7 @@ class ClusterParticles:
                  num_particles.get("black_hole", 0)], dtype="uint32")
             hg.attrs["NumPart_Total"] = hg.attrs["NumPart_ThisFile"]
             hg.attrs["NumPart_Total_HighWord"] = np.zeros(6, dtype="uint32")
-            hg.attrs["NumFilesPerSnapshot"] = 1
+            hg.attrs["NumFilesPerSnapshot"] = int(num_files)
             hg.attrs["MassTable"] = mass_table
             for flag in ["Flag_Sfr", "Flag_Cooling", "Flag_StellarAge",
                          "Flag_Metals", "Flag_Feedback",
@@ -398,6 +443,7 @@ class ClusterParticles:
             if code == "arepo":
                 cg = f.create_group("Config")
                 cg.attrs["VORONOI"] = 1
+        return num_particles
 
     def to_yt_dataset(self, box_size, ptypes=None):
         """In-memory yt particle dataset (particles.py:554-584).

@@ -294,3 +294,93 @@ def test_pipeline_energy_distribution():
 
     stat, pval = kstest(E[sel], lambda x: np.interp(x, grid, cdf_vals))
     assert pval > 1e-4, (stat, pval, int(sel.sum()))
+
+
+def test_sharded_gadget_export_roundtrip(tmp_path):
+    """Per-host sharded export: the virtual 8-device mesh writes 8 Gadget
+    shard files whose headers form one consistent snapshot, and
+    from_gadget_files reassembles the exact particle set."""
+    from jax.sharding import Mesh
+
+    import h5py
+    from cluster_generator_tpu.parallel.export import (
+        write_sharded_gadget_files,
+    )
+    from cluster_generator_tpu.particles import ClusterParticles
+    from cluster_generator_tpu.pipeline import (
+        build_merger_models,
+        build_radius_tables,
+        build_speed_tables,
+        sample_merger_ic_sharded,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("part",))
+    M200 = jnp.asarray([1.5e15, 1.0e15])
+    conc = jnp.asarray([4.0, 5.0])
+    centers = jnp.asarray([[-1500.0, 0, 0], [1500.0, 0, 0]])
+    vels = jnp.asarray([[0.3, 0, 0], [-0.45, 0, 0]])
+    rmax = jnp.asarray([3000.0, 3000.0])
+    f = build_merger_models(M200, conc, num_points=512)
+    tb = build_speed_tables(f)
+    tb["radius"] = build_radius_tables(f, rmax)
+    parts = sample_merger_ic_sharded(
+        mesh, f, tb, centers, vels, rmax, jax.random.key(3),
+        (8_000, 8_000), (8_000, 8_000), (1_600, 1_600),
+        compute_potential=True)
+
+    box = 14_000.0
+    base = tmp_path / "merger_ic"
+    files = write_sharded_gadget_files(parts, box, base, overwrite=False,
+                                       center_offset=[box / 2] * 3)
+    assert len(files) == 8
+    assert [fn.name for fn in files] == [f"merger_ic.{i}.h5"
+                                         for i in range(8)]
+
+    # headers: one consistent multi-file snapshot, globally unique IDs
+    totals, this_files, id_ranges = [], [], []
+    for fn in files:
+        with h5py.File(fn, "r") as fo:
+            hdr = fo["Header"].attrs
+            assert hdr["NumFilesPerSnapshot"] == 8
+            totals.append(np.asarray(hdr["NumPart_Total"]))
+            this_files.append(np.asarray(hdr["NumPart_ThisFile"]))
+            for pt in ("PartType0", "PartType1", "PartType4"):
+                ids = fo[pt]["ParticleIDs"][:]
+                id_ranges.append((ids.min(), ids.max()))
+    assert all((t == totals[0]).all() for t in totals)
+    np.testing.assert_array_equal(sum(this_files), totals[0])
+    all_ids = np.concatenate([np.arange(lo, hi + 1)
+                              for lo, hi in id_ranges])
+    assert len(np.unique(all_ids)) == len(all_ids)  # no ID overlap
+
+    # reassembly: shard 0's path is enough; totals match the device arrays
+    re = ClusterParticles.from_gadget_files(files[0])
+    # the box at 14000 kpc per side comfortably contains r_max=3000 draws,
+    # so no particles were clipped
+    assert re.num_particles["gas"] == 16_000
+    assert re.num_particles["dm"] == 16_000
+    assert re.num_particles["star"] == 3_200
+    got = re["dm", "particle_position"] - box / 2
+    want = np.asarray(parts["dm", "particle_position"], np.float64)
+    np.testing.assert_allclose(got, want, atol=2e-3)  # f32 file precision
+    # potentials round-trip through the Potential block
+    assert ("dm", "potential_energy") in re.fields
+    want_pot = np.asarray(parts["dm", "particle_potential"], np.float64)
+    np.testing.assert_allclose(re["dm", "potential_energy"], want_pot,
+                               rtol=1e-5)
+
+
+def test_radius_tables_honor_r_max(merger):
+    """Regression: the top quantile bin must not walk into the P=1 plateau
+    beyond r_max (it once produced draws at 3x the truncation radius)."""
+    parts, fields, tables = merger
+    rmax = 5000.0
+    for kind in ("gas", "dm", "star"):
+        assert float(np.asarray(tables["radius"][kind]).max()) <= rmax
+    centers = np.array([[-1500.0, 0, 0], [1500.0, 0, 0]])
+    for sp, n0 in (("gas", 60_000), ("dm", 50_000), ("star", 10_000)):
+        pos = np.asarray(parts[sp, "particle_position"], np.float64)
+        n1 = pos.shape[0] - n0 if sp != "gas" else pos.shape[0] - n0
+        r0 = np.linalg.norm(pos - centers[0], axis=1)
+        r1 = np.linalg.norm(pos - centers[1], axis=1)
+        assert (np.minimum(r0, r1) <= rmax + 1e-3).all()

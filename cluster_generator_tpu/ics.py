@@ -146,34 +146,54 @@ class ClusterICs:
 
     # ----------------------------------------------------------------- I/O
     def to_file(self, filename, overwrite=False):
-        """Write the scene description to YAML (ics.py:202-283)."""
+        """Write the scene description to YAML (ics.py:202-283).
+
+        Matches the reference's ruamel output — one key per line with an
+        EOL comment — emitted with plain PyYAML (one single-key dump per
+        line, flow-style sequences) so no extra dependency is needed; any
+        YAML 1.1 loader (including the reference's) reads it back.
+        """
         if os.path.exists(filename) and not overwrite:
             raise RuntimeError(f"{filename} exists and overwrite=False!")
         import yaml
 
-        out = {
-            "basename": self.basename,
-            "num_halos": self.num_halos,
-        }
+        out = [("basename", self.basename, "base name for ICs"),
+               ("num_halos", self.num_halos, "number of halos")]
         for i in range(self.num_halos):
-            out[f"profile{i+1}"] = self.profiles[i]
-            out[f"center{i+1}"] = [float(v) for v in self.center[i]]
-            out[f"velocity{i+1}"] = [float(v) for v in self.velocity[i]]
+            out.append((f"profile{i+1}", self.profiles[i],
+                        f"profile for cluster {i+1}"))
+            out.append((f"center{i+1}", [float(v) for v in self.center[i]],
+                        f"center for cluster {i+1}"))
+            out.append((f"velocity{i+1}",
+                        [float(v) for v in self.velocity[i]],
+                        f"velocity for cluster {i+1}"))
             if self.particle_files[i] is not None:
-                out[f"particle_file{i+1}"] = self.particle_files[i]
-        for key, name in [("dm", "num_dm_particles"),
-                          ("gas", "num_gas_particles"),
-                          ("star", "num_star_particles"),
-                          ("tracer", "num_tracer_particles")]:
+                out.append((f"particle_file{i+1}", self.particle_files[i],
+                            f"particle file for cluster {i+1}"))
+        for key, name, label in [("dm", "num_dm_particles", "DM"),
+                                 ("gas", "num_gas_particles", "gas"),
+                                 ("star", "num_star_particles", "star"),
+                                 ("tracer", "num_tracer_particles",
+                                  "tracer")]:
             if self.tot_np.get(key, 0) > 0:
-                out[name] = int(self.tot_np[key])
+                out.append((name, int(self.tot_np[key]),
+                            f"number of {label} particles"))
         if self.mag_file is not None:
-            out["mag_file"] = self.mag_file
-        out["r_max"] = [float(v) for v in self.r_max]
+            out.append(("mag_file", self.mag_file, "3D magnetic field file"))
+        out.append(("r_max", [float(v) for v in self.r_max],
+                    "Maximum radii of particles"))
         if self.tot_np.get("tracer", 0) > 0:
-            out["r_max_tracer"] = [float(v) for v in self.r_max_tracer]
+            out.append(("r_max_tracer",
+                        [float(v) for v in self.r_max_tracer],
+                        "Maximum radii of tracer particles"))
         with open(filename, "w") as f:
-            yaml.safe_dump(out, f, sort_keys=False)
+            for key, value, comment in out:
+                # block-style mapping, flow-style (inline) sequences
+                flow = None if isinstance(value, list) else False
+                line = yaml.safe_dump({key: value}, sort_keys=False,
+                                      default_flow_style=flow,
+                                      width=10**9).strip()
+                f.write(f"{line}   # {comment}\n")
 
     @classmethod
     def from_file(cls, filename):

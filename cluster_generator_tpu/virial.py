@@ -170,7 +170,8 @@ def check_virial_density(ee, f_vals):
 
 @partial(jax.jit, static_argnames=("n_s", "n_q", "table_dtype", "use_pallas"))
 def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
-                            table_dtype=None, use_pallas: bool = False):
+                            table_dtype=None, use_pallas: bool = False,
+                            row_ee=None):
     """Tabulated inverse speed-CDF for every psi on the grid.
 
     For each psi_j: with v = v_esc s, s in [0,1], v_esc = sqrt(2 psi_j),
@@ -184,10 +185,18 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
     negligible against the 1/n_q table resolution.  ``use_pallas`` routes
     the inversion through the gather-free Pallas kernel
     (ops/pallas_kernels.invert_cdf_rows).
+
+    ``row_ee``: optional energies for the table ROWS (default: one row per
+    ``ee`` entry).  The f(E) spline always uses the full (ee, f_vals) grid;
+    a coarser row grid shrinks the O(rows x n_s) accumulation/inversion —
+    consumers that interpolate between rows anyway (the pipeline's joint
+    speed table) lose no accuracy they weren't already giving up.
     """
     f_sp = cubic_spline(ee, f_vals)
+    if row_ee is None:
+        row_ee = ee
     s = jnp.linspace(0.0, 1.0, n_s)
-    E = ee[:, None] * (1.0 - s[None, :] ** 2)  # (N, n_s)
+    E = row_ee[:, None] * (1.0 - s[None, :] ** 2)  # (rows, n_s)
     if table_dtype is not None:
         # evaluate the (grid-sized, f64-solved) spline at the (N x n_s)
         # query block in reduced precision: the pdf only shapes a CDF that

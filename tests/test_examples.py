@@ -93,3 +93,11 @@ def test_bench_configs_smoke(tmp_path):
         assert rec["unit"] == "s" and rec["value"] > 0
         metrics.add(rec["metric"].split("_")[0])
     assert metrics == {"cfg1", "cfg2", "cfg3", "cfg5", "field"}
+
+
+def test_multichip_export_example(tmp_path):
+    res = _run("multichip_export.py", tmp_path)
+    assert "wrote 8 Gadget shard files" in res.stdout
+    assert (tmp_path / "merger_ic.0.h5").exists()
+    assert (tmp_path / "merger_ic.7.h5").exists()
+    assert "reassembled" in res.stdout

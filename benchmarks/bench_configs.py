@@ -94,12 +94,20 @@ def bench_cfg2():
     n_part = 10_000 if _SMOKE else 1_000_000
     kw = speed_table_defaults()
 
+    import numpy as np
+
+    # the class API's 256-row energy subgrid (virial._speed_table)
+    n_pts = 1000
+    row_idx = np.unique(np.round(
+        np.linspace(0, n_pts - 1, 256)).astype(int))
+
     @jax.jit
     def run(m, key):
-        f = build_one_cluster(m, 4.0, num_points=1000, with_df=True)
+        f = build_one_cluster(m, 4.0, num_points=n_pts, with_df=True)
         ee = -f["gravitational_potential"][::-1]
         df = f["dm_df"][::-1]
-        tab = speed_inverse_cdf_table(ee, df, **kw)
+        row_ee = ee[row_idx]
+        tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
         # radii via the enclosed-mass quantiles, then speeds
         u = jax.random.uniform(key, (n_part,))
         rr, mm = f["radius"], f["dark_matter_mass"]
@@ -107,7 +115,7 @@ def bench_cfg2():
         psi = jnp.interp(radius, rr, -f["gravitational_potential"])
         v = sample_speeds(radius.astype(tab.dtype),
                           psi.astype(tab.dtype),
-                          ee.astype(tab.dtype), tab, key)
+                          row_ee.astype(tab.dtype), tab, key)
         return v, jnp.min(df)
 
     def once(i):

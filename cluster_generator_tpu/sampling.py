@@ -205,9 +205,8 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
     psi_sp = cubic_spline(rgrid, psi_grid)
     psi_p = spline_eval(psi_sp, radius_sub)
 
-    ee = jnp.asarray(virial.ee)
-    s_inv = virial._speed_table()
-    speed_sub = sample_speeds(radius_sub, psi_p, ee, s_inv, k_v)
+    row_ee, s_inv = virial._speed_table()
+    speed_sub = sample_speeds(radius_sub, psi_p, row_ee, s_inv, k_v)
     speed = _tile(speed_sub, sub_sample, num_particles)
     vel = speed[:, None] * _isotropic_units(k_vang, num_particles)
 

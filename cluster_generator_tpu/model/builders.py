@@ -30,19 +30,28 @@ __all__ = ["build_from_dens_and_tden", "build_from_dens_and_temp",
            "build_no_gas", "derive_secondary_fields"]
 
 
-def derive_secondary_fields(fields: dict, stellar_density=None) -> dict:
+def derive_secondary_fields(fields: dict, stellar_density=None,
+                            total_density_fn=None) -> dict:
     """The ``_from_scratch`` derivations (model.py:213-269).
 
     Adds: gravitational_potential, gas_mass (if absent), stellar fields,
     dark-matter density/mass (with the reference's negative clamping),
     gas_fraction, electron_number_density, entropy.
+
+    ``total_density_fn``: when the caller still has the total-density
+    PROFILE (all builders do), the potential integrand evaluates it
+    directly — no spline rebuild of the sampled array, and the integral
+    sees the true profile at the Gauss-Legendre nodes rather than its
+    interpolant.
     """
     rr = fields["radius"]
 
     # Phi = -G [ M(<r)/r + 4 pi int_r^rmax rho_tot(r') r' dr' ]   (:220-226)
-    tdens_sp = cubic_spline(rr, fields["total_density"])
+    if total_density_fn is None:
+        tdens_sp = cubic_spline(rr, fields["total_density"])
+        total_density_fn = lambda r: spline_eval(tdens_sp, r)  # noqa: E731
     gpot2 = 4.0 * jnp.pi * integrate_from(
-        lambda r: spline_eval(tdens_sp, r) * r, rr)
+        lambda r: total_density_fn(r) * r, rr)
     gpot1 = fields["total_mass"] / rr
     fields["gravitational_potential"] = -C.G * (gpot1 + gpot2)
 
@@ -114,7 +123,8 @@ def build_from_dens_and_tden(rr, density, total_density, stellar_density=None,
     # (7.3e-61) individually underflow TPU f64 emulation, whose exponent
     # range is float32's; their folded ratio (~7e2) is well-scaled.
     fields["temperature"] = P / fields["density"] * (C.mu * C.mp / C.keV)
-    return derive_secondary_fields(fields, stellar_density)
+    return derive_secondary_fields(fields, stellar_density,
+                                   total_density_fn=total_density)
 
 
 @partial(jax.jit, static_argnames=("order",))
@@ -152,4 +162,5 @@ def build_no_gas(rr, total_density, stellar_density=None, order: int = 16) -> di
     fields["total_density"] = total_density(rr)
     fields["total_mass"] = integrate_mass(total_density, rr, order=order)
     fields["gravitational_field"] = -C.G * fields["total_mass"] / rr**2
-    return derive_secondary_fields(fields, stellar_density)
+    return derive_secondary_fields(fields, stellar_density,
+                                   total_density_fn=total_density)

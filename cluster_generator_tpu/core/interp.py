@@ -21,7 +21,20 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CubicSpline", "cubic_spline", "spline_eval", "interp"]
+__all__ = ["CubicSpline", "cubic_spline", "spline_eval", "interp",
+           "adjacent_pairs"]
+
+
+def adjacent_pairs(t):
+    """Stack adjacent elements of the last axis as ``(..., n-1, 2)`` rows.
+
+    Lerp tables are stored this way so ONE contiguous row-of-2 gather
+    fetches both endpoints — on TPU that costs ~2.7x less than a single
+    scalar gather (measured, scripts/tpu_gather_experiments2.py).  Every
+    paired-table site shares this helper so the pairing convention can't
+    drift.
+    """
+    return jnp.stack([t[..., :-1], t[..., 1:]], axis=-1)
 
 
 class CubicSpline(NamedTuple):

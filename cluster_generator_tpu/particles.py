@@ -386,17 +386,18 @@ class ClusterParticles:
 
     def write_to_gadget_file(self, ic_filename, box_size, dtype="float32",
                              overwrite=False, code=None, num_files=1,
-                             file_num=0, id_offset=0):
+                             file_num=0, id_offset=0, npart_total=None):
         """Write a Gadget-HDF5 IC file (particles.py:475-552).
 
-        ``num_files``/``file_num``/``id_offset`` support multi-file
-        snapshots (``NumFilesPerSnapshot > 1``): this container becomes
-        file ``file_num`` of ``num_files`` with particle IDs starting at
-        ``id_offset + 1``.  ``NumPart_Total`` is written equal to
-        ``NumPart_ThisFile``; for multi-file snapshots the caller patches
-        the global totals once every shard's counts are known
+        ``num_files``/``file_num``/``id_offset``/``npart_total`` support
+        multi-file snapshots (``NumFilesPerSnapshot > 1``): this container
+        becomes file ``file_num`` of ``num_files`` with particle IDs
+        starting at ``id_offset + 1`` and ``NumPart_Total`` taken from
+        ``npart_total`` (a uint32[6]); when ``npart_total`` is None the
+        totals are written equal to ``NumPart_ThisFile`` and multi-file
+        callers patch them afterwards
         (:func:`~cluster_generator_tpu.parallel.export
-        .write_sharded_gadget_files` does this).  Returns the per-type
+        .write_sharded_gadget_files` handles both).  Returns the per-type
         counts written to this file.
         """
         import h5py
@@ -432,7 +433,9 @@ class ClusterParticles:
                  num_particles.get("tracer", 0), 0,
                  num_particles.get("star", 0),
                  num_particles.get("black_hole", 0)], dtype="uint32")
-            hg.attrs["NumPart_Total"] = hg.attrs["NumPart_ThisFile"]
+            hg.attrs["NumPart_Total"] = (
+                hg.attrs["NumPart_ThisFile"] if npart_total is None
+                else np.asarray(npart_total, dtype="uint32"))
             hg.attrs["NumPart_Total_HighWord"] = np.zeros(6, dtype="uint32")
             hg.attrs["NumFilesPerSnapshot"] = int(num_files)
             hg.attrs["MassTable"] = mass_table

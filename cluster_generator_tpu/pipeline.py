@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .core.interp import adjacent_pairs
 from .parallel.ensemble import build_one_cluster
 from .virial import compute_df, speed_inverse_cdf_table, speed_table_defaults
 
@@ -146,7 +147,7 @@ def _table_lerp(table, u):
     draw stage's dominant cost.
     """
     n = table.shape[0]
-    pair = jnp.stack([table[:-1], table[1:]], axis=-1)  # (n-1, 2)
+    pair = adjacent_pairs(table)  # (n-1, 2)
     x = jnp.clip(u * (n - 1), 0.0, n - 1 - 1e-6)
     j = x.astype(jnp.int32)
     w = x - j.astype(table.dtype)
@@ -190,8 +191,7 @@ def _build_joint_speed_pairs(fields_h, s_inv, r_q, dtype):
     sd = s_inv.astype(dtype)
     srow = (1.0 - wk) * sd[k_row] + wk * sd[k_row + 1]
     joint = srow * jnp.sqrt(2.0 * psi_q)[:, None]  # (RQ, n_q)
-    pairs = jnp.stack([joint[:, :-1], joint[:, 1:]], axis=-1)
-    return pairs.reshape(-1, 2)
+    return adjacent_pairs(joint).reshape(-1, 2)
 
 
 def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
@@ -211,7 +211,7 @@ def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
     rq = r_q.astype(dtype)
     RQ = rq.shape[0]
     n_q = s_inv.shape[1]
-    r_pair = jnp.stack([rq[:-1], rq[1:]], axis=-1)            # (RQ-1, 2)
+    r_pair = adjacent_pairs(rq)                               # (RQ-1, 2)
     j_pair = _build_joint_speed_pairs(fields_h, s_inv, rq, dtype)
 
     u = jax.random.uniform(kr, (n,), dtype=dtype)
@@ -285,7 +285,7 @@ def _potential_at(pos, fields, centers, dtype):
     computed index."""
     H = centers.shape[0]
     phi_t = fields["gravitational_potential"].astype(dtype)
-    pairs = jnp.stack([phi_t[:, :-1], phi_t[:, 1:]], axis=-1)  # (H, n-1, 2)
+    pairs = adjacent_pairs(phi_t)                             # (H, n-1, 2)
 
     total = 0.0
     for i in range(H):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core.config import cgparams
-from .core.interp import cubic_spline, spline_eval
+from .core.interp import adjacent_pairs, cubic_spline, spline_eval
 from .core.logging import mylog
 from .core.scan_ops import cumsum
 
@@ -285,7 +285,7 @@ def sample_speeds(radius, psi_p, ee, s_inv, key):
     u = jax.random.uniform(key, radius.shape, dtype=s_inv.dtype)
 
     j = jnp.clip(jnp.searchsorted(ee, psi_p, side="right") - 1, 0, n - 2)
-    e_pair = jnp.stack([ee[:-1], ee[1:]], axis=-1)[j]     # row gather
+    e_pair = adjacent_pairs(ee)[j]                        # row gather
     wj = (psi_p - e_pair[:, 0]) / (e_pair[:, 1] - e_pair[:, 0])
     wj = jnp.clip(wj, 0.0, 1.0).astype(s_inv.dtype)
 
@@ -293,8 +293,7 @@ def sample_speeds(radius, psi_p, ee, s_inv, key):
     m = jnp.clip(qpos.astype(jnp.int32), 0, n_q - 2)
     wm = qpos - m
 
-    pairs = jnp.stack([s_inv[:, :-1], s_inv[:, 1:]],
-                      axis=-1).reshape(-1, 2)             # (n*(n_q-1), 2)
+    pairs = adjacent_pairs(s_inv).reshape(-1, 2)          # (n*(n_q-1), 2)
     flat = j * (n_q - 1) + m
     lo = pairs[flat]                                      # row gather
     hi = pairs[flat + (n_q - 1)]                          # row gather

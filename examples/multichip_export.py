@@ -39,15 +39,17 @@ tables = build_speed_tables(fields)
 tables["radius"] = build_radius_tables(fields, r_max)
 
 per = max(n_dev, int(2_000_000 / SCALE) // n_dev * n_dev)
+per_star = max(n_dev, per // 4 // n_dev * n_dev)  # must divide the mesh too
 parts = sample_merger_ic_sharded(
     mesh, fields, tables, centers, velocities, r_max, jax.random.key(11),
-    n_gas=(per, per), n_dm=(per, per), n_star=(per // 4, per // 4))
+    n_gas=(per, per), n_dm=(per, per), n_star=(per_star, per_star))
 
 box = 14_000.0
 files = write_sharded_gadget_files(parts, box, "merger_ic",
                                    center_offset=[box / 2] * 3)
 print(f"wrote {len(files)} Gadget shard files "
-      f"({2 * per:,} gas + {2 * per:,} dm + {per // 2:,} star particles)")
+      f"({2 * per:,} gas + {2 * per:,} dm + {2 * per_star:,} star "
+      "particles)")
 
 back = ClusterParticles.from_gadget_files(files[0])
 print("reassembled:", back)

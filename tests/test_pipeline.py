@@ -378,9 +378,68 @@ def test_radius_tables_honor_r_max(merger):
     for kind in ("gas", "dm", "star"):
         assert float(np.asarray(tables["radius"][kind]).max()) <= rmax
     centers = np.array([[-1500.0, 0, 0], [1500.0, 0, 0]])
-    for sp, n0 in (("gas", 60_000), ("dm", 50_000), ("star", 10_000)):
+    for sp in ("gas", "dm", "star"):
         pos = np.asarray(parts[sp, "particle_position"], np.float64)
-        n1 = pos.shape[0] - n0 if sp != "gas" else pos.shape[0] - n0
         r0 = np.linalg.norm(pos - centers[0], axis=1)
         r1 = np.linalg.norm(pos - centers[1], axis=1)
         assert (np.minimum(r0, r1) <= rmax + 1e-3).all()
+
+
+def test_sharded_export_with_clipping_and_replicated_axis(tmp_path):
+    """Global export metadata survives the hard cases: a 2-axis mesh whose
+    'ens' axis replicates every array (shards must dedupe to the 'part'
+    axis only), and a box small enough to clip particles (NumPart_Total
+    and the ID offsets must come from the post-clip collective counts,
+    not file order)."""
+    import h5py
+    from jax.sharding import Mesh
+
+    from cluster_generator_tpu.parallel.export import (
+        write_sharded_gadget_files,
+    )
+    from cluster_generator_tpu.particles import ClusterParticles
+    from cluster_generator_tpu.pipeline import (
+        build_merger_models,
+        build_radius_tables,
+        build_speed_tables,
+        sample_merger_ic_sharded,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("ens", "part"))
+    M200 = jnp.asarray([1.5e15, 1.0e15])
+    conc = jnp.asarray([4.0, 5.0])
+    centers = jnp.asarray([[-1200.0, 0, 0], [1200.0, 0, 0]])
+    vels = jnp.zeros((2, 3))
+    rmax = jnp.asarray([3000.0, 3000.0])
+    f = build_merger_models(M200, conc, num_points=512)
+    tb = build_speed_tables(f)
+    tb["radius"] = build_radius_tables(f, rmax)
+    parts = sample_merger_ic_sharded(
+        mesh, f, tb, centers, vels, rmax, jax.random.key(5),
+        (4_000, 4_000), (4_000, 4_000), (800, 800))
+
+    box = 5_000.0  # r_max + offset exceeds the box -> guaranteed clipping
+    files = write_sharded_gadget_files(parts, box, tmp_path / "clip",
+                                       center_offset=[box / 2] * 3)
+    assert len(files) == 4  # 'part' axis size, NOT the 8 devices
+
+    totals, this_files, all_ids = [], [], []
+    for fn in files:
+        with h5py.File(fn, "r") as fo:
+            hdr = fo["Header"].attrs
+            assert hdr["NumFilesPerSnapshot"] == 4
+            totals.append(np.asarray(hdr["NumPart_Total"]))
+            this_files.append(np.asarray(hdr["NumPart_ThisFile"]))
+            for pt in fo:
+                if pt.startswith("PartType"):
+                    all_ids.append(fo[pt]["ParticleIDs"][:])
+    # clipping really happened, totals are consistent and global
+    np.testing.assert_array_equal(sum(this_files), totals[0])
+    assert totals[0].sum() < 17_600
+    assert all((t == totals[0]).all() for t in totals)
+    ids = np.concatenate(all_ids)
+    assert len(np.unique(ids)) == len(ids)  # globally unique
+
+    re = ClusterParticles.from_gadget_files(files[0])
+    assert re.num_particles["dm"] == int(totals[0][1])
+    assert re.num_particles["gas"] == int(totals[0][0])

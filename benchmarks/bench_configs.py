@@ -73,8 +73,10 @@ def bench_cfg1():
     n = 512 if _SMOKE else 4096
     fn = jax.jit(lambda m, c: build_one_cluster(m, c, num_points=n,
                                                 with_df=False))
-    b = _baselines().get("cfg1_model_build_4096pt_s") or \
-        _baselines().get("cfg1_model_build_1000pt_s")
+    # the denominator must be the 4096-pt reference measurement
+    # (measure_reference_extra.py); report no ratio rather than one
+    # quietly computed against the ~5x-cheaper 1000-pt build
+    b = _baselines().get("cfg1_model_build_4096pt_s")
     _timed("cfg1_gas_model_4096pt_wall_time", b,
            lambda i: _force(fn(1.5e15 * (1 + 1e-6 * i), 4.0)["pressure"]))
 
@@ -108,14 +110,17 @@ def bench_cfg2():
         df = f["dm_df"][::-1]
         row_ee = ee[row_idx]
         tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
-        # radii via the enclosed-mass quantiles, then speeds
-        u = jax.random.uniform(key, (n_part,))
+        # radii via the enclosed-mass quantiles, then speeds — with an
+        # INDEPENDENT stream for the speed quantile (a shared key would
+        # correlate the radius and speed draws; SURVEY.md §7 hard part e)
+        k_r, k_v = jax.random.split(key)
+        u = jax.random.uniform(k_r, (n_part,))
         rr, mm = f["radius"], f["dark_matter_mass"]
         radius = jnp.interp(u * mm[-1], mm, rr)
         psi = jnp.interp(radius, rr, -f["gravitational_potential"])
         v = sample_speeds(radius.astype(tab.dtype),
                           psi.astype(tab.dtype),
-                          row_ee.astype(tab.dtype), tab, key)
+                          row_ee.astype(tab.dtype), tab, k_v)
         return v, jnp.min(df)
 
     def once(i):

@@ -485,18 +485,28 @@ def _sample_clusters(particles, hses, center, velocity, radii=None,
         rho   = sum_h rho_h(r_h)
         e_int = sum_h e_h rho_h / rho
         v     = sum_h v_h rho_h / rho
-    The (halo x particle) sweep is one vmapped spline batch over halos —
-    no Python accumulation loop, no in-place functional updates.
+    The sweep is vectorized over the PARTICLE axis (one batched spline
+    evaluation per halo); the halo axis is a static 1-3 iteration unroll,
+    which — unlike a stacked vmap — supports halos whose models were
+    built on DIFFERENT radial grid sizes, as the reference's per-halo
+    spline loop does.
     """
     scalars = list(passive_scalars) if passive_scalars else []
     halo_centers = jnp.asarray(np.asarray(center, dtype=np.float64))
-    bulk_velocities = jnp.asarray(np.asarray(velocity, dtype=np.float64))
+    bulk_velocities = np.asarray(velocity, dtype=np.float64)
     pos = jnp.asarray(particles["gas", "particle_position"])
 
-    usable = [h for h in hses if "density" in h]
-    for h in hses:
-        if "density" not in h:
+    usable = []
+    for i, h in enumerate(hses):
+        if "density" in h:
+            usable.append(i)
+        else:
             mylog.warning("No density field found in %s. Skipping.", h)
+    if not usable:
+        raise ValueError(
+            "Gas mixing needs at least one halo model with a 'density' "
+            f"field; none of the {len(hses)} provided models has one.")
+
     # (H, N) halo-centric particle radii — built for ALL halos so the
     # radial cut matches the reference even when a halo lacks gas fields
     halo_radius_all = jnp.linalg.norm(
@@ -508,31 +518,27 @@ def _sample_clusters(particles, hses, center, velocity, radii=None,
             halo_radius_all <= jnp.asarray(np.asarray(radii))[:, None],
             axis=0))
 
-    keep = np.asarray([("density" in h) for h in hses])
-    grids = jnp.stack([jnp.asarray(h["radius"]) for h in usable])
-    dens_grids = jnp.stack([jnp.asarray(h["density"]) for h in usable])
-    eint_grids = jnp.stack([1.5 * jnp.asarray(h["pressure"])
-                            / jnp.asarray(h["density"]) for h in usable])
-    scalar_grids = (jnp.stack(
-        [jnp.stack([jnp.asarray(h[name]) for name in scalars])
-         for h in usable]) if scalars else None)
-    halo_radius = halo_radius_all[jnp.asarray(keep)]
-
-    def one_halo(rr, dens_grid, eint_grid, r_part):
-        rho = spline_eval(cubic_spline(rr, dens_grid), r_part)
-        e_w = spline_eval(cubic_spline(rr, eint_grid), r_part) * rho
-        return rho, e_w
-
-    rho_h, e_h = jax.vmap(one_halo)(grids, dens_grids, eint_grids,
-                                    halo_radius)
-    rho = rho_h.sum(axis=0)
-    eint = e_h.sum(axis=0) / rho
-    vel = (bulk_velocities[jnp.asarray(keep), :, None]
-           * rho_h[:, None, :]).sum(axis=0) / rho
+    rho = 0.0
+    e_sum = 0.0
+    mom = 0.0
+    rho_per_halo = []
+    for i in usable:
+        h = hses[i]
+        rr = jnp.asarray(h["radius"])
+        r_part = halo_radius_all[i]
+        rho_i = spline_eval(cubic_spline(rr, jnp.asarray(h["density"])),
+                            r_part)
+        eint_grid = 1.5 * jnp.asarray(h["pressure"]) \
+            / jnp.asarray(h["density"])
+        e_sum = e_sum + spline_eval(cubic_spline(rr, eint_grid),
+                                    r_part) * rho_i
+        rho = rho + rho_i
+        mom = mom + bulk_velocities[i][None, :] * rho_i[:, None]
+        rho_per_halo.append(rho_i)
 
     dens = np.asarray(rho)
-    eint = np.asarray(eint)
-    vel = np.asarray(vel).T
+    eint = np.asarray(e_sum / rho)
+    vel = np.asarray(mom / rho[:, None])
     if resample:
         vol = (particles["gas", "particle_mass"]
                / particles["gas", "density"])
@@ -541,16 +547,16 @@ def _sample_clusters(particles, hses, center, velocity, radii=None,
     particles["gas", "density"][in_cut] = dens[in_cut]
     particles["gas", "thermal_energy"][in_cut] = eint[in_cut]
     particles["gas", "particle_velocity"][in_cut] = vel[in_cut]
-    if scalars:
-        def one_scalar_halo(rr, sc_grid, rho_i, r_part):
-            return jax.vmap(lambda g: spline_eval(
-                cubic_spline(rr, g), r_part) * rho_i)(sc_grid)
-
-        sc_h = jax.vmap(one_scalar_halo)(grids, scalar_grids, rho_h,
-                                         halo_radius)
-        mixed = np.asarray(sc_h.sum(axis=0) / rho)
-        for j, name in enumerate(scalars):
-            particles["gas", name][in_cut] = mixed[j, in_cut]
+    for name in scalars:
+        mixed = 0.0
+        for i, rho_i in zip(usable, rho_per_halo):
+            h = hses[i]
+            sc = spline_eval(
+                cubic_spline(jnp.asarray(h["radius"]),
+                             jnp.asarray(h[name])),
+                halo_radius_all[i])
+            mixed = mixed + sc * rho_i
+        particles["gas", name][in_cut] = np.asarray(mixed / rho)[in_cut]
     return particles
 
 

@@ -238,6 +238,10 @@ def test_ascii_is_valid_ecsv(canonical_model, tmp_path):
     assert t.colnames == names
     assert str(t["radius"].unit) == "kpc"
 
+
+def test_binary_writer_fortran_records(canonical_model, tmp_path):
+    """write_model_to_binary emits Fortran records with the requested
+    fields in cgs (reference model.py:342-365)."""
     fb = str(tmp_path / "model.bin")
     canonical_model.write_model_to_binary(
         fb, fields_to_write=["radius", "density", "pressure"], in_cgs=True)

@@ -198,3 +198,39 @@ def test_resample_with_passive_scalars(canonical_model):
     assert np.isfinite(z).all()
     assert z.max() <= 1.0 + 1e-6
     del canonical_model.fields["metallicity"]
+
+
+def test_combine_clusters_with_heterogeneous_grids(canonical_model):
+    """Regression: gas mixing must accept halo models built on DIFFERENT
+    radial grid sizes (a stacked-over-halos rewrite once required equal
+    shapes; the reference's per-halo spline loop never did)."""
+    import cluster_generator_tpu as cg
+
+    rhot = cg.snfw_density_profile(5e14, 400.0)
+    rhog = cg.vikhlinin_density_profile(1.0, 80.0, 1200.0, 1.0, 0.67, 3)
+    small = cg.ClusterModel.from_dens_and_tden(0.1, 1e4, rhog, rhot,
+                                               num_points=500)
+    assert small.num_elements != canonical_model.num_elements
+
+    p1 = canonical_model.generate_gas_particles(3000, r_max=2500.0, prng=31)
+    p2 = small.generate_gas_particles(3000, r_max=2500.0, prng=32)
+    parts = combine_two_clusters(
+        p1, p2, canonical_model, small,
+        [2000.0, 3000.0, 3000.0], [4000.0, 3000.0, 3000.0],
+        [0.3, 0.0, 0.0], [-0.3, 0.0, 0.0])
+    assert parts.num_particles["gas"] == 6000
+    assert (parts["gas", "density"] > 0).all()
+    assert np.isfinite(parts["gas", "thermal_energy"]).all()
+    assert (np.abs(parts["gas", "particle_velocity"][:, 0]) <= 0.3
+            + 1e-12).all()
+
+
+def test_sample_clusters_requires_a_density_field(canonical_model):
+    """A clear error (not an opaque stack failure) when no halo model has
+    gas fields."""
+    from cluster_generator_tpu.particles import _sample_clusters
+
+    p = canonical_model.generate_gas_particles(1000, r_max=2000.0, prng=33)
+    nogas = {"radius": np.asarray(canonical_model["radius"])}
+    with pytest.raises(ValueError, match="density"):
+        _sample_clusters(p, [nogas], [[0.0] * 3], [[0.0] * 3])

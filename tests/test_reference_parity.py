@@ -104,15 +104,22 @@ def reference_particles():
         return {k: grp[k][()] for k in grp}
 
 
+@pytest.fixture(scope="module")
+def framework_particles(canonical_model):
+    """The framework-side 200k draw, shared by the particle parity tests
+    (regenerating it per test tripled the wall-clock for nothing)."""
+    return canonical_model.generate_dm_particles(200_000, r_max=5000.0,
+                                                 prng=42)
+
+
 @needs_answers
 def test_particle_radius_distribution_matches_reference(
-        canonical_model, reference_particles):
+        framework_particles, reference_particles):
     """Two-sample KS on radii: reference draws (numpy MT19937 inverse-CDF)
     vs this framework's (jax.random + quantile tables), same model, same
     r_max.  Statistic threshold, not p-value: at n=2e5 the test resolves
     D ~ 6e-3; the table discretization sits well below it."""
-    mine = canonical_model.generate_dm_particles(200_000, r_max=5000.0,
-                                                 prng=42)
+    mine = framework_particles
     r_mine = np.linalg.norm(
         np.asarray(mine["dm", "particle_position"]), axis=1)
     r_ref = np.linalg.norm(
@@ -125,13 +132,12 @@ def test_particle_radius_distribution_matches_reference(
 
 @needs_answers
 def test_particle_speed_distribution_matches_reference(
-        canonical_model, reference_particles):
+        framework_particles, reference_particles):
     """Two-sample KS on speeds in a radial shell (the joint test lives in
     test_sampling.py); also total-speed distribution and second moment."""
     from scipy.stats import ks_2samp
 
-    mine = canonical_model.generate_dm_particles(200_000, r_max=5000.0,
-                                                 prng=42)
+    mine = framework_particles
     v_mine = np.linalg.norm(
         np.asarray(mine["dm", "particle_velocity"]), axis=1)
     v_ref = np.linalg.norm(
@@ -143,10 +149,9 @@ def test_particle_speed_distribution_matches_reference(
 
 
 @needs_answers
-def test_particle_masses_match_reference(canonical_model,
+def test_particle_masses_match_reference(framework_particles,
                                          reference_particles):
-    mine = canonical_model.generate_dm_particles(200_000, r_max=5000.0,
-                                                 prng=42)
+    mine = framework_particles
     m_mine = np.asarray(mine["dm", "particle_mass"])
     m_ref = reference_particles["particle_mass"]
     assert np.allclose(m_mine[0], m_ref[0], rtol=1e-6)

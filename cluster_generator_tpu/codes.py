@@ -193,11 +193,16 @@ def setup_arepo_ics(ics, boxsize, nx, ic_file, overwrite=False,
     posg = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"),
                     axis=0).reshape(3, ngrid).T
     rmax2 = ics.r_max**2
+    # background cells are those outside EVERY cluster (intersection of the
+    # outsides). The reference ORs the per-halo masks (codes.py:264-268),
+    # which for multi-halo scenes superimposes background gas throughout
+    # each cluster's interior — contradicting its own intent; fixed here
+    # like the other documented quirks (docs/migration.md).
     idxs = np.sum((posg - ics.center[0]) ** 2, axis=1) > rmax2[0]
     if ics.num_halos > 1:
-        idxs |= np.sum((posg - ics.center[1]) ** 2, axis=1) > rmax2[1]
+        idxs &= np.sum((posg - ics.center[1]) ** 2, axis=1) > rmax2[1]
     if ics.num_halos > 2:
-        idxs |= np.sum((posg - ics.center[2]) ** 2, axis=1) > rmax2[2]
+        idxs &= np.sum((posg - ics.center[2]) ** 2, axis=1) > rmax2[2]
     dV = dx**3
     nleft = int(idxs.sum())
     idens = int(np.argmin(cparts["gas", "density"]))

@@ -142,7 +142,53 @@ CGS_UNITS: dict[str, str] = {
     "stellar_density": "g/cm**3",
     "stellar_mass": "g",
     "gas_fraction": "dimensionless",
+    "velocity_dispersion": "cm/s",
 }
+
+# native-unit families for fields stored in non-galactic-base units (the
+# reference's ``_keep_units`` + temperature): only same-family units convert
+_NATIVE_GROUPS: dict[str, set[str]] = {
+    "keV": {"keV"},
+    "gauss": {"gauss", "G", "uG"},
+    "cm**-3": {"cm**-3"},
+    "keV*cm**2": {"keV*cm**2"},
+}
+
+
+def to_field_units(x, unit: str, field: str):
+    """Convert ``x`` given in ``unit`` into ``field``'s NATIVE storage unit,
+    refusing dimensionally-incompatible conversions.
+
+    Fields stored in galactic base units accept any registered unit of the
+    same dimension; fields stored natively in keV / gauss / cm^-3 accept
+    only their own unit family (e.g. temperature must come in keV — passing
+    Kelvin raises instead of silently storing K values as keV; convert
+    thermally with :func:`K_to_keV` first, as upstream unyt would also
+    refuse K -> keV without a thermal equivalence).
+    """
+    native = FIELD_UNITS.get(field)
+    if native is None:
+        return to_galactic(x, unit)
+    if native in _NATIVE_GROUPS:
+        group = _NATIVE_GROUPS[native]
+        if unit not in group:
+            raise ValueError(
+                f"Field {field!r} is stored in {native!r}; cannot convert "
+                f"from {unit!r} (accepted: {sorted(group)}). For "
+                "temperature in Kelvin use units.K_to_keV first.")
+        return np.asarray(x, np.float64) * (unit_factor(unit)
+                                            / unit_factor(native))
+    try:
+        f_u, d_u = _REGISTRY[unit]
+    except KeyError:
+        raise KeyError(f"Unknown unit {unit!r}; register it in "
+                       "core/units.py")
+    f_n, d_n = _REGISTRY[native]
+    if tuple(d_u) != tuple(d_n):
+        raise ValueError(
+            f"Unit {unit!r} (dimensions {d_u}) is not convertible to "
+            f"field {field!r}'s native {native!r} (dimensions {d_n}).")
+    return np.asarray(x, np.float64) * (f_u / f_n)
 
 
 def keV_to_K(T_keV):

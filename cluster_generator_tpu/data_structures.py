@@ -206,11 +206,18 @@ class YTHDF5:
                 elif field == "magnetic_pressure":
                     if "magnetic_field_strength" not in model.fields:
                         continue
-                    # p_B = B^2 / 8 pi (gaussian); convert erg/cm^3 -> galactic
+                    # p_B = B^2/(8 pi) in the Gaussian convention,
+                    # B^2/2 in Lorentz-Heaviside — honor however the
+                    # model's field was set (default gaussian, like the
+                    # setters); convert erg/cm^3 -> galactic
                     from .core import units as U
 
                     B = np.asarray(model["magnetic_field_strength"])
-                    yy = (B**2 / (8.0 * np.pi)) * U.unit_factor("erg/cm**3")
+                    if getattr(model, "magnetic_gaussian", True):
+                        p_B = B**2 / (8.0 * np.pi)
+                    else:
+                        p_B = B**2 / 2.0
+                    yy = p_B * U.unit_factor("erg/cm**3")
                 elif field in model.fields:
                     yy = np.asarray(model[field])
                 else:

@@ -125,7 +125,7 @@ class ClusterModel:
 
         T = S * n_e^{2/3} with n_e = rho / (mu_e m_p) in cm^-3.
         """
-        n_e = density * (1.0 / (C.mue * C.mp * C.kpc_to_cm**3))
+        n_e = units.density_to_ne(density)
         temperature = entropy * n_e ** (2.0 / 3.0)
         return cls.from_dens_and_temp(rmin, rmax, density, temperature,
                                       stellar_density=stellar_density,
@@ -288,11 +288,14 @@ class ClusterModel:
 
     # -------------------------------------------------------------- fields
     def set_field(self, name: str, value, unit: str | None = None):
-        """Set a field (size-checked), converting from ``unit`` if given
-        (model.py:458-472)."""
+        """Set a field (size-checked), converting from ``unit`` into the
+        field's NATIVE storage unit with a dimension check — a unit of the
+        wrong dimension (e.g. Kelvin for the keV-native temperature) raises
+        instead of silently mis-scaling (model.py:458-472; upstream's unyt
+        refuses such conversions too)."""
         value = np.asarray(value, dtype=np.float64)
-        if unit is not None and name not in self._keep_units:
-            value = units.to_galactic(value, unit)
+        if unit is not None:
+            value = units.to_field_units(value, unit, name)
         if value.size != self.num_elements:
             raise ValueError(f"The length of the array needs to be "
                              f"{self.num_elements} elements!")
@@ -388,6 +391,8 @@ class ClusterModel:
         if gaussian:
             B *= np.sqrt(4.0 * np.pi)
         self.set_field("magnetic_field_strength", B)
+        # consumers computing p_B = B^2/(8 pi) vs B^2/2 need the convention
+        self.magnetic_gaussian = gaussian
 
     def set_magnetic_field_from_density(self, B0, eta=2.0 / 3.0, gaussian=True):
         """B = B0 (rho/rho_0)^eta (model.py:741-764).  B0 in gauss."""
@@ -395,6 +400,7 @@ class ClusterModel:
         if not gaussian:
             B = B / np.sqrt(4.0 * np.pi)
         self.set_field("magnetic_field_strength", B)
+        self.magnetic_gaussian = gaussian
 
     # ------------------------------------------------------------ sampling
     def generate_tracer_particles(self, num_particles, r_max=None,

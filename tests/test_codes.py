@@ -111,3 +111,31 @@ def test_setup_gamer_ics_with_tracers(small_ics, tmp_path, monkeypatch):
         assert 0 in types  # tracer type id
     ics.tot_np["tracer"] = 0
     ics._determine_num_particles()
+
+
+def test_arepo_background_excludes_every_cluster(small_ics, tmp_path):
+    """Background grid cells must lie outside ALL clusters — the upstream
+    OR of per-halo masks put uniform background gas inside each cluster
+    (a documented intentional deviation, codes.py)."""
+    import h5py
+
+    _, d = small_ics
+    prof = os.path.join(d, "prof.h5")
+    ics = cg.ClusterICs("bg2", 2, [prof, prof],
+                        [[5000.0] * 3, [9000.0, 5000.0, 5000.0]],
+                        [[0.1, 0, 0], [-0.1, 0, 0]],
+                        num_particles={"dm": 1000, "gas": 800},
+                        r_max=2500.0)
+    icfile = str(tmp_path / "arepo_bg.h5")
+    cg.setup_arepo_ics(ics, 14000.0, 12, icfile, overwrite=True, prng=5)
+    with h5py.File(icfile, "r") as f:
+        pos = f["PartType0"]["Coordinates"][()].astype(np.float64)
+        rho = f["PartType0"]["Density"][()]
+    # background cells are appended after the 800 cluster gas particles
+    bg = np.zeros(len(rho), dtype=bool)
+    bg[800:] = True
+    assert bg.sum() > 0
+    assert np.allclose(rho[bg], rho[bg][0])  # uniform background density
+    for c, rm in zip(np.asarray(ics.center), np.asarray(ics.r_max)):
+        r = np.linalg.norm(pos[bg] - np.asarray(c), axis=1)
+        assert (r > rm).all(), "background cell inside a cluster"

@@ -304,3 +304,53 @@ def test_am06_pair():
     assert np.abs(m.check_hse()).max() < 1e-10
     Tv = np.asarray(m["temperature"])
     assert 0.5 < Tv.min() and Tv.max() < 10.0
+
+
+def test_set_field_unit_conversion_and_dimension_check(canonical_model):
+    """set_field converts into the field's NATIVE unit and refuses
+    dimensionally-incompatible units (Kelvin for keV-native temperature
+    once silently mis-scaled by 1.16e7)."""
+    m = canonical_model
+    n = m.num_elements
+    # same-dimension conversion into a galactic-base field
+    m2 = cg.ClusterModel(n, {k: np.array(v) for k, v in m.fields.items()})
+    rho_cgs = np.asarray(m["density"]) * units.galactic_to_cgs_factor(
+        "density")
+    m2.set_field("density", rho_cgs, unit="g/cm**3")
+    assert np.allclose(m2["density"], m["density"], rtol=1e-12)
+    # native-unit family conversion (uG -> gauss)
+    m2.set_field("magnetic_field_strength", np.full(n, 5.0), unit="uG")
+    assert np.allclose(m2["magnetic_field_strength"], 5.0e-6)
+    # wrong dimension refuses loudly
+    with pytest.raises(ValueError, match="keV"):
+        m2.set_field("temperature", np.full(n, 1.0e7), unit="K")
+    with pytest.raises(ValueError, match="not convertible"):
+        m2.set_field("density", np.full(n, 1.0), unit="kpc")
+
+
+def test_magnetic_pressure_painting_honors_convention(canonical_model,
+                                                      tmp_path):
+    """YTHDF5.add_model paints p_B = B^2/(8 pi) for Gaussian-convention
+    fields and B^2/2 for Lorentz-Heaviside ones (the model records which
+    setter convention produced its field)."""
+    import h5py
+
+    from cluster_generator_tpu.data_structures import YTHDF5
+
+    n = canonical_model.num_elements
+    fields = {k: np.array(v) for k, v in canonical_model.fields.items()}
+    m_g = cg.ClusterModel(n, dict(fields))
+    m_lh = cg.ClusterModel(n, dict(fields))
+    m_g.set_magnetic_field_from_beta(100.0, gaussian=True)
+    m_lh.set_magnetic_field_from_beta(100.0, gaussian=False)
+    # both conventions represent the SAME physical p_B = P/beta
+    vals = []
+    for tag, m in (("g", m_g), ("lh", m_lh)):
+        fn = str(tmp_path / f"{tag}.h5")
+        ds = YTHDF5.build(fn, (16, 16, 16),
+                          np.array([[-2000.0, 2000.0]] * 3), chunksize=16)
+        ds.add_model(m, [0, 0, 0], [0, 0, 0])
+        with h5py.File(fn) as f:
+            vals.append(f["grid"]["magnetic_pressure"][()])
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-12)
+    assert (vals[0] > 0).all()

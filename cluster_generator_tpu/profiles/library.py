@@ -36,44 +36,48 @@ def _nfw_factor(conc):
     return 1.0 / (jnp.log(conc + 1.0) - conc / (1.0 + conc))
 
 
+def _beta_model_profile_fn(p, r):
+    rho_c, r_c, beta = p
+    return rho_c * (1.0 + (r / r_c) ** 2) ** (-1.5 * beta)
+
+
 def beta_model_profile(rho_c, r_c, beta):
     """Beta-model density (Cavaliere & Fusco-Femiano 1976; ref :155-170)."""
 
-    def fn(p, r):
-        rho_c, r_c, beta = p
-        return rho_c * (1.0 + (r / r_c) ** 2) ** (-1.5 * beta)
+    return Profile(_beta_model_profile_fn, (rho_c, r_c, beta))
 
-    return Profile(fn, (rho_c, r_c, beta))
+
+def _hernquist_density_profile_fn(p, r):
+    M0, a = p
+    return M0 / (2.0 * jnp.pi * a**3) / ((r / a) * (1.0 + r / a) ** 3)
 
 
 def hernquist_density_profile(M_0, a):
     """Hernquist 1990 density (ref :173-186)."""
 
-    def fn(p, r):
-        M0, a = p
-        return M0 / (2.0 * jnp.pi * a**3) / ((r / a) * (1.0 + r / a) ** 3)
+    return Profile(_hernquist_density_profile_fn, (M_0, a))
 
-    return Profile(fn, (M_0, a))
+
+def _cored_hernquist_density_profile_fn(p, r):
+    M0, a, b = p
+    return M0 * b / (2.0 * jnp.pi * a**3) / ((1.0 + b * r / a) * (1.0 + r / a) ** 3)
 
 
 def cored_hernquist_density_profile(M_0, a, b):
     """Cored Hernquist density (ref :189-209)."""
 
-    def fn(p, r):
-        M0, a, b = p
-        return M0 * b / (2.0 * jnp.pi * a**3) / ((1.0 + b * r / a) * (1.0 + r / a) ** 3)
+    return Profile(_cored_hernquist_density_profile_fn, (M_0, a, b))
 
-    return Profile(fn, (M_0, a, b))
+
+def _hernquist_mass_profile_fn(p, r):
+    M0, a = p
+    return M0 * r**2 / (r + a) ** 2
 
 
 def hernquist_mass_profile(M_0, a):
     """Hernquist enclosed mass (ref :212-225)."""
 
-    def fn(p, r):
-        M0, a = p
-        return M0 * r**2 / (r + a) ** 2
-
-    return Profile(fn, (M_0, a))
+    return Profile(_hernquist_mass_profile_fn, (M_0, a))
 
 
 def convert_nfw_to_hernquist(M_200, r_200, conc):
@@ -83,26 +87,28 @@ def convert_nfw_to_hernquist(M_200, r_200, conc):
     return M0, a
 
 
+def _nfw_density_profile_fn(p, r):
+    rho_s, r_s = p
+    x = r / r_s
+    return rho_s / (x * (1.0 + x) ** 2)
+
+
 def nfw_density_profile(rho_s, r_s):
     """NFW 1996 density (ref :249-262)."""
 
-    def fn(p, r):
-        rho_s, r_s = p
-        x = r / r_s
-        return rho_s / (x * (1.0 + x) ** 2)
+    return Profile(_nfw_density_profile_fn, (rho_s, r_s))
 
-    return Profile(fn, (rho_s, r_s))
+
+def _nfw_mass_profile_fn(p, r):
+    rho_s, r_s = p
+    x = r / r_s
+    return 4.0 * jnp.pi * rho_s * r_s**3 * (jnp.log(1.0 + x) - x / (1.0 + x))
 
 
 def nfw_mass_profile(rho_s, r_s):
     """NFW enclosed mass (ref :265-282)."""
 
-    def fn(p, r):
-        rho_s, r_s = p
-        x = r / r_s
-        return 4.0 * jnp.pi * rho_s * r_s**3 * (jnp.log(1.0 + x) - x / (1.0 + x))
-
-    return Profile(fn, (rho_s, r_s))
+    return Profile(_nfw_mass_profile_fn, (rho_s, r_s))
 
 
 def nfw_scale_density(conc, z=0.0, delta=200.0, cosmo: Cosmology | None = None):
@@ -113,15 +119,31 @@ def nfw_scale_density(conc, z=0.0, delta=200.0, cosmo: Cosmology | None = None):
     return delta * rho_crit * conc**3 * _nfw_factor(conc) / 3.0
 
 
+def _tnfw_density_profile_fn(p, r):
+    rho_s, r_s, r_t = p
+    x = r / r_s
+    return rho_s / (x * (1.0 + x) ** 2) / (1.0 + (r / r_t) ** 2)
+
+
 def tnfw_density_profile(rho_s, r_s, r_t):
     """Truncated NFW density (Baltz+09; ref :316-336)."""
 
-    def fn(p, r):
-        rho_s, r_s, r_t = p
-        x = r / r_s
-        return rho_s / (x * (1.0 + x) ** 2) / (1.0 + (r / r_t) ** 2)
+    return Profile(_tnfw_density_profile_fn, (rho_s, r_s, r_t))
 
-    return Profile(fn, (rho_s, r_s, r_t))
+
+def _tnfw_mass_profile_fn(p, r):
+    rho_s, r_s, r_t = p
+    y = r / r_s
+    a = r_t / r_s
+    a2 = a * a
+    A = a2 * (a2 - 1.0) / (1.0 + a2) ** 2
+    B = -a2 / (1.0 + a2)
+    C = -A
+    D = 2.0 * a2 * a2 / (1.0 + a2) ** 2
+    F = (A * jnp.log(1.0 + y) + B * y / (1.0 + y)
+         + 0.5 * C * jnp.log(1.0 + (y / a) ** 2)
+         + (D / a) * jnp.arctan(y / a))
+    return 4.0 * jnp.pi * rho_s * r_s**3 * F
 
 
 def tnfw_mass_profile(rho_s, r_s, r_t):
@@ -137,43 +159,31 @@ def tnfw_mass_profile(rho_s, r_s, r_t):
         C = -A,                     D = 2 a^4/(1+a^2)^2.
     """
 
-    def fn(p, r):
-        rho_s, r_s, r_t = p
-        y = r / r_s
-        a = r_t / r_s
-        a2 = a * a
-        A = a2 * (a2 - 1.0) / (1.0 + a2) ** 2
-        B = -a2 / (1.0 + a2)
-        C = -A
-        D = 2.0 * a2 * a2 / (1.0 + a2) ** 2
-        F = (A * jnp.log(1.0 + y) + B * y / (1.0 + y)
-             + 0.5 * C * jnp.log(1.0 + (y / a) ** 2)
-             + (D / a) * jnp.arctan(y / a))
-        return 4.0 * jnp.pi * rho_s * r_s**3 * F
+    return Profile(_tnfw_mass_profile_fn, (rho_s, r_s, r_t))
 
-    return Profile(fn, (rho_s, r_s, r_t))
+
+def _snfw_density_profile_fn(p, r):
+    M, a = p
+    x = r / a
+    return 3.0 * M / (16.0 * jnp.pi * a**3) / (x * (1.0 + x) ** 2.5)
 
 
 def snfw_density_profile(M, a):
     """Super-NFW density (Lilley+18; ref :369-386)."""
 
-    def fn(p, r):
-        M, a = p
-        x = r / a
-        return 3.0 * M / (16.0 * jnp.pi * a**3) / (x * (1.0 + x) ** 2.5)
+    return Profile(_snfw_density_profile_fn, (M, a))
 
-    return Profile(fn, (M, a))
+
+def _snfw_mass_profile_fn(p, r):
+    M, a = p
+    x = r / a
+    return M * (1.0 - (2.0 + 3.0 * x) / (2.0 * (1.0 + x) ** 1.5))
 
 
 def snfw_mass_profile(M, a):
     """Super-NFW enclosed mass (ref :389-406)."""
 
-    def fn(p, r):
-        M, a = p
-        x = r / a
-        return M * (1.0 - (2.0 + 3.0 * x) / (2.0 * (1.0 + x) ** 1.5))
-
-    return Profile(fn, (M, a))
+    return Profile(_snfw_mass_profile_fn, (M, a))
 
 
 def snfw_total_mass(mass, radius, a):
@@ -183,38 +193,54 @@ def snfw_total_mass(mass, radius, a):
     return mass / frac
 
 
+def _cored_snfw_density_profile_fn(p, r):
+    M, a, r_c = p
+    b = a / r_c
+    x = r / a
+    return 3.0 * M * b / (16.0 * jnp.pi * a**3) / ((1.0 + b * x) * (1.0 + x) ** 2.5)
+
+
 def cored_snfw_density_profile(M, a, r_c):
     """Cored super-NFW density (ref :428-450)."""
 
-    def fn(p, r):
-        M, a, r_c = p
-        b = a / r_c
-        x = r / a
-        return 3.0 * M * b / (16.0 * jnp.pi * a**3) / ((1.0 + b * x) * (1.0 + x) ** 2.5)
+    return Profile(_cored_snfw_density_profile_fn, (M, a, r_c))
 
-    return Profile(fn, (M, a, r_c))
+
+def _cored_snfw_mass_profile_fn(p, r):
+    M, a, r_c = p
+    b = a / r_c
+    x = r / a
+    y = jnp.sqrt(x + 1.0)
+    e = b * (b - 1.0) ** 2
+    ret = (1.0 - 1.0 / y) * (b - 2.0) / (b - 1.0) ** 2
+    ret = ret + (1.0 / y**3 - 1.0) / (3.0 * (b - 1.0))
+    # third term: Re[d (arctan(y d) - arctan(d))] with d = sqrt(b/(1-b)).
+    # For b < 1, d is real and the arctans evaluate directly; for b > 1,
+    # d = i g with g = sqrt(b/(b-1)) > 1 and the principal branch gives
+    # Re[d arctan(i z g-ish)] = -g artanh(1/z), so the difference becomes
+    # g (artanh(1/g) - artanh(1/(y g))) — all real (double-where guards
+    # keep the inactive branch finite for clean gradients).
+    sub = b < 1.0
+    d_lt = jnp.sqrt(b / jnp.where(sub, 1.0 - b, 1.0))
+    t_lt = d_lt * (jnp.arctan(y * d_lt) - jnp.arctan(d_lt))
+    g = jnp.sqrt(b / jnp.where(sub, 1.0, b - 1.0))
+    g_safe = jnp.where(sub, 2.0, g)
+    t_gt = g_safe * (jnp.arctanh(1.0 / g_safe)
+                     - jnp.arctanh(1.0 / (y * g_safe)))
+    ret = ret + jnp.where(sub, t_lt, t_gt) / e
+    return 1.5 * M * b * ret
 
 
 def cored_snfw_mass_profile(M, a, r_c):
     """Cored super-NFW enclosed mass (ref :453-479).
 
     The reference evaluates a complex-valued arctan branch and casts to
-    float; we keep the same closed form in complex128 and take the real part.
-    """
+    float; complex128 does not exist on TPU, so the closed form is
+    evaluated real-valued with the principal-branch identity per the
+    b <-> 1 regimes (same values to roundoff — tested against quadrature
+    of the density on both sides of b = 1)."""
 
-    def fn(p, r):
-        M, a, r_c = p
-        b = a / r_c
-        x = r / a
-        y = jnp.sqrt(x + 1.0).astype(jnp.complex128)
-        d = jnp.sqrt(jnp.asarray(b / (1.0 - b), jnp.complex128))
-        e = b * (b - 1.0) ** 2
-        ret = (1.0 - 1.0 / y) * (b - 2.0) / (b - 1.0) ** 2
-        ret = ret + (1.0 / y**3 - 1.0) / (3.0 * (b - 1.0))
-        ret = ret + d * (jnp.arctan(y * d) - jnp.arctan(d)) / e
-        return 1.5 * M * b * jnp.real(ret)
-
-    return Profile(fn, (M, a, r_c))
+    return Profile(_cored_snfw_mass_profile_fn, (M, a, r_c))
 
 
 def snfw_conc(conc_nfw):
@@ -233,19 +259,28 @@ def _dn(n):
     return 3.0 * n - 1.0 / 3.0 + 8.0 / (1215.0 * n) + 184.0 / (229635.0 * n * n)
 
 
+def _einasto_density_profile_fn(p, r):
+    M, r_s, n = p
+    alpha = 1.0 / n
+    h = r_s / _dn(n) ** n
+    # gamma(3n) = exp(gammaln(3n))
+    rho_0 = M / (4.0 * jnp.pi * h**3 * n * jnp.exp(gammaln(3.0 * n)))
+    s = r / h
+    return rho_0 * jnp.exp(-(s**alpha))
+
+
 def einasto_density_profile(M, r_s, n):
     """Einasto density (Retana-Montenegro+12 §2; ref :521-546)."""
 
-    def fn(p, r):
-        M, r_s, n = p
-        alpha = 1.0 / n
-        h = r_s / _dn(n) ** n
-        # gamma(3n) = exp(gammaln(3n))
-        rho_0 = M / (4.0 * jnp.pi * h**3 * n * jnp.exp(gammaln(3.0 * n)))
-        s = r / h
-        return rho_0 * jnp.exp(-(s**alpha))
+    return Profile(_einasto_density_profile_fn, (M, r_s, n))
 
-    return Profile(fn, (M, r_s, n))
+
+def _einasto_mass_profile_fn(p, r):
+    M, r_s, n = p
+    alpha = 1.0 / n
+    h = r_s / _dn(n) ** n
+    s = r / h
+    return M * gammainc(3.0 * n, s**alpha)
 
 
 def einasto_mass_profile(M, r_s, n):
@@ -255,27 +290,28 @@ def einasto_mass_profile(M, r_s, n):
     with the regularized lower incomplete gamma.
     """
 
-    def fn(p, r):
-        M, r_s, n = p
-        alpha = 1.0 / n
-        h = r_s / _dn(n) ** n
-        s = r / h
-        return M * gammainc(3.0 * n, s**alpha)
+    return Profile(_einasto_mass_profile_fn, (M, r_s, n))
 
-    return Profile(fn, (M, r_s, n))
+
+def _am06_density_profile_fn(p, r):
+    rho_0, a, a_c, c, n = p
+    alpha = -1.0 - n * (c - 1.0) / (c - a / a_c)
+    beta = 1.0 - n * (1.0 - a / a_c) / (c - a / a_c)
+    return (rho_0 * (1.0 + r / a_c) * (1.0 + r / (a_c * c)) ** alpha
+            * (1.0 + r / a) ** beta)
 
 
 def am06_density_profile(rho_0, a, a_c, c, n):
     """Ascasibar & Markevitch 2006 density (ref :576-602)."""
 
-    def fn(p, r):
-        rho_0, a, a_c, c, n = p
-        alpha = -1.0 - n * (c - 1.0) / (c - a / a_c)
-        beta = 1.0 - n * (1.0 - a / a_c) / (c - a / a_c)
-        return (rho_0 * (1.0 + r / a_c) * (1.0 + r / (a_c * c)) ** alpha
-                * (1.0 + r / a) ** beta)
+    return Profile(_am06_density_profile_fn, (rho_0, a, a_c, c, n))
 
-    return Profile(fn, (rho_0, a, a_c, c, n))
+
+def _vikhlinin_density_profile_fn(p, r):
+    rho_0, r_c, r_s, alpha, beta, epsilon, gamma = p
+    return (rho_0 * (r / r_c) ** (-0.5 * alpha)
+            * (1.0 + (r / r_c) ** 2) ** (-1.5 * beta + 0.25 * alpha)
+            * (1.0 + (r / r_s) ** gamma) ** (-0.5 * epsilon / gamma))
 
 
 def vikhlinin_density_profile(rho_0, r_c, r_s, alpha, beta, epsilon, gamma=None):
@@ -283,65 +319,64 @@ def vikhlinin_density_profile(rho_0, r_c, r_s, alpha, beta, epsilon, gamma=None)
     if gamma is None:
         gamma = 3.0
 
-    def fn(p, r):
-        rho_0, r_c, r_s, alpha, beta, epsilon, gamma = p
-        return (rho_0 * (r / r_c) ** (-0.5 * alpha)
-                * (1.0 + (r / r_c) ** 2) ** (-1.5 * beta + 0.25 * alpha)
-                * (1.0 + (r / r_s) ** gamma) ** (-0.5 * epsilon / gamma))
+    return Profile(_vikhlinin_density_profile_fn, (rho_0, r_c, r_s, alpha, beta, epsilon, gamma))
 
-    return Profile(fn, (rho_0, r_c, r_s, alpha, beta, epsilon, gamma))
+
+def _vikhlinin_temperature_profile_fn(p, r):
+    T_0, a, b, c, r_t, T_min, r_cool, a_cool = p
+    x = (r / r_cool) ** a_cool
+    t = (r / r_t) ** (-a) / (1.0 + (r / r_t) ** b) ** (c / b)
+    return T_0 * t * (x + T_min / T_0) / (x + 1.0)
 
 
 def vikhlinin_temperature_profile(T_0, a, b, c, r_t, T_min, r_cool, a_cool):
     """Vikhlinin+06 temperature (ref :640-671)."""
 
-    def fn(p, r):
-        T_0, a, b, c, r_t, T_min, r_cool, a_cool = p
-        x = (r / r_cool) ** a_cool
-        t = (r / r_t) ** (-a) / (1.0 + (r / r_t) ** b) ** (c / b)
-        return T_0 * t * (x + T_min / T_0) / (x + 1.0)
+    return Profile(_vikhlinin_temperature_profile_fn, (T_0, a, b, c, r_t, T_min, r_cool, a_cool))
 
-    return Profile(fn, (T_0, a, b, c, r_t, T_min, r_cool, a_cool))
+
+def _am06_temperature_profile_fn(p, r):
+    T_0, a, a_c, c = p
+    return T_0 / (1.0 + r / a) * (c + r / a_c) / (1.0 + r / a_c)
 
 
 def am06_temperature_profile(T_0, a, a_c, c):
     """AM06 temperature (ref :674-692)."""
 
-    def fn(p, r):
-        T_0, a, a_c, c = p
-        return T_0 / (1.0 + r / a) * (c + r / a_c) / (1.0 + r / a_c)
+    return Profile(_am06_temperature_profile_fn, (T_0, a, a_c, c))
 
-    return Profile(fn, (T_0, a, a_c, c))
+
+def _baseline_entropy_profile_fn(p, r):
+    K_0, K_200, r_200, alpha = p
+    return K_0 + K_200 * (r / r_200) ** alpha
 
 
 def baseline_entropy_profile(K_0, K_200, r_200, alpha):
     """Voit+05 baseline entropy (ref :695-712)."""
 
-    def fn(p, r):
-        K_0, K_200, r_200, alpha = p
-        return K_0 + K_200 * (r / r_200) ** alpha
+    return Profile(_baseline_entropy_profile_fn, (K_0, K_200, r_200, alpha))
 
-    return Profile(fn, (K_0, K_200, r_200, alpha))
+
+def _broken_entropy_profile_fn(p, r):
+    r_s, K_scale, alpha, K_0 = p
+    x = r / r_s
+    ret = (x**alpha) * (1.0 + x**5) ** (0.2 * (1.1 - alpha))
+    return K_scale * (K_0 + ret)
 
 
 def broken_entropy_profile(r_s, K_scale, alpha, K_0=0.0):
     """Broken power-law entropy (ref :715-721)."""
 
-    def fn(p, r):
-        r_s, K_scale, alpha, K_0 = p
-        x = r / r_s
-        ret = (x**alpha) * (1.0 + x**5) ** (0.2 * (1.1 - alpha))
-        return K_scale * (K_0 + ret)
+    return Profile(_broken_entropy_profile_fn, (r_s, K_scale, alpha, K_0))
 
-    return Profile(fn, (r_s, K_scale, alpha, K_0))
+
+def _walker_entropy_profile_fn(p, r):
+    r_200, A, B, K_scale, alpha = p
+    x = r / r_200
+    return K_scale * (A * x**alpha) * jnp.exp(-((x / B) ** 2))
 
 
 def walker_entropy_profile(r_200, A, B, K_scale, alpha=1.1):
     """Walker+12-style entropy (ref :724-729)."""
 
-    def fn(p, r):
-        r_200, A, B, K_scale, alpha = p
-        x = r / r_200
-        return K_scale * (A * x**alpha) * jnp.exp(-((x / B) ** 2))
-
-    return Profile(fn, (r_200, A, B, K_scale, alpha))
+    return Profile(_walker_entropy_profile_fn, (r_200, A, B, K_scale, alpha))

@@ -56,12 +56,17 @@ def find_radius_mass(m_r: Profile, delta, z=0.0, cosmo: Cosmology | None = None)
     """(r_delta, M(r_delta)) for a mass profile (radial_profiles.py:791-817).
 
     Bisection on f(r) = 3 M(r) / (4 pi r^3) - delta rho_crit over the same
-    [0.01, 10000] kpc bracket the reference uses, unrolled to a fixed
-    iteration count (jit/vmap-safe, no data-dependent control flow) and
+    [0.01, 10000] kpc bracket the reference uses, with a fixed count of
+    100 halvings (jit/vmap-safe, no data-dependent control flow) and
     wrapped in ``lax.custom_root`` so r_delta carries exact *implicit*
     derivatives with respect to the profile parameters — bisection alone is
     piecewise-constant and would silently zero the dr/dtheta chain in any
     gradient-based calibration (tests/test_autodiff.py).
+
+    Returns NaN when the bracket does not straddle a root (same-signed
+    ``f`` at both ends — e.g. r_delta outside [0.01, 10000] kpc), where
+    the reference's ``scipy.bisect`` raised; a silent bracket-endpoint
+    answer would be wrong physics.
     """
     if cosmo is None:
         cosmo = default_cosmology()
@@ -74,6 +79,7 @@ def find_radius_mass(m_r: Profile, delta, z=0.0, cosmo: Cosmology | None = None)
         lo = jnp.asarray(_BRACKET[0], jnp.float64)
         hi = jnp.asarray(_BRACKET[1], jnp.float64)
         flo = fn(lo)
+        bracketed = jnp.sign(flo) != jnp.sign(fn(hi))
 
         def body(_, state):
             lo, hi, flo = state
@@ -86,7 +92,7 @@ def find_radius_mass(m_r: Profile, delta, z=0.0, cosmo: Cosmology | None = None)
             return lo2, hi2, flo2
 
         lo, hi, _ = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi, flo))
-        return 0.5 * (lo + hi)
+        return jnp.where(bracketed, 0.5 * (lo + hi), jnp.nan)
 
     def tangent_solve(g, y):
         # g is linear & scalar: solve g(x) = y

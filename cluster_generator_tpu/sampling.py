@@ -70,6 +70,13 @@ def _truncated_cdf(r, m, dens=None, r_max=None):
         ridx = r.size
     else:
         ridx = int(np.searchsorted(r, r_max))
+        if ridx == 0:
+            # ridx-1 would wrap to the LAST grid point, silently using the
+            # full-grid mass and sampling far beyond r_max (latent in the
+            # reference too, utils.py:154-166)
+            raise ValueError(
+                f"r_max={r_max} lies below the first grid point "
+                f"(r[0]={r[0]}); nothing to sample.")
     mtot = m_eff[ridx - 1]
     P = np.clip(m_eff / mtot, 0.0, 1.0)
     P = np.maximum.accumulate(P)
@@ -109,7 +116,11 @@ def _isotropic_units(key, num):
 
 def _tile(arr, sub_sample, num):
     if sub_sample > 1:
-        return jnp.tile(arr, sub_sample)[:num]
+        # num may not divide sub_sample: tile one extra copy so the
+        # truncation always has >= num elements (num_sub = num//sub_sample
+        # rounds down; without the +1 a 10-particle sub_sample=3 draw
+        # yielded 9 and crashed downstream broadcasting)
+        return jnp.tile(arr, sub_sample + 1)[:num]
     return arr
 
 

@@ -177,3 +177,73 @@ def test_relations():
 
     rho = units.ne_to_density(0.01)
     assert units.density_to_ne(rho) == pytest.approx(0.01)
+
+
+def test_profiles_share_treedefs_no_retrace():
+    """Rebuilding a profile (or the same composed expression) must not
+    retrace jitted consumers: eval fns are module-level / cached, so
+    pytree treedefs compare equal (once, every factory call minted a new
+    closure and every host-side parameter loop recompiled the builders)."""
+    import jax
+
+    p1 = cg.beta_model_profile(1.0, 100.0, 0.67)
+    p2 = cg.beta_model_profile(2.0, 150.0, 0.70)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+
+    c1 = 2.0 * cg.snfw_density_profile(1e15, 500.0) \
+        + cg.beta_model_profile(1.0, 100.0, 0.67) ** 2.0
+    c2 = 3.0 * cg.snfw_density_profile(2e15, 400.0) \
+        + cg.beta_model_profile(2.0, 90.0, 0.70) ** 2.0
+    assert jax.tree_util.tree_structure(c1) == jax.tree_util.tree_structure(c2)
+
+    traces = []
+
+    @jax.jit
+    def f(p, r):
+        traces.append(1)
+        return p(r)
+
+    r = jnp.ones(8)
+    f(p1, r), f(p2, r), f(c1, r), f(c2, r)
+    assert len(traces) == 2  # one per distinct STRUCTURE, not per profile
+
+
+def test_cored_snfw_mass_real_valued_both_branches():
+    """The TPU-compilable real-valued cored-sNFW mass matches quadrature
+    of the density on BOTH sides of b = a/r_c = 1 (the reference's
+    complex128 arctan branch cannot compile on TPU)."""
+    from scipy.integrate import quad
+
+    M = 1.0e15
+    for a, rc in [(500.0, 800.0), (500.0, 200.0),
+                  (500.0, 499.0), (500.0, 501.0)]:
+        dens = cg.cored_snfw_density_profile(M, a, rc)
+        mass = cg.cored_snfw_mass_profile(M, a, rc)
+        for r in (50.0, 500.0, 3000.0):
+            mq = 4 * np.pi * quad(
+                lambda s: float(np.asarray(dens(jnp.asarray([s])))[0])
+                * s * s, 0, r, limit=300)[0]
+            mv = float(np.asarray(mass(jnp.asarray([r])))[0])
+            # the closed form's own b->1 cancellation bounds the error
+            assert abs(mv - mq) / mq < 2e-6, (a, rc, r)
+        import jax
+
+        g = np.asarray(jax.grad(lambda rr: jnp.sum(mass(rr)))(
+            jnp.asarray([100.0, 1000.0])))
+        assert np.isfinite(g).all()
+    # total-mass helper: the returned M parameter makes the enclosed
+    # mass at `radius` equal the requested mass
+    m_param = float(cg.cored_snfw_total_mass(M, 2000.0, 500.0, 200.0))
+    enc = float(np.asarray(cg.cored_snfw_mass_profile(
+        m_param, 500.0, 200.0)(jnp.asarray([2000.0])))[0])
+    assert abs(enc - M) / M < 1e-10
+
+
+def test_find_radius_mass_unbracketed_returns_nan():
+    """Same-signed f at both bracket ends must not silently return a
+    bracket endpoint (the reference's scipy.bisect raised there)."""
+    # an (unphysical) enormous constant mass keeps f positive across the
+    # whole bracket — no root inside [0.01, 10000] kpc
+    silly = cg.Profile(lambda p, r: p * jnp.ones_like(r), 1.0e30)
+    r, m = cg.find_radius_mass(silly, 500.0)
+    assert np.isnan(float(r))

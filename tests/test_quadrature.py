@@ -70,3 +70,19 @@ def test_cumtrapz_matches_scipy():
     mine = np.asarray(cumtrapz(jnp.asarray(y), jnp.asarray(RR)))
     ref = cumulative_trapezoid(y, x=RR, initial=0.0)
     assert np.allclose(mine, ref, rtol=1e-12, atol=1e-300)
+
+
+def test_tail_integral_shallow_decay():
+    """The s^2-substituted tail rule handles slow power-law decays: exact
+    for r^-1.5 and r^-2, GL-accurate down to ~r^-1.2 (the plain 1/t map
+    lost ~0.7% at p=1.5)."""
+    from cluster_generator_tpu.core.quadrature import integrate_tail_to_inf
+
+    r0 = 10.0
+    # p=1.25 leaves an integrable s^-0.5 endpoint singularity: GL gets
+    # percent-level there (the old map was already 0.7% wrong at p=1.5)
+    for p, tol in [(1.5, 1e-12), (2.0, 1e-12), (3.0, 1e-12),
+                   (1.25, 1e-2), (4.0, 1e-10)]:
+        exact = r0 ** (1.0 - p) / (p - 1.0)
+        got = float(integrate_tail_to_inf(lambda r: r ** (-p), r0))
+        assert abs(got - exact) / exact < tol, (p, got, exact)

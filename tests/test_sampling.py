@@ -186,3 +186,25 @@ def test_energy_distribution(canonical_model, dm_particles):
     cdf = lambda x: np.interp(x, grid, cdf_vals)
     stat, pval = kstest(E[sel], cdf)
     assert pval > 1e-4, (stat, pval, sel.sum())
+
+
+def test_sub_sample_non_divisible_counts(canonical_model):
+    """num_particles not divisible by sub_sample must still produce
+    exactly num_particles (the tile once fell one copy short and crashed
+    broadcasting downstream)."""
+    p = canonical_model.generate_gas_particles(10, r_max=2000.0,
+                                               sub_sample=3, prng=1)
+    assert p.num_particles["gas"] == 10
+    assert p["gas", "particle_position"].shape == (10, 3)
+    p2 = canonical_model.generate_dm_particles(1001, r_max=2000.0,
+                                               sub_sample=4, prng=2,
+                                               compute_potential=True)
+    assert p2.num_particles["dm"] == 1001
+    assert p2["dm", "particle_potential"].shape == (1001,)
+
+
+def test_r_max_below_grid_raises(canonical_model):
+    """r_max below the first grid point once wrapped the index and
+    silently sampled the whole grid with the full-grid mass."""
+    with pytest.raises(ValueError, match="below the first grid point"):
+        canonical_model.generate_dm_particles(100, r_max=0.05, prng=3)

@@ -213,14 +213,29 @@ class ClusterField:
     def map_field_to_particles(self, cluster_particles, ptype="gas",
                                units=None):
         """Trilinear interpolation of the field onto particle positions
-        (fields.py:308-338); fully vectorized on device."""
+        (fields.py:308-338); fully vectorized on device.
+
+        ``units``: optional unit string for the sampled values passed to
+        ``set_field`` (the reference forwards it the same way); sampled
+        values are converted from the field's native ``self.units`` into
+        ``units`` first, so the container's stored value is identical
+        either way and an incompatible unit string raises instead of
+        being silently ignored."""
+        from ..core import units as U
+
         pos = jnp.asarray(cluster_particles[ptype, "particle_position"])
         vals = _trilinear(jnp.asarray(self.x), jnp.asarray(self.y),
                           jnp.asarray(self.z),
                           jnp.stack([jnp.asarray(self.gx),
                                      jnp.asarray(self.gy),
                                      jnp.asarray(self.gz)]), pos)
-        cluster_particles.set_field(ptype, self._name, np.asarray(vals.T))
+        out = np.asarray(vals.T)
+        if units is None:
+            cluster_particles.set_field(ptype, self._name, out)
+        else:
+            factor = U.unit_factor(self.units) / U.unit_factor(units)
+            cluster_particles.set_field(ptype, self._name, out * factor,
+                                        units=units)
 
 
 @partial(jax.jit, static_argnames=())
@@ -283,21 +298,21 @@ class GaussianRandomField(ClusterField):
         if num_halos >= 1:
             if ctr1 is None:
                 ctr1 = 0.5 * (self.left_edge + self.right_edge)
-            ctrs.append(np.asarray(ctr1, np.float64))
-            rs.append(np.asarray(r1, np.float64))
-            gs.append(np.asarray(g1, np.float64))
+            ctrs.append(parse_value(ctr1, "kpc"))
+            rs.append(parse_value(r1, "kpc"))
+            gs.append(parse_value(g1, self._units))
         if num_halos >= 2:
             if ctr2 is None:
                 raise RuntimeError("Need to specify 'ctr2' for the second halo!")
-            ctrs.append(np.asarray(ctr2, np.float64))
-            rs.append(np.asarray(r2, np.float64))
-            gs.append(np.asarray(g2, np.float64))
+            ctrs.append(parse_value(ctr2, "kpc"))
+            rs.append(parse_value(r2, "kpc"))
+            gs.append(parse_value(g2, self._units))
         if num_halos == 3:
             if ctr3 is None:
                 raise RuntimeError("Need to specify 'ctr3' for the third halo!")
-            ctrs.append(np.asarray(ctr3, np.float64))
-            rs.append(np.asarray(r3, np.float64))
-            gs.append(np.asarray(g3, np.float64))
+            ctrs.append(parse_value(ctr3, "kpc"))
+            rs.append(parse_value(r3, "kpc"))
+            gs.append(parse_value(g3, self._units))
 
         k0 = 2.0 * np.pi / float(parse_value(l_min, "kpc"))
         k1 = 2.0 * np.pi / float(parse_value(l_max, "kpc"))
@@ -315,7 +330,7 @@ class GaussianRandomField(ClusterField):
             # potential never need a real-space intermediate — one k-space
             # pass, 6 FFTs instead of 12 (18 with vector potential)
             mylog.info("Scaling the fields by the constant value %s.",
-                       float(np.asarray(g_rms)))
+                       float(parse_value(g_rms, self._units)))
             kxd = np.sin(kx * self.dx) / self.dx
             kyd = np.sin(ky * self.dy) / self.dy
             kzd = np.sin(kz * self.dz) / self.dz
@@ -323,7 +338,7 @@ class GaussianRandomField(ClusterField):
                 key, (nx, ny, nz), jnp.asarray(kx), jnp.asarray(ky),
                 jnp.asarray(kz), jnp.asarray(kxd, self.dtype),
                 jnp.asarray(kyd, self.dtype), jnp.asarray(kzd, self.dtype),
-                k0, k1, alpha, float(np.asarray(g_rms)),
+                k0, k1, alpha, float(parse_value(g_rms, self._units)),
                 self.divergence_clean, self.vector_potential, self.dtype)
             mylog.info("Field generation complete.")
             return

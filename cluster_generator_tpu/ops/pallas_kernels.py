@@ -102,9 +102,15 @@ def invert_cdf_rows(cdf: jnp.ndarray, n_q: int = 512,
     # module picks up stray 64-bit scalars (empirically: the identical
     # kernel compiles with x64 off and crashes the TPU compiler with it
     # on).  All kernel I/O is explicitly f32, so the result is unchanged.
-    from jax._src.config import enable_x64
+    try:
+        from jax.experimental import disable_x64
+    except ImportError:  # private fallback for older layouts
+        from jax._src.config import enable_x64
 
-    with enable_x64(False):
+        def disable_x64():
+            return enable_x64(False)
+
+    with disable_x64():
         out = pl.pallas_call(
             partial(_invert_kernel_matshaped, n_q=n_q),
             out_shape=jax.ShapeDtypeStruct((n_pad, n_q), jnp.float32),

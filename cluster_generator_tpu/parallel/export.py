@@ -60,7 +60,6 @@ def shard_particles(parts: dict):
     """
     from ..particles import ClusterParticles
 
-    ranks, _ = _global_shard_ranks(next(iter(parts.values())))
     per_shard: dict[int, dict] = {}
     for key in parts:
         arr = parts[key]
@@ -186,8 +185,11 @@ def write_sharded_gadget_files(parts: dict, box_size, base_filename,
                                       npart_total=npart_total)
         if global_counts is not None:
             for p, n in num.items():
-                assert n == int(global_counts[p][rank]), \
-                    (p, rank, n, global_counts[p][rank])
+                if n != int(global_counts[p][rank]):
+                    raise RuntimeError(
+                        f"shard {rank} wrote {n} {p} particles but the "
+                        f"collective count saw {int(global_counts[p][rank])}"
+                        " — snapshot headers would be inconsistent")
         local.append(num)
         written.append(fn)
 

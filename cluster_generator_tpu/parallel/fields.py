@@ -42,19 +42,27 @@ def sharded_gaussian_random_field(key, ddims, deltas, l_min, l_max, mesh,
     kx, ky, kz = _waves((nx, ny, nz), deltas)
     k0 = 2.0 * np.pi / float(l_min)
     k1 = 2.0 * np.pi / float(l_max)
-    kk = np.sqrt(kx**2 + ky**2 + kz**2)
-    sigma_np = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * np.exp(
-        -0.5 * (kk / k0) ** 2)
-    sigma_np[0, 0, 0] = 0.0
-    sigma = jnp.asarray(sigma_np, dtype=jnp.float32)
+    # only THIN broadcastable 1D wavenumber arrays become device constants;
+    # the full-grid sigma is computed INSIDE the jit so XLA partitions the
+    # elementwise graph with the Y-sharded spectra it multiplies — a
+    # precomputed (nx, ny, nz) host sigma was gigabytes of host f64
+    # temporaries plus an unsharded device constant, defeating the
+    # past-one-chip scaling this module exists for
     kxd = jnp.asarray(np.sin(kx * deltas[0]) / deltas[0], jnp.float32)
     kyd = jnp.asarray(np.sin(ky * deltas[1]) / deltas[1], jnp.float32)
     kzd = jnp.asarray(np.sin(kz * deltas[2]) / deltas[2], jnp.float32)
+    kxj = jnp.asarray(kx, jnp.float32)
+    kyj = jnp.asarray(ky, jnp.float32)
+    kzj = jnp.asarray(kz, jnp.float32)
 
     slab = NamedSharding(mesh, P("ens", None, None))
 
     @jax.jit
     def build(key):
+        kk2 = kxj**2 + kyj**2 + kzj**2
+        sigma = ((1.0 + kk2 / k1**2) ** (0.25 * alpha)
+                 * jnp.exp(-0.5 * kk2 / k0**2)
+                 * (kk2 > 0.0))  # zero mode carries no power
         keys = jax.random.split(key, 3)
         comps_k = []
         for i in range(3):
@@ -63,11 +71,9 @@ def sharded_gaussian_random_field(key, ddims, deltas, l_min, l_max, mesh,
             comps_k.append(pencil_fftn(noise, mesh) * sigma)
         gxk, gyk, gzk = comps_k
         if divergence_clean:
-            kkd = jnp.sqrt(kxd**2 + kyd**2 + kzd**2)
-            inv = jnp.where(kkd > 0, 1.0 / jnp.where(kkd > 0, kkd, 1.0), 0.0)
-            ex, ey, ez = kxd * inv, kyd * inv, kzd * inv
-            kb = ex * gxk + ey * gyk + ez * gzk
-            gxk, gyk, gzk = gxk - ex * kb, gyk - ey * kb, gzk - ez * kb
+            from ..fields.grf import _div_clean_k
+
+            gxk, gyk, gzk = _div_clean_k(gxk, gyk, gzk, kxd, kyd, kzd)
         gx = pencil_ifftn(gxk, mesh).real.astype(dtype)
         gy = pencil_ifftn(gyk, mesh).real.astype(dtype)
         gz = pencil_ifftn(gzk, mesh).real.astype(dtype)

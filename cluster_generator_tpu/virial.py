@@ -352,16 +352,18 @@ class VirialEquilibrium:
         still uses every grid point; rows are bilinearly interpolated at
         sample time, so coarse rows cost ~1e-4 — same trade as the
         pipeline's ``build_speed_tables``)."""
-        if self._s_inv is None:
+        if not isinstance(self._s_inv, dict):
+            self._s_inv = {}
+        if n_rows not in self._s_inv:  # cache keyed on resolution
             ee = self.ee
             idx = np.unique(np.round(
                 np.linspace(0, ee.size - 1,
                             min(n_rows, ee.size))).astype(int))
             row_ee = jnp.asarray(ee[idx])
-            self._s_inv = (row_ee, speed_inverse_cdf_table(
+            self._s_inv[n_rows] = (row_ee, speed_inverse_cdf_table(
                 jnp.asarray(ee), jnp.asarray(self.ff), row_ee=row_ee,
                 **speed_table_defaults()))
-        return self._s_inv
+        return self._s_inv[n_rows]
 
     def generate_particles(self, num_particles, r_max=None, sub_sample=1,
                            compute_potential=False, prng=None):

@@ -182,3 +182,41 @@ def test_write_file_units(bfield, tmp_path):
         # field stored in microgauss: rms 1e-6 G -> ~1 uG
         bx = np.asarray(f["magnetic_field_x"][()])
         assert 0.05 < np.sqrt((bx**2).mean()) < 5.0
+
+
+def test_map_field_units_kwarg(bfield, canonical_model):
+    """The units= kwarg converts through to set_field (it was silently
+    ignored): the stored particle values are identical for any compatible
+    unit, and an unknown unit raises."""
+    p1 = canonical_model.generate_gas_particles(500, r_max=400.0, prng=44)
+    p2 = canonical_model.generate_gas_particles(500, r_max=400.0, prng=44)
+    bfield.map_field_to_particles(p1, ptype="gas")
+    bfield.map_field_to_particles(p2, ptype="gas", units="uG")
+    np.testing.assert_allclose(p1["gas", "magnetic_field"],
+                               p2["gas", "magnetic_field"], rtol=1e-12)
+    with pytest.raises(KeyError):
+        bfield.map_field_to_particles(p1, ptype="gas", units="furlongs")
+
+
+def test_tuple_unit_inputs(canonical_model):
+    """(value, unit) tuples convert for amplitudes and halo parameters,
+    like the reference's parse_value (they once crashed for g_rms/ctr)."""
+    f1 = cg.RandomMagneticField(LE, RE, [16] * 3, 50.0, 500.0,
+                                (5.0, "uG"), prng=7)
+    f2 = cg.RandomMagneticField(LE, RE, [16] * 3, 50.0, 500.0,
+                                5.0e-6, prng=7)
+    # 5.0 * (1 uG) and the literal 5.0e-6 differ by 1 ulp, which blows
+    # the RELATIVE error only on near-zero cells — hence the atol
+    np.testing.assert_allclose(f1["magnetic_field_x"],
+                               f2["magnetic_field_x"], rtol=1e-12,
+                               atol=1e-20)
+    rr = np.asarray(canonical_model["radius"])
+    bb = np.asarray(canonical_model["magnetic_field_strength"])
+    g1 = cg.RadialRandomMagneticField(
+        LE, RE, [16] * 3, 50.0, 500.0, ((0.5, 0.5, 0.5), "Mpc"),
+        (rr, bb), prng=9)
+    g2 = cg.RadialRandomMagneticField(
+        LE, RE, [16] * 3, 50.0, 500.0, [500.0] * 3, (rr, bb), prng=9)
+    np.testing.assert_allclose(g1["magnetic_field_x"],
+                               g2["magnetic_field_x"], rtol=1e-12,
+                               atol=1e-20)

@@ -53,13 +53,17 @@ def construct_chunks(domain_dimensions, chunksize: int) -> np.ndarray:
 def _paint_chunk(sp, start, deltas, left_edge, cs):
     """Evaluate a radial spline field on one chunk's cell centers.
 
-    start: (3,) first cell index of the chunk; returns (cs, cs, cs)."""
+    start: (3,) first cell index of the chunk; returns (cs, cs, cs) in the
+    on-disk z-first layout block[k, j, i] = f(x_i, y_j, z_k) — the
+    orientation the reference's yt frontend reader decodes (it transposes
+    each chunk row before handing yt an x-first cube, reference
+    frontend/io.py:81)."""
     idx = jnp.arange(cs, dtype=jnp.float64)
     x = left_edge[0] + (start[0] + idx + 0.5) * deltas[0]
     y = left_edge[1] + (start[1] + idx + 0.5) * deltas[1]
     z = left_edge[2] + (start[2] + idx + 0.5) * deltas[2]
-    rr = jnp.sqrt(x[:, None, None] ** 2 + y[None, :, None] ** 2
-                  + z[None, None, :] ** 2)
+    rr = jnp.sqrt(z[:, None, None] ** 2 + y[None, :, None] ** 2
+                  + x[None, None, :] ** 2)
     return spline_eval(sp, rr)
 
 

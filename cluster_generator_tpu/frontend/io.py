@@ -31,12 +31,12 @@ def _emit(dataset, run):
     lo = run[0].id - run[0]._id_offset
     hi = run[-1].id - run[-1]._id_offset + 1
     block = dataset[lo:hi, :, :, :]
-    # Our painter (data_structures._paint_chunk) writes blocks x-first, so
-    # each row is already the (nx, ny, nz) cube yt's grid.select expects —
-    # C-contiguous, z-fastest.  (The reference transposes here,
-    # frontend/io.py:81, because its Cython painter wrote z-first blocks.)
+    # On-disk chunk rows are z-first — block[n][k][j][i] = f(x_i, y_j, z_k),
+    # the layout the reference's reader decodes (reference frontend/io.py:81
+    # transposes each row) — so transpose to the (nx, ny, nz) x-first cube
+    # yt's grid.select expects.
     for i, g in enumerate(run):
-        yield g, block[i]
+        yield g, block[i].transpose(2, 1, 0)
 
 
 class ClusterGeneratorIOHandler(BaseIOHandler):

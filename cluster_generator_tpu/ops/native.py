@@ -101,7 +101,10 @@ def spline_eval(sp, q) -> np.ndarray:
 def paint_radial_chunks(sp, starts, chunksize, deltas, left) -> np.ndarray:
     """Evaluate a radial spline field on chunk cell centers.
 
-    starts: (N, 3) first-cell indices; returns (N, cs, cs, cs)."""
+    starts: (N, 3) first-cell indices; returns (N, cs, cs, cs) blocks in
+    the on-disk z-first layout block[k, j, i] = f(x_i, y_j, z_k) (matching
+    data_structures._paint_chunk and the reference reader's transpose,
+    reference frontend/io.py:81)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")

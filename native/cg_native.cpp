@@ -113,15 +113,17 @@ void cg_paint_radial_chunks(const double* xs, const double* a,
       const int64_t sy = starts[ci * 3 + 1];
       const int64_t sz = starts[ci * 3 + 2];
       double* blk = out + ci * cs * cs * cs;
-      for (int64_t i = 0; i < cs; ++i) {
-        const double x = left[0] + (sx + i + 0.5) * deltas[0];
+      // on-disk z-first layout blk[k][j][i] = f(x_i, y_j, z_k) (matches
+      // data_structures._paint_chunk / the reference reader's transpose)
+      for (int64_t k = 0; k < cs; ++k) {
+        const double z = left[2] + (sz + k + 0.5) * deltas[2];
         for (int64_t j = 0; j < cs; ++j) {
           const double y = left[1] + (sy + j + 0.5) * deltas[1];
-          const double x2y2 = x * x + y * y;
-          for (int64_t k = 0; k < cs; ++k) {
-            const double z = left[2] + (sz + k + 0.5) * deltas[2];
-            const double r = std::sqrt(x2y2 + z * z);
-            blk[(i * cs + j) * cs + k] = spline_one(xs, a, b, c, d, n, r);
+          const double z2y2 = z * z + y * y;
+          for (int64_t i = 0; i < cs; ++i) {
+            const double x = left[0] + (sx + i + 0.5) * deltas[0];
+            const double r = std::sqrt(z2y2 + x * x);
+            blk[(k * cs + j) * cs + i] = spline_one(xs, a, b, c, d, n, r);
           }
         }
       }

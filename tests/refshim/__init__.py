@@ -135,7 +135,10 @@ def _opt_structures():
             X, Y, Z = np.meshgrid(*axes, indexing="ij")
             r = np.sqrt(X * X + Y * Y + Z * Z)
             vals = splev(r.ravel(), tck).reshape(r.shape)
-            h5_dset[ci, ...] += vals
+            # z-first rows on disk: the reference's yt reader transposes
+            # each chunk row back to an x-first cube (frontend/io.py:81),
+            # so the Cython painter must have written block[k][j][i].
+            h5_dset[ci, ...] += vals.transpose(2, 1, 0)
         del n
 
     mod.construct_chunks = construct_chunks

@@ -77,7 +77,8 @@ def test_add_model_paints_fields(canonical_model, tmp_path):
                      np.asarray(canonical_model["density"]),
                      bc_type="not-a-knot")
     ref = sp(rr)
-    assert np.allclose(dens[c], ref, rtol=1e-8)
+    # on-disk rows are z-first: dens[c][k, j, i] = f(x_i, y_j, z_k)
+    assert np.allclose(dens[c], ref.transpose(2, 1, 0), rtol=1e-8)
 
 
 def test_create_dataset_end_to_end(canonical_model, tmp_path):

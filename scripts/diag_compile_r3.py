@@ -9,6 +9,7 @@ Measures, in ONE TPU process:
 Run twice back-to-back (fresh processes) to see cross-process cache reuse.
 """
 import json, os, sys, time
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

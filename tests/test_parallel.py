@@ -91,3 +91,70 @@ def test_mesh_shapes():
     m2 = make_mesh(n_ens=2, n_part=4)
     assert m2.devices.shape == (2, 4)
     assert m2.axis_names == ("ens", "part")
+
+
+def test_two_process_sharded_export(tmp_path):
+    """TRUE multi-process sharded export: two ``jax.distributed`` CPU
+    processes (4 virtual devices each, one global 8-shard mesh) run the
+    sharded merger draw and each writes ONLY its addressable shards.
+    Catches addressable-vs-global mistakes the single-host mesh tests
+    cannot (parallel/export.py:9-23): every piece of snapshot-global
+    metadata (file count, NumPart_Total, ID offsets) must come out
+    identical in files written by processes that cannot see each other's
+    shards."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    import h5py
+
+    from cluster_generator_tpu.particles import ClusterParticles
+
+    worker = Path(__file__).parent / "workers" / "sharded_export_worker.py"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in __import__("os").environ.items()
+           if not k.startswith(("XLA_", "JAX_"))}
+    procs = [subprocess.Popen(
+        [_sys.executable, str(worker), str(i), "2", str(port),
+         str(tmp_path)], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    # each process wrote a disjoint half of the 8 shard files
+    wrote = [set(json.loads((tmp_path / f"wrote.{i}.json").read_text()))
+             for i in range(2)]
+    assert len(wrote[0]) == 4 and len(wrote[1]) == 4
+    assert not (wrote[0] & wrote[1]), wrote
+    assert wrote[0] | wrote[1] == {f"ic.{k}.h5" for k in range(8)}
+
+    # headers from DIFFERENT processes form one consistent snapshot
+    totals, this_files, all_ids = [], [], []
+    for k in range(8):
+        with h5py.File(tmp_path / f"ic.{k}.h5", "r") as fo:
+            hdr = fo["Header"].attrs
+            assert hdr["NumFilesPerSnapshot"] == 8
+            totals.append(np.asarray(hdr["NumPart_Total"]))
+            this_files.append(np.asarray(hdr["NumPart_ThisFile"]))
+            for pt in ("PartType0", "PartType1", "PartType4"):
+                all_ids.append(fo[pt]["ParticleIDs"][:])
+    assert all((t == totals[0]).all() for t in totals)
+    np.testing.assert_array_equal(sum(this_files), totals[0])
+    # the box clips some draws (box=5000 < 2*(500+3000)): totals must
+    # reflect the collective post-clip counts, not the raw 64*8/species
+    assert totals[0].sum() < 6 * 64 * 8
+    assert totals[0].sum() > 0
+    ids = np.concatenate(all_ids)
+    assert len(np.unique(ids)) == len(ids)  # globally unique across hosts
+    np.testing.assert_array_equal(np.sort(ids),
+                                  np.arange(1, len(ids) + 1))
+
+    # the union reassembles into the full particle set
+    re = ClusterParticles.from_gadget_files(tmp_path / "ic.0.h5")
+    assert sum(re.num_particles.values()) == int(totals[0].sum())

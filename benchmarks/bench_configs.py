@@ -44,7 +44,7 @@ def _force(*xs):
     return float(sum(jnp.sum(jnp.ravel(x)[-2:]) for x in xs))
 
 
-def _timed(metric, baseline_s, run, n_warm=3):
+def _timed(metric, baseline_s, run, n_warm=3, extra=None):
     t0 = time.time()
     run(0)
     compile_s = time.time() - t0
@@ -56,12 +56,15 @@ def _timed(metric, baseline_s, run, n_warm=3):
         times.append(time.time() - t0)
         print(f"# {metric}: warm {times[-1]:.3f}s", file=sys.stderr)
     value = sorted(times)[len(times) // 2]
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(baseline_s / value, 3) if baseline_s else None,
-    }))
+    }
+    for k, v in (extra or {}).items():
+        out[k] = v(value) if callable(v) else v
+    print(json.dumps(out))
 
 
 def bench_cfg1():
@@ -191,6 +194,91 @@ def bench_cfg5():
     _timed("cfg5_ensemble_1024_clusters_wall_time", base, once)
 
 
+def bench_cfg5b():
+    """Ensemble datagen END-TO-END: 1024 clusters -> 1e5 DM phase-space
+    draws EACH (1.02e8 particles), in HBM-sized cluster batches.
+
+    Extends cfg5 (fields + DF only) with the actual datagen product: per
+    cluster, the 256-row inverse speed-CDF table is built and n_p
+    positions + velocities (radius quantile -> isotropic direction; speed
+    table -> isotropic direction) are drawn, all inside ONE jitted
+    program vmapped over the cluster batch.
+
+    Memory envelope (f32): a batch of B clusters x n_p particles holds
+    6*4*B*n_p bytes of draws + ~0.3 MB/cluster of fields+tables; at
+    B=256, n_p=1e5 that is ~0.65 GB of draws -> 4 batches cover 1024
+    clusters inside a 16 GB v5e HBM.  Scaling limit: B*n_p <= ~5e8/6
+    values; beyond that, shard the cluster axis over a mesh
+    (parallel/ensemble.py) or stream batches to host like this loop.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cluster_generator_tpu.parallel.ensemble import build_one_cluster
+    from cluster_generator_tpu.virial import (
+        sample_speeds,
+        speed_inverse_cdf_table,
+        speed_table_defaults,
+    )
+
+    n_cl = 32 if _SMOKE else 1024
+    n_batch = 8 if _SMOKE else 256
+    n_part = 2_000 if _SMOKE else 100_000
+    n_pts = 128 if _SMOKE else 512
+    kw = speed_table_defaults()
+    row_idx = np.unique(np.round(
+        np.linspace(0, n_pts - 1, min(256, n_pts))).astype(int))
+
+    def one_cluster(m, c, key):
+        f = build_one_cluster(m, c, num_points=n_pts, with_df=True)
+        ee = -f["gravitational_potential"][::-1]
+        df = f["dm_df"][::-1]
+        row_ee = ee[row_idx]
+        tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
+        k_r, k_v, k_u, k_w = jax.random.split(key, 4)
+        u = jax.random.uniform(k_r, (n_part,))
+        rr, mm = f["radius"], f["dark_matter_mass"]
+        radius = jnp.interp(u * mm[-1], mm, rr)
+        psi = jnp.interp(radius, rr, -f["gravitational_potential"])
+        speed = sample_speeds(radius.astype(tab.dtype),
+                              psi.astype(tab.dtype),
+                              row_ee.astype(tab.dtype), tab, k_v)
+        pos = radius[:, None].astype(jnp.float32) * _isotropic(k_u, n_part)
+        vel = speed[:, None].astype(jnp.float32) * _isotropic(k_w, n_part)
+        return pos, vel
+
+    def _isotropic(key, n):
+        k1, k2 = jax.random.split(key)
+        mu = jax.random.uniform(k1, (n,), jnp.float32, -1.0, 1.0)
+        phi = jax.random.uniform(k2, (n,), jnp.float32, 0.0, 2.0 * np.pi)
+        s = jnp.sqrt(1.0 - mu * mu)
+        return jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), mu], axis=1)
+
+    @jax.jit
+    def run_batch(M, c, key):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(M.shape[0]))
+        return jax.vmap(one_cluster)(M, c, keys)
+
+    from cluster_generator_tpu.parallel import sample_ensemble_params
+
+    M, c = sample_ensemble_params(jax.random.key(7), n_cl)
+
+    def once(i):
+        tot = 0.0
+        for b0 in range(0, n_cl, n_batch):
+            pos, vel = run_batch(M[b0:b0 + n_batch] * (1 + 1e-6 * i),
+                                 c[b0:b0 + n_batch], jax.random.key(i))
+            tot += _force(pos, vel)
+        return tot
+
+    _timed("cfg5b_ensemble_datagen_1024x1e5_wall_time", None, once,
+           extra={"clusters_per_s": lambda v: round(n_cl / v, 1),
+                  "particles_total": n_cl * n_part})
+
+
 def bench_field():
     """512^3 divergence-free Gaussian random magnetic field.
 
@@ -215,7 +303,7 @@ def bench_field():
 
 
 ALL = {"cfg1": bench_cfg1, "cfg2": bench_cfg2, "cfg3": bench_cfg3,
-       "cfg5": bench_cfg5, "field": bench_field}
+       "cfg5": bench_cfg5, "cfg5b": bench_cfg5b, "field": bench_field}
 
 
 def main():

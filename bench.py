@@ -55,6 +55,16 @@ def main() -> None:
         return float(jnp.sum(p["dm", "particle_velocity"][::4096])
                      + jnp.sum(p["gas", "thermal_energy"][::4096]))
 
+    # Separate the per-process backend warm-up (the axon remote-compiler
+    # spin-up: measured 25-404 s, environmental and wildly variable —
+    # scripts/diag_compile_r3.py) from the program's own compile+first-run
+    # (18 s on a persistent-cache hit; the cache in .jax_cache/ is primed).
+    t0 = time.time()
+    float(jnp.sum(jax.jit(lambda x: x + 1)(jnp.float32(1.0))))
+    warmup_s = time.time() - t0
+    print(f"# backend warm-up (trivial jit): {warmup_s:.1f}s",
+          file=sys.stderr)
+
     t0 = time.time()
     checksum = run(jax.random.key(0))  # compile + first run
     compile_s = time.time() - t0

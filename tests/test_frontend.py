@@ -345,3 +345,36 @@ def test_reference_frontend_reads_our_file(yt_frontend, ref_frontend,
                                       raw[g.id])
     rds.close()
     ours.close()
+
+
+def test_sphere_read_is_radially_consistent(yt_frontend, grid_file,
+                                            canonical_model):
+    """A sphere-selector read (yt's most common data object) through the
+    IO handler: every returned cell is inside the sphere, the cell count
+    matches the geometric count, and values match the radial spline."""
+    from scipy.interpolate import CubicSpline
+
+    from yt.geometry.selection_routines import SphereSelector
+
+    yt, fe = yt_frontend
+    ds = yt.load(grid_file)
+    index = ds.index
+    grids = list(index.grids)
+    sel = SphereSelector([250.0, -250.0, 0.0], 900.0)
+    size = sum(g.count(sel) for g in grids)
+    assert 0 < size < 32**3
+    chunk = type("Chunk", (), {"objs": grids})()
+    out = index.io._read_fluid_selection(iter([chunk]), sel,
+                                         [(_FLUID, "density")], size)
+    assert out[_FLUID, "density"].shape == (size,)
+
+    centers = np.concatenate([
+        g.icoords_centers()[sel.fill_mask(g)] for g in grids])
+    assert (np.linalg.norm(centers - [250.0, -250.0, 0.0],
+                           axis=1) <= 900.0).all()
+    rr = np.linalg.norm(centers, axis=1)
+    sp = CubicSpline(np.asarray(canonical_model["radius"]),
+                     np.asarray(canonical_model["density"]),
+                     bc_type="not-a-knot")
+    np.testing.assert_allclose(out[_FLUID, "density"], sp(rr), rtol=1e-7)
+    ds.close()

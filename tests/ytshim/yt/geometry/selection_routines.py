@@ -25,3 +25,18 @@ class RegionSelector:
         inside = np.logical_and(centers >= self.left_edge,
                                 centers < self.right_edge).all(axis=-1)
         return inside
+
+
+class SphereSelector:
+    """Cells whose centers lie within ``radius`` of ``center`` (real yt's
+    most-used data object, yt/geometry/selection_routines.pyx
+    SphereSelector.select_cell semantics: cell-center membership)."""
+
+    def __init__(self, center, radius):
+        self.center = np.asarray(center, dtype="float64")
+        self.radius = float(radius)
+
+    def fill_mask(self, grid):
+        centers = grid.icoords_centers()
+        d2 = ((centers - self.center) ** 2).sum(axis=-1)
+        return d2 <= self.radius * self.radius

@@ -72,15 +72,15 @@ def main():
     )
     from cluster_generator_tpu.core.interp import adjacent_pairs
 
-    N = 10_000_000
+    N = 100_000 if os.environ.get("SMOKE") else 10_000_000
     dtype = jnp.float32
     fields = build_merger_models(jnp.asarray([1.5e15]), jnp.asarray([4.0]),
                                  num_points=1000)
     f_h = jax.tree_util.tree_map(lambda a: a[0], fields)
     tables = build_speed_tables(fields)
-    r_q, m_rmax = build_radius_tables(fields, jnp.asarray([3000.0]))
-    rq1, m1 = r_q[0], m_rmax[0]
-    s_inv = tables["s_inv"][0]
+    rt = build_radius_tables(fields, jnp.asarray([3000.0]))
+    rq1, m1 = rt["dm"][0], rt["dm_mtot"][0]
+    s_inv = tables["dm"][0]
     n_q = s_inv.shape[1]
     log(f"shapes: RQ={_RQ} n_q={n_q} s_inv={s_inv.shape} N={N}")
 
@@ -142,8 +142,9 @@ def main():
     t2 = timed("E2 fused row-of-6 one-gather", e2, jax.random.key(0))
 
     # sanity: same marginals as E1 (KS on radius/speed at 2e5)
+    NS = 20_000 if os.environ.get("SMOKE") else 200_000
     p1 = np.asarray(jax.jit(lambda k: _sample_collisionless(
-        k, f_h, s_inv, rq1, m1, 200_000, center, bulk, dtype)[0])(
+        k, f_h, s_inv, rq1, m1, NS, center, bulk, dtype)[0])(
             jax.random.key(5)))
     r1 = np.linalg.norm(p1, axis=1)
     # E2 radius marginal via the same uniforms-independent check
@@ -151,7 +152,7 @@ def main():
     # draw E2 at 2e5 by re-running its radius math on host
     k = jax.random.key(9)
     kr, kv, kb, ka, kva = jax.random.split(k, 5)
-    u = np.asarray(jax.random.uniform(kr, (200_000,), dtype=dtype))
+    u = np.asarray(jax.random.uniform(kr, (NS,), dtype=dtype))
     x = np.clip(u * (_RQ - 1), 0.0, _RQ - 1 - 1e-6)
     kqh = x.astype(np.int32)
     wqh = x - kqh
@@ -207,7 +208,7 @@ def main():
         (4, comb[:, :4]),
         (8, jnp.concatenate([comb, comb[:, :2]], axis=1)),
     ):
-        tab = jnp.ascontiguousarray(tab)
+        tab = jnp.array(tab)
 
         @jax.jit
         def gw(i, tab=tab):
@@ -216,7 +217,7 @@ def main():
         timed(f"E4 row-of-{width} gather ({tab.size*4/1e6:.0f} MB)", gw, idx)
 
     # ------------------------------------------------ E5 one-hot MXU
-    N5 = 1_000_000
+    N5 = 50_000 if os.environ.get("SMOKE") else 1_000_000
     RQ5 = 256  # row-select against the 256-row speed subgrid
     tab5 = jnp.asarray(
         np.random.default_rng(0).random((RQ5, n_q), dtype=np.float32))

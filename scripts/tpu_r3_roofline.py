@@ -23,6 +23,7 @@ in docs/performance.md "Roofline".
 Run: nohup python scripts/tpu_r3_roofline.py > /tmp/roofline3.log 2>&1 &
 """
 
+import os
 import sys
 import time
 
@@ -62,7 +63,8 @@ def main():
     log(f"devices: {jax.devices()}")
 
     # ---------------------------------------------------------- peaks
-    n = 256 * 1024 * 1024  # 1 GiB of f32
+    SM = bool(os.environ.get("SMOKE"))
+    n = (4 if SM else 256) * 1024 * 1024  # 1 GiB of f32
     x = jnp.ones((n,), jnp.float32)
     y = jnp.ones((n,), jnp.float32)
 
@@ -74,7 +76,7 @@ def main():
     bw = 3 * 4 * n / t
     log(f"  -> HBM stream {bw/1e9:.0f} GB/s")
 
-    k = 8192
+    k = 1024 if SM else 8192
     a16 = jnp.ones((k, k), jnp.bfloat16)
 
     @jax.jit
@@ -85,7 +87,7 @@ def main():
     f16 = 2 * k**3 / t
     log(f"  -> MXU bf16 {f16/1e12:.1f} Tf/s")
 
-    k = 4096
+    k = 512 if SM else 4096
     a32 = jnp.ones((k, k), jnp.float32)
 
     @jax.jit
@@ -96,7 +98,7 @@ def main():
     f32r = 2 * k**3 / t
     log(f"  -> MXU f32 {f32r/1e12:.1f} Tf/s")
 
-    k = 2048
+    k = 256 if SM else 2048
     a64 = jnp.ones((k, k), jnp.float64)
 
     @jax.jit
@@ -108,7 +110,7 @@ def main():
     log(f"  -> f64-emulated matmul {f64r/1e12:.2f} Tf/s")
 
     # elementwise f64 rate (the model solve is mostly elementwise/quad)
-    m = 64 * 1024 * 1024
+    m = (1 if SM else 64) * 1024 * 1024
     x64 = jnp.ones((m,), jnp.float64)
 
     @jax.jit
@@ -133,7 +135,8 @@ def main():
     rmax = jnp.asarray([5000.0, 5000.0])
 
     build = jax.jit(lambda M, c: build_merger_models(M, c, num_points=1000))
-    t_m = timed("S1 model solve f64", build, M200, conc)
+    t_m = timed("S1 model solve f64",
+                lambda M, c: build(M, c)["dm_df"], M200, conc)
     fields = build(M200, conc)
     # S1 is grid-sized (2 x 1000 pts x ~16 fields x 8 B ~ 0.26 MB state):
     # latency/serial-dependency bound, not throughput bound.  Report the
@@ -142,9 +145,9 @@ def main():
         "(latency-bound by design: PCR splines + fixed quadrature chains)")
 
     tb = jax.jit(build_speed_tables)
-    t_t = timed("S2 speed tables", tb, fields)
+    t_t = timed("S2 speed tables", lambda f: tb(f)["dm"], fields)
     tables = tb(fields)
-    s_inv = tables["s_inv"]
+    s_inv = tables["dm"]
     rows, n_q = s_inv.shape[1], s_inv.shape[2]
     n_s = 512
     # per halo: (rows x n_s) pdf eval (~20 flops) + cumsum (log2(n_s)
@@ -156,8 +159,9 @@ def main():
         f"{flops/t_t/1e12:.2f} Tf/s")
 
     tables["radius"] = jax.jit(build_radius_tables)(fields, rmax)
-    N = 10_000_000
-    counts = ((3_000_000, 2_000_000), (2_400_000, 1_600_000),
+    N = 100_000 if SM else 10_000_000
+    counts = ((30_000, 20_000), (24_000, 16_000), (6_000, 4_000)) if SM \
+        else ((3_000_000, 2_000_000), (2_400_000, 1_600_000),
               (600_000, 400_000))
 
     @jax.jit
@@ -178,7 +182,7 @@ def main():
 
     def grf(i):
         f = RandomMagneticField([-1000.0] * 3, [1000.0] * 3,
-                                (512, 512, 512), 50.0, 500.0, 1.0e-6,
+                                ((64,)*3 if SM else (512,)*3), 50.0, 500.0, 1.0e-6,
                                 padding=0.0, prng=42 + i,
                                 dtype=jnp.float32)
         return f.gx

@@ -91,6 +91,55 @@ def _sample_radii_device(key, P, rr, num):
     return jnp.interp(u, P, rr)
 
 
+# Radius-quantile table resolution for the generator fast paths: draws
+# become a computed-index lerp (no per-particle binary search over the
+# CDF — measured 3x cheaper at 1e6 f64 draws, scripts/
+# tpu_r3_cfg2_ablation.py C3) at O(1/RQ^2) CDF resampling error
+# (KS D ~ 6e-5 vs the exact per-particle interp).
+_RQ_CLASS = 4096
+
+
+def _radius_quantile_pairs(P, rr):
+    """(RQ-1, 2) adjacent-pair table of the inverse CDF at uniform
+    quantiles — exact ``jnp.interp`` evaluated ONCE at the nodes.
+
+    The top node must be clamped at the radius where P first reaches 1:
+    the r_max clip leaves a P=1 plateau out to the grid end, and interp
+    at exactly 1.0 walks to the plateau's far edge — draws would leak
+    past the truncation radius (the same trap pipeline.build_radius_tables
+    clamps, pipeline.py:110-113)."""
+    from .core.interp import adjacent_pairs
+
+    P = np.asarray(P)
+    r_cap = np.asarray(rr)[int(np.argmax(P >= 1.0))]
+    q = jnp.linspace(0.0, 1.0, _RQ_CLASS)
+    r_q = jnp.minimum(jnp.interp(q, jnp.asarray(P), jnp.asarray(rr)), r_cap)
+    return adjacent_pairs(r_q)
+
+
+@partial(jax.jit, static_argnames=("num",))
+def _sample_radii_table(key, r_pair, num):
+    """radius + (kq, wq): computed-index lerp on the quantile-pair table.
+
+    kq/wq feed the joint speed table (virial.sample_speeds_joint) and any
+    per-particle node-value lerp, so downstream lookups share the single
+    radius draw."""
+    RQ = r_pair.shape[0] + 1
+    u = jax.random.uniform(key, (num,), dtype=jnp.float64)
+    x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-9)
+    kq = x.astype(jnp.int32)
+    wq = x - kq
+    rp = r_pair[kq]
+    return (1.0 - wq) * rp[:, 0] + wq * rp[:, 1], kq, wq
+
+
+@partial(jax.jit, static_argnames=())
+def _node_value_lerp(pairs, kq, wq):
+    """Per-particle lerp of a quantile-node value table (one row gather)."""
+    vp = pairs[kq]
+    return (1.0 - wq) * vp[:, 0] + wq * vp[:, 1]
+
+
 def generate_particle_radii(r, m, num_particles, r_max=None, prng=None,
                             dens=None):
     """Inverse-CDF radius sampling (utils.py:154-166).
@@ -131,8 +180,10 @@ def generate_tracer_particles(model, num_particles, r_max=None, sub_sample=1,
     k_r, k_ang = jax.random.split(key)
     mylog.info("We will be assigning %d tracer particles.", num_particles)
     num_sub = num_particles // sub_sample
-    radius_sub, _ = generate_particle_radii(model["radius"], model["gas_mass"],
-                                            num_sub, r_max=r_max, prng=k_r)
+    P, rr_ins, _ = _truncated_cdf(model["radius"], model["gas_mass"],
+                                  r_max=r_max)
+    radius_sub, _, _ = _sample_radii_table(k_r, _radius_quantile_pairs(
+        P, rr_ins), num_sub)
     radius = _tile(radius_sub, sub_sample, num_particles)
     pos = radius[:, None] * _isotropic_units(k_ang, num_particles)
 
@@ -155,18 +206,26 @@ def generate_gas_particles(model, num_particles, r_max=None, sub_sample=1,
 
     P, rr_ins, mtot = _truncated_cdf(model["radius"], model["gas_mass"],
                                      r_max=r_max)
-    radius_sub = _sample_radii_device(k_r, jnp.asarray(P), jnp.asarray(rr_ins),
-                                      num_sub)
+    r_pair = _radius_quantile_pairs(P, rr_ins)
+    radius_sub, kq, wq = _sample_radii_table(k_r, r_pair, num_sub)
     radius = _tile(radius_sub, sub_sample, num_particles)
     pos = radius[:, None] * _isotropic_units(k_ang, num_particles)
 
+    # field values: exact cubic-spline evaluation ONCE at the quantile
+    # nodes, then a per-particle pair lerp sharing the radius draw's
+    # (kq, wq) — no per-particle spline search
+    from .core.interp import adjacent_pairs
+
     rgrid = jnp.asarray(model["radius"])
+    r_nodes = jnp.concatenate([r_pair[:, 0], r_pair[-1:, 1]])
     e_arr = 1.5 * jnp.asarray(model["pressure"]) / jnp.asarray(model["density"])
-    e_sub = spline_eval(cubic_spline(rgrid, e_arr), radius_sub)
+    e_pairs = adjacent_pairs(spline_eval(cubic_spline(rgrid, e_arr), r_nodes))
+    e_sub = _node_value_lerp(e_pairs, kq, wq)
     energy = _tile(e_sub, sub_sample, num_particles)
-    d_sub = spline_eval(cubic_spline(rgrid, jnp.asarray(model["density"])),
-                        radius_sub)
-    density = _tile(d_sub, sub_sample, num_particles)
+    d_pairs = adjacent_pairs(spline_eval(
+        cubic_spline(rgrid, jnp.asarray(model["density"])), r_nodes))
+    density = _tile(_node_value_lerp(d_pairs, kq, wq), sub_sample,
+                    num_particles)
 
     fields = OrderedDict()
     fields["gas", "particle_position"] = np.asarray(pos)
@@ -176,9 +235,9 @@ def generate_gas_particles(model, num_particles, r_max=None, sub_sample=1,
     fields["gas", "density"] = np.asarray(density)
     fields["gas", "particle_velocity"] = np.zeros((num_particles, 3))
     if compute_potential:
-        phi_sub = -spline_eval(
-            cubic_spline(rgrid, -jnp.asarray(model["gravitational_potential"])),
-            radius_sub)
+        psi_pairs = adjacent_pairs(spline_eval(cubic_spline(
+            rgrid, -jnp.asarray(model["gravitational_potential"])), r_nodes))
+        phi_sub = -_node_value_lerp(psi_pairs, kq, wq)
         fields["gas", "particle_potential"] = np.asarray(
             _tile(phi_sub, sub_sample, num_particles))
     return ClusterParticles("gas", fields)
@@ -191,8 +250,13 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
 
     Speeds come from the inverse speed-CDF table — the TPU replacement for
     the reference's Cython rejection loop (opt.cython_utils
-    .generate_velocities, SURVEY.md §2.2)."""
-    from .virial import sample_speeds
+    .generate_velocities, SURVEY.md §2.2) — folded onto the radius
+    quantile nodes as a joint absolute-speed table
+    (virial.build_joint_speed_pairs): per particle, one computed-index
+    radius lerp + one joint-table row gather, no psi lookup or binary
+    search anywhere."""
+    from .core.interp import adjacent_pairs
+    from .virial import build_joint_speed_pairs, sample_speeds_joint
 
     model = virial.model
     ptype = virial.ptype
@@ -205,19 +269,25 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
     P, rr_ins, mtot = _truncated_cdf(model["radius"], model[f"{ptype}_mass"],
                                      dens=model[f"{ptype}_density"],
                                      r_max=r_max)
-    radius_sub = _sample_radii_device(k_r, jnp.asarray(P), jnp.asarray(rr_ins),
-                                      num_sub)
+    r_pair = _radius_quantile_pairs(P, rr_ins)
+    radius_sub, kq, wq = _sample_radii_table(k_r, r_pair, num_sub)
     radius = _tile(radius_sub, sub_sample, num_particles)
     pos = radius[:, None] * _isotropic_units(k_ang, num_particles)
 
-    # psi(r): spline of the ascending relative potential vs radius
+    # psi at the quantile nodes (exact cubic spline, one-time) feeds the
+    # joint absolute-speed table and the per-particle potential
     rgrid = jnp.asarray(model["radius"])
     psi_grid = jnp.asarray(virial.ee)[::-1]  # back to radial ordering
-    psi_sp = cubic_spline(rgrid, psi_grid)
-    psi_p = spline_eval(psi_sp, radius_sub)
+    r_nodes = jnp.concatenate([r_pair[:, 0], r_pair[-1:, 1]])
+    psi_nodes = spline_eval(cubic_spline(rgrid, psi_grid), r_nodes)
+    psi_p = _node_value_lerp(adjacent_pairs(psi_nodes), kq, wq)
 
     row_ee, s_inv = virial._speed_table()
-    speed_sub = sample_speeds(radius_sub, psi_p, row_ee, s_inv, k_v)
+    joint_pairs = build_joint_speed_pairs(rgrid, psi_grid, row_ee, s_inv,
+                                          r_nodes, dtype=s_inv.dtype,
+                                          psi_q=psi_nodes)
+    speed_sub = sample_speeds_joint(joint_pairs, s_inv.shape[1],
+                                    kq, wq, k_v)
     speed = _tile(speed_sub, sub_sample, num_particles)
     vel = speed[:, None] * _isotropic_units(k_vang, num_particles)
 

@@ -115,7 +115,10 @@ def test_gas_particles(canonical_model):
     e_arr = 1.5 * np.asarray(canonical_model["pressure"]) \
         / np.asarray(canonical_model["density"])
     e_ref = IUS(rr, e_arr)(r)
-    assert np.median(np.abs(e - e_ref) / e_ref) < 1e-8
+    # energies are cubic-spline-exact at the 4096 quantile nodes and
+    # linearly lerped between them (sampling._node_value_lerp): median
+    # error is the node-lerp resolution, not machine precision
+    assert np.median(np.abs(e - e_ref) / e_ref) < 1e-6
     assert (np.asarray(p["gas", "particle_potential"]) < 0).all()
 
 

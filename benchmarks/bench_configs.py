@@ -106,6 +106,14 @@ def bench_cfg2():
     row_idx = np.unique(np.round(
         np.linspace(0, n_pts - 1, 256)).astype(int))
 
+    from cluster_generator_tpu.core.interp import adjacent_pairs
+    from cluster_generator_tpu.virial import (
+        build_joint_speed_pairs,
+        sample_speeds_joint,
+    )
+
+    RQ = 4096
+
     @jax.jit
     def run(m, key):
         f = build_one_cluster(m, 4.0, num_points=n_pts, with_df=True)
@@ -113,23 +121,34 @@ def bench_cfg2():
         df = f["dm_df"][::-1]
         row_ee = ee[row_idx]
         tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
-        # radii via the enclosed-mass quantiles, then speeds — with an
-        # INDEPENDENT stream for the speed quantile (a shared key would
-        # correlate the radius and speed draws; SURVEY.md §7 hard part e)
+        rr, mm = f["radius"], f["dark_matter_mass"]
+        # the class-API draw design (sampling.generate_collisionless_
+        # particles): radius quantile-pair table + computed-index lerp
+        # (no per-particle search), joint absolute-speed table + one
+        # row-of-2 gather (no psi lookup) — measured 3x on cfg2's old
+        # S3/S4/S5 stages (scripts/tpu_r3_cfg2_ablation.py)
+        q = jnp.linspace(0.0, 1.0, RQ)
+        r_q = jnp.interp(q * mm[-1], mm, rr)
+        r_pair = adjacent_pairs(r_q)
+        joint = build_joint_speed_pairs(
+            rr, -f["gravitational_potential"], row_ee, tab, r_q,
+            dtype=tab.dtype)
+        # INDEPENDENT streams for radius and speed quantiles (a shared
+        # key would correlate the draws; SURVEY.md §7 hard part e)
         k_r, k_v = jax.random.split(key)
         u = jax.random.uniform(k_r, (n_part,))
-        rr, mm = f["radius"], f["dark_matter_mass"]
-        radius = jnp.interp(u * mm[-1], mm, rr)
-        psi = jnp.interp(radius, rr, -f["gravitational_potential"])
-        v = sample_speeds(radius.astype(tab.dtype),
-                          psi.astype(tab.dtype),
-                          row_ee.astype(tab.dtype), tab, k_v)
-        return v, jnp.min(df)
+        x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-9)
+        kq = x.astype(jnp.int32)
+        wq = x - kq
+        rp = r_pair[kq]
+        radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
+        v = sample_speeds_joint(joint, tab.shape[1], kq, wq, k_v)
+        return radius, v, jnp.min(df)
 
     def once(i):
-        v, fmin = run(1.5e15 * (1 + 1e-6 * i), jax.random.key(i))
+        radius, v, fmin = run(1.5e15 * (1 + 1e-6 * i), jax.random.key(i))
         assert float(fmin) >= 0.0, "f(E) < 0"
-        return _force(v)
+        return _force(radius, v)
 
     _timed("cfg2_dm_virialized_1e6_wall_time",
            _baselines().get("cfg2_total_s"), once)

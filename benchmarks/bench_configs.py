@@ -250,21 +250,37 @@ def bench_cfg5b():
     row_idx = np.unique(np.round(
         np.linspace(0, n_pts - 1, min(256, n_pts))).astype(int))
 
+    from cluster_generator_tpu.core.interp import adjacent_pairs
+    from cluster_generator_tpu.virial import (
+        build_joint_speed_pairs,
+        sample_speeds_joint,
+    )
+
+    RQ = 2048
+
     def one_cluster(m, c, key):
         f = build_one_cluster(m, c, num_points=n_pts, with_df=True)
         ee = -f["gravitational_potential"][::-1]
         df = f["dm_df"][::-1]
         row_ee = ee[row_idx]
         tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
-        k_r, k_v, k_u, k_w = jax.random.split(key, 4)
-        u = jax.random.uniform(k_r, (n_part,))
         rr, mm = f["radius"], f["dark_matter_mass"]
-        radius = jnp.interp(u * mm[-1], mm, rr)
-        psi = jnp.interp(radius, rr, -f["gravitational_potential"])
-        speed = sample_speeds(radius.astype(tab.dtype),
-                              psi.astype(tab.dtype),
-                              row_ee.astype(tab.dtype), tab, k_v)
-        pos = radius[:, None].astype(jnp.float32) * _isotropic(k_u, n_part)
+        # quantile-table draws (the class-API design): the per-cluster
+        # grid searches happen ONCE at RQ nodes, not once per particle
+        q = jnp.linspace(0.0, 1.0, RQ)
+        r_q = jnp.interp(q * mm[-1], mm, rr)
+        r_pair = adjacent_pairs(r_q).astype(jnp.float32)
+        joint = build_joint_speed_pairs(rr, -f["gravitational_potential"],
+                                        row_ee, tab, r_q, dtype=tab.dtype)
+        k_r, k_v, k_u, k_w = jax.random.split(key, 4)
+        u = jax.random.uniform(k_r, (n_part,), jnp.float32)
+        x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-6)
+        kq = x.astype(jnp.int32)
+        wq = x - kq.astype(jnp.float32)
+        rp = r_pair[kq]
+        radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
+        speed = sample_speeds_joint(joint, tab.shape[1], kq, wq, k_v)
+        pos = radius[:, None] * _isotropic(k_u, n_part)
         vel = speed[:, None].astype(jnp.float32) * _isotropic(k_w, n_part)
         return pos, vel
 

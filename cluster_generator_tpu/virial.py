@@ -198,19 +198,31 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
     s = jnp.linspace(0.0, 1.0, n_s)
     E = row_ee[:, None] * (1.0 - s[None, :] ** 2)  # (rows, n_s)
     if table_dtype is not None:
-        # evaluate the (grid-sized, f64-solved) spline at the (N x n_s)
-        # query block in reduced precision: the pdf only shapes a CDF that
-        # is re-normalized row-wise, and f64 arithmetic is emulated on TPU.
-        # Scale into f32 range first (f ~ 1e12 in galactic DF units).
+        # evaluate f(E) at the (rows x n_s) query block in reduced
+        # precision THROUGH a uniform-energy node table: the exact f64
+        # cubic spline is evaluated once at 4096 uniform-E nodes, and the
+        # block queries become computed-index lerps (one row-of-2 gather
+        # each) instead of per-query cubic searches — the table build was
+        # gather-bound in those searches (~20 ms/halo on v5e; this route
+        # cuts the gather count ~7x).  The pdf only shapes a CDF that is
+        # re-normalized row-wise, and the 1/4096 E-resolution sits well
+        # under the n_s/row resolution of the table itself.  Scale into
+        # f32 range first (f ~ 1e12 in galactic DF units).
+        NF = 4096
         fmax = jnp.max(jnp.abs(f_vals))
-        sp_lp = type(f_sp)(*[(jnp.asarray(v) / fmax).astype(table_dtype)
-                             if name in ("a", "b", "c", "d")
-                             else jnp.asarray(v).astype(table_dtype)
-                             for name, v in zip(f_sp._fields, f_sp)])
+        e_max = jnp.max(row_ee)
+        eu = jnp.linspace(0.0, 1.0, NF) * e_max
+        fu = jnp.maximum(spline_eval(f_sp, eu) / fmax, 0.0)
+        f_pairs = adjacent_pairs(fu.astype(table_dtype))
         s = s.astype(table_dtype)
         E = E.astype(table_dtype)
-        pdf = s[None, :] ** 2 * jnp.maximum(
-            spline_eval(sp_lp, E.reshape(-1)).reshape(E.shape), 0.0)
+        x = jnp.clip(E.reshape(-1) / e_max.astype(table_dtype) * (NF - 1),
+                     0.0, NF - 1 - 1e-6)
+        k = x.astype(jnp.int32)
+        w = x - k.astype(table_dtype)
+        fp = f_pairs[k]
+        f_E = ((1.0 - w) * fp[:, 0] + w * fp[:, 1]).reshape(E.shape)
+        pdf = s[None, :] ** 2 * f_E
         pdf = pdf / jnp.maximum(jnp.max(pdf, axis=1, keepdims=True),
                                 jnp.asarray(1e-30, table_dtype))
     else:

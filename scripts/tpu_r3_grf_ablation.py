@@ -61,11 +61,22 @@ def main():
     n = DIM
     x = jax.random.normal(jax.random.key(0), (n, n, n), jnp.float32)
 
-    timed("G1 fftn c64", jax.jit(lambda x: jnp.fft.fftn(
-        x.astype(jnp.complex64))), x)
-    timed("G2 rfftn f32->c64", jax.jit(jnp.fft.rfftn), x)
-    Xh = jnp.fft.rfftn(x)
-    timed("G3 irfftn", jax.jit(lambda X: jnp.fft.irfftn(X, (n, n, n))), Xh)
+    # lax.fft respects f32/c64 exactly; jnp.fft.rfftn under x64 promotes
+    # f32 -> f64 -> c128, which the TPU FFT cannot lower (measured:
+    # "Unexpected operand type for FFT: c128")
+    from jax import lax
+
+    def rfftn3(x):
+        return lax.fft(x, lax.FftType.RFFT, (n, n, n))
+
+    def irfftn3(X):
+        return lax.fft(X, lax.FftType.IRFFT, (n, n, n))
+
+    timed("G1 fftn c64", jax.jit(lambda x: lax.fft(
+        x.astype(jnp.complex64), lax.FftType.FFT, (n, n, n))), x)
+    timed("G2 rfftn f32->c64", jax.jit(rfftn3), x)
+    Xh = jax.jit(rfftn3)(x)
+    timed("G3 irfftn", jax.jit(irfftn3), Xh)
 
     # G4: the current production stage
     from cluster_generator_tpu.fields.grf import RandomMagneticField
@@ -103,7 +114,7 @@ def main():
         sigma = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * jnp.exp(
             -0.5 * (kk / k0) ** 2)
         sigma = sigma.at[0, 0, 0].set(0.0).astype(jnp.float32)
-        W = [jnp.fft.rfftn(noise[i]) * sigma for i in range(3)]
+        W = [rfftn3(noise[i]) * sigma for i in range(3)]
 
         def power(S):
             return sum(jnp.sum(w * jnp.abs(s) ** 2) for s in S)
@@ -118,7 +129,7 @@ def main():
         div = (W[0] * KX + W[1] * KY + W[2] * KZ) / k2
         W = [W[0] - div * KX, W[1] - div * KY, W[2] - div * KZ]
         W = [wv * jnp.sqrt(p0 / power(W)).astype(jnp.float32) for wv in W]
-        return tuple(jnp.fft.irfftn(wv, (n, n, n)) for wv in W)
+        return tuple(irfftn3(wv) for wv in W)
 
     t5 = timed("G5 rfft fused variant", lambda k: grf_rfft(k)[0],
                jax.random.key(7))

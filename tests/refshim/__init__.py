@@ -155,6 +155,26 @@ def load_reference():
     if REF_DIR not in sys.path:
         sys.path.insert(1, REF_DIR)
 
+    # scipy removed `scipy.interpolate.dfitpack` (the reference notes the
+    # deprecation itself, data_structures.py:395-396); shim the one symbol
+    # it uses — fpcurf0, whose (k, n, t, c) outputs splrep reproduces
+    # (splrep IS the supported wrapper of fpcurf).
+    import scipy.interpolate as _si
+
+    dfit = types.ModuleType("scipy.interpolate.dfitpack")
+
+    def fpcurf0(x, y, k, w=None, xb=None, xe=None, s=0.0):
+        from scipy.interpolate import splrep
+
+        t, c, kk = splrep(x, y, w=w, xb=xb, xe=xe, k=k, s=s)
+        out = [None] * 14
+        out[5], out[7], out[8], out[9] = kk, len(t), t, c
+        return tuple(out)
+
+    dfit.fpcurf0 = fpcurf0
+    sys.modules["scipy.interpolate.dfitpack"] = dfit
+    _si.dfitpack = dfit
+
     opt = types.ModuleType("cluster_generator.opt")
     opt.__path__ = []  # mark as package
     cy = _opt_cython_utils()

@@ -104,3 +104,78 @@ def test_reference_reads_our_ics_yaml(ref, model_file, tmp_path):
         [[0.2, 0, 0], [-0.2, 0, 0]])
     assert rics.tot_np["dm"] == 1000 and rics.tot_np["gas"] == 500
     assert list(rics.profiles) == [model_file, model_file]
+
+
+def test_our_frontend_reads_reference_grid_file(ref, model_file,
+                                                canonical_model, tmp_path):
+    """The REFERENCE package's ``create_dataset`` builds a YTHDF5 grid
+    (its own schema/attrs code; the absent Cython painter is
+    reconstructed in refshim with the z-first row layout its yt reader
+    decodes) and OUR yt frontend reads it back: attrs, hierarchy, and
+    cell values against a direct spline evaluation.
+
+    The forward direction (reference frontend reading OUR file) is
+    tests/test_frontend.py::test_reference_frontend_reads_our_file;
+    together they pin the on-disk format from both sides."""
+    import os
+    import sys
+
+    import h5py
+
+    rmodel = ref.ClusterModel.from_h5_file(model_file)
+    fn = str(tmp_path / "ref_grid.h5")
+    rmodel.create_dataset(fn, domain_dimensions=(32, 32, 32),
+                          left_edge=[-2000.0] * 3, box_size=[4000.0] * 3,
+                          chunksize=16)
+
+    with h5py.File(fn, "r") as f:
+        assert set(f.attrs) >= {"domain_dimensions", "bbox", "chunksize",
+                                "model_count"}
+        assert f["chunks"]["chunkmap"].shape[-1] == 8
+        raw = f["grid"]["density"][:]
+
+    # load under the ytshim like test_frontend does
+    shim = os.path.join(os.path.dirname(__file__), "ytshim")
+    saved_path = list(sys.path)
+    saved_mods = {k: sys.modules.pop(k) for k in list(sys.modules)
+                  if k == "yt" or k.startswith("yt.")
+                  or k.startswith("cluster_generator_tpu.frontend")}
+    sys.path.insert(0, shim)
+    try:
+        import cluster_generator_tpu.frontend as fe
+
+        ds = fe.ClusterGeneratorDataset(fn)
+        index = ds.index
+        assert index.num_grids == 8
+        assert ("cluster_generator", "density") in index.field_list
+
+        from yt.geometry.selection_routines import AlwaysSelector
+
+        grids = list(index.grids)
+        size = sum(int(np.prod(g.ActiveDimensions)) for g in grids)
+        out = index.io._read_fluid_selection(
+            iter([type("C", (), {"objs": grids})()]), AlwaysSelector(),
+            [("cluster_generator", "density")], size)
+
+        # values: the reference painter used FITPACK splev on the model's
+        # density; compare at the cell centers OUR hierarchy reports
+        from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+
+        centers = np.concatenate(
+            [g.icoords_centers().reshape(-1, 3) for g in grids])
+        rr = np.linalg.norm(centers, axis=1)
+        sp = IUS(np.asarray(canonical_model["radius"]),
+                 np.asarray(canonical_model["density"]))
+        vals = out["cluster_generator", "density"]
+        assert np.allclose(vals, sp(rr), rtol=1e-6)
+        # and the raw file rows really are z-first (reader transposed)
+        np.testing.assert_array_equal(
+            vals.reshape(8, 16, 16, 16), raw.transpose(0, 3, 2, 1))
+        ds.close()
+    finally:
+        sys.path[:] = saved_path
+        for k in list(sys.modules):
+            if k == "yt" or k.startswith("yt.") \
+                    or k.startswith("cluster_generator_tpu.frontend"):
+                sys.modules.pop(k)
+        sys.modules.update(saved_mods)

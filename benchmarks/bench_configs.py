@@ -91,7 +91,6 @@ def bench_cfg2():
 
     from cluster_generator_tpu.parallel.ensemble import build_one_cluster
     from cluster_generator_tpu.virial import (
-        sample_speeds,
         speed_inverse_cdf_table,
         speed_table_defaults,
     )
@@ -237,7 +236,6 @@ def bench_cfg5b():
 
     from cluster_generator_tpu.parallel.ensemble import build_one_cluster
     from cluster_generator_tpu.virial import (
-        sample_speeds,
         speed_inverse_cdf_table,
         speed_table_defaults,
     )

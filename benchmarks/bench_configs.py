@@ -273,7 +273,7 @@ def bench_cfg5b():
         k_r, k_v, k_u, k_w = jax.random.split(key, 4)
         u = jax.random.uniform(k_r, (n_part,), jnp.float32)
         x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-6)
-        kq = x.astype(jnp.int32)
+        kq = jnp.minimum(x.astype(jnp.int32), RQ - 2)  # f32 ulp guard
         wq = x - kq.astype(jnp.float32)
         rp = r_pair[kq]
         radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]

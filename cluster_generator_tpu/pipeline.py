@@ -133,7 +133,9 @@ def _log_grid_locate(radius, rr, dtype, n=None):
     dlog = ((jnp.log(rr[-1]) - jnp.log(rr[0])) / (n - 1)).astype(dtype)
     x = (jnp.log(radius) - logr0) / dlog
     x = jnp.clip(x, 0.0, n - 1 - 1e-6)
-    j = x.astype(jnp.int32)
+    # integer clamp too: in f32 the 1e-6 margin is below the ulp at
+    # n - 1 for n >= ~32, so x can still round to exactly n - 1
+    j = jnp.minimum(x.astype(jnp.int32), n - 2)
     return j, x - j.astype(dtype)
 
 
@@ -149,7 +151,7 @@ def _table_lerp(table, u):
     n = table.shape[0]
     pair = adjacent_pairs(table)  # (n-1, 2)
     x = jnp.clip(u * (n - 1), 0.0, n - 1 - 1e-6)
-    j = x.astype(jnp.int32)
+    j = jnp.minimum(x.astype(jnp.int32), n - 2)  # f32 ulp guard
     w = x - j.astype(table.dtype)
     row = pair[j]
     return (1.0 - w) * row[:, 0] + w * row[:, 1]
@@ -216,14 +218,14 @@ def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
 
     u = jax.random.uniform(kr, (n,), dtype=dtype)
     x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-6)
-    kq = x.astype(jnp.int32)
+    kq = jnp.minimum(x.astype(jnp.int32), RQ - 2)  # f32 ulp guard
     wq = x - kq.astype(dtype)
     rp = r_pair[kq]                                           # row gather 1
     radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
 
     uq = jax.random.uniform(kv, (n,), dtype=dtype)
     qm = jnp.clip(uq * (n_q - 1), 0.0, n_q - 1 - 1e-6)
-    m = qm.astype(jnp.int32)
+    m = jnp.minimum(qm.astype(jnp.int32), n_q - 2)  # f32 ulp guard
     wm = qm - m.astype(dtype)
     bern = jax.random.uniform(kb, (n,), dtype=dtype) < wq
     k_row = kq + bern.astype(jnp.int32)

@@ -355,7 +355,10 @@ def sample_speeds_joint(joint_pairs, n_q, kq, wq, key):
     kv, kb = jax.random.split(key)
     uq = jax.random.uniform(kv, kq.shape, dtype=dtype)
     qm = jnp.clip(uq * (n_q - 1), 0.0, n_q - 1 - 1e-6)
-    m = qm.astype(jnp.int32)
+    # integer clamp: in f32 the 1e-6 margin is below the ulp at n_q - 1,
+    # so qm can round to exactly n_q - 1 and the row index would spill
+    # into the next radius row of the flattened pair table
+    m = jnp.minimum(qm.astype(jnp.int32), n_q - 2)
     wm = qm - m.astype(dtype)
     bern = jax.random.uniform(kb, kq.shape, dtype=dtype) < wq.astype(dtype)
     k_row = kq + bern.astype(jnp.int32)

@@ -124,3 +124,64 @@ def test_native_engine_matches_device(canonical_model, tmp_path):
             va = np.asarray(a["grid"][field][()])
             vb = np.asarray(b["grid"][field][()])
             assert np.allclose(va, vb, rtol=1e-12, atol=1e-30), field
+
+
+def test_noncubic_domain_orientation(canonical_model, tmp_path):
+    """Painting on a NON-cubic domain with unequal per-axis extents: the
+    z-first chunk rows must place f(x_i, y_j, z_k) at block[k, j, i] with
+    each axis using ITS OWN delta — an axis mixup that cubic symmetric
+    grids can hide shows up immediately here."""
+    import h5py
+
+    fn = str(tmp_path / "nc.h5")
+    dd = (64, 32, 32)
+    bbox = np.array([[-3000.0, 3000.0], [-1000.0, 1000.0],
+                     [0.0, 1500.0]])
+    ds = YTHDF5.build(fn, dd, bbox, chunksize=16)
+    ds.add_model(canonical_model, [0, 0, 0], [0.0, 0.0, 0.0])
+    with h5py.File(fn) as f:
+        dens = np.asarray(f["grid"]["density"][()])
+        cm = f["chunks"]["chunkmap"][:]
+
+    from scipy.interpolate import CubicSpline
+
+    sp = CubicSpline(np.asarray(canonical_model["radius"]),
+                     np.asarray(canonical_model["density"]),
+                     bc_type="not-a-knot")
+    deltas = (bbox[:, 1] - bbox[:, 0]) / np.asarray(dd)
+    cs = 16
+    idx = np.arange(cs)
+    for c in (0, 5, cm.shape[-1] - 1):
+        s = cm[:, 0, c]
+        x = bbox[0, 0] + (s[0] + idx + 0.5) * deltas[0]
+        y = bbox[1, 0] + (s[1] + idx + 0.5) * deltas[1]
+        z = bbox[2, 0] + (s[2] + idx + 0.5) * deltas[2]
+        rr = np.sqrt(z[:, None, None]**2 + y[None, :, None]**2
+                     + x[None, None, :]**2)
+        assert np.allclose(dens[c], sp(rr), rtol=1e-8), c
+
+
+def test_noncubic_native_matches_device(canonical_model, tmp_path):
+    """C++ painter agrees with the device painter on the non-cubic,
+    anisotropic-delta domain too."""
+    from cluster_generator_tpu.ops import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    import h5py
+
+    dd = (32, 64, 32)
+    bbox = np.array([[-1000.0, 1000.0], [-3000.0, 3000.0],
+                     [-500.0, 2500.0]])
+    files = {}
+    for eng in ("device", "native"):
+        fn = str(tmp_path / f"{eng}.h5")
+        ds = YTHDF5.build(fn, dd, bbox, chunksize=16)
+        ds.add_model(canonical_model, [100.0, -200.0, 300.0],
+                     [0.1, 0.0, 0.0], engine=eng)
+        files[eng] = fn
+    with h5py.File(files["device"]) as fd, h5py.File(files["native"]) as fn_:
+        for field in ("density", "momentum_density_x", "pressure"):
+            np.testing.assert_allclose(fd["grid"][field][()],
+                                       fn_["grid"][field][()], rtol=1e-12,
+                                       err_msg=field)

@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.grid import log_radius_grid
 from ..model.builders import build_from_dens_and_tden
@@ -30,7 +31,8 @@ from ..profiles.solvers import (
 )
 from ..virial import compute_df
 
-__all__ = ["build_one_cluster", "build_ensemble", "sample_ensemble_params"]
+__all__ = ["build_one_cluster", "build_ensemble",
+           "sample_ensemble_params", "ensemble_datagen"]
 
 
 def build_one_cluster(M200, conc, z=0.1, f_g=None, rmin=0.1, rmax=10000.0,
@@ -87,3 +89,124 @@ def sample_ensemble_params(key, n, logM_range=(14.0, 15.3),
     scatter = jax.random.normal(k2, (n,), dtype=jnp.float64) * 0.3
     conc = jnp.clip(c_mean * jnp.exp(scatter), conc_range[0], conc_range[1])
     return M200, conc
+
+
+def _datagen_batch_fn(num_points, n_part, n_rows=256, rq=2048):
+    """One jitted program: (M200, conc, keys) batch -> per-cluster DM
+    phase-space draws (positions, velocities, particle mass).
+
+    The cfg5b datagen core (benchmarks/bench_configs.py): HSE build +
+    Eddington DF + 256-row inverse speed-CDF table per cluster, then
+    ``n_part`` draws through the radius quantile-pair table
+    (computed-index lerp) and the joint absolute-speed table (one
+    row-of-2 gather) — no per-particle searches anywhere.
+    """
+    from ..core.interp import adjacent_pairs
+    from ..virial import (
+        build_joint_speed_pairs,
+        sample_speeds_joint,
+        speed_inverse_cdf_table,
+        speed_table_defaults,
+    )
+
+    kw = speed_table_defaults()
+    row_idx = np.unique(np.round(
+        np.linspace(0, num_points - 1, min(n_rows, num_points))).astype(int))
+
+    def _isotropic(key, n):
+        k1, k2 = jax.random.split(key)
+        mu = jax.random.uniform(k1, (n,), jnp.float32, -1.0, 1.0)
+        phi = jax.random.uniform(k2, (n,), jnp.float32, 0.0,
+                                 2.0 * float(np.pi))
+        s = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+        return jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), mu], axis=1)
+
+    def one(m, c, key):
+        f = build_one_cluster(m, c, num_points=num_points, with_df=True)
+        ee = -f["gravitational_potential"][::-1]
+        df = f["dm_df"][::-1]
+        row_ee = ee[row_idx]
+        tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
+        rr, mm = f["radius"], f["dark_matter_mass"]
+        q = jnp.linspace(0.0, 1.0, rq)
+        r_q = jnp.interp(q * mm[-1], mm, rr)
+        r_pair = adjacent_pairs(r_q).astype(jnp.float32)
+        joint = build_joint_speed_pairs(rr, -f["gravitational_potential"],
+                                        row_ee, tab, r_q, dtype=tab.dtype)
+        k_r, k_v, k_u, k_w = jax.random.split(key, 4)
+        u = jax.random.uniform(k_r, (n_part,), jnp.float32)
+        x = jnp.clip(u * (rq - 1), 0.0, rq - 1 - 1e-6)
+        kq = jnp.minimum(x.astype(jnp.int32), rq - 2)  # f32 ulp guard
+        wq = x - kq.astype(jnp.float32)
+        rp = r_pair[kq]
+        radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
+        speed = sample_speeds_joint(joint, tab.shape[1], kq, wq, k_v)
+        pos = radius[:, None] * _isotropic(k_u, n_part)
+        vel = speed[:, None].astype(jnp.float32) * _isotropic(k_w, n_part)
+        pmass = (mm[-1] / n_part).astype(jnp.float32)
+        return pos, vel, pmass
+
+    @jax.jit
+    def batch(M200, conc, key):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(M200.shape[0]))
+        return jax.vmap(one)(M200, conc, keys)
+
+    return batch
+
+
+def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
+                     batch_size=256, num_points=512, key=None,
+                     overwrite=False):
+    """Stream an ensemble's DM phase-space draws to ONE HDF5 file.
+
+    The production form of benchmark cfg5b: clusters are processed in
+    HBM-sized vmapped batches (f32 draws: ``6 * 4 * batch_size *
+    n_particles_per_cluster`` bytes live at once — 0.6 GB at the
+    defaults), and each cluster lands as a group
+    ``cluster_%06d/{particle_position, particle_velocity}`` (kpc,
+    kpc/Myr) with ``M200 / conc / particle_mass`` attrs.  Measured
+    throughput on one v5e: ~138 clusters/s at 1e5 particles each
+    (1.02e8 particle draws in 7.4 s + host write time).
+
+    Returns the filename.
+    """
+    import pathlib
+
+    import h5py
+
+    from ..core.logging import mylog
+
+    path = pathlib.Path(filename)
+    if path.exists() and not overwrite:
+        raise IOError(f"{path} exists (pass overwrite=True)")
+    M200 = jnp.asarray(M200, jnp.float64)
+    conc = jnp.asarray(conc, jnp.float64)
+    n_cl = int(M200.shape[0])
+    if key is None:
+        key = jax.random.key(0)
+    batch_fn = None
+    mylog.info("Ensemble datagen: %d clusters x %d particles -> %s",
+               n_cl, n_particles_per_cluster, path)
+    with h5py.File(path, "w") as f:
+        f.attrs["n_clusters"] = n_cl
+        f.attrs["n_particles_per_cluster"] = n_particles_per_cluster
+        f.attrs["units"] = "kpc, kpc/Myr, Msun (galactic)"
+        for b0 in range(0, n_cl, batch_size):
+            Mb = M200[b0:b0 + batch_size]
+            cb = conc[b0:b0 + batch_size]
+            if batch_fn is None or Mb.shape[0] != last_b:
+                batch_fn = _datagen_batch_fn(num_points,
+                                             int(n_particles_per_cluster))
+                last_b = Mb.shape[0]
+            pos, vel, pmass = batch_fn(Mb, cb, jax.random.fold_in(key, b0))
+            pos, vel, pmass = (np.asarray(pos), np.asarray(vel),
+                               np.asarray(pmass))
+            for i in range(Mb.shape[0]):
+                g = f.create_group(f"cluster_{b0 + i:06d}")
+                g.attrs["M200"] = float(Mb[i])
+                g.attrs["conc"] = float(cb[i])
+                g.attrs["particle_mass"] = float(pmass[i])
+                g.create_dataset("particle_position", data=pos[i])
+                g.create_dataset("particle_velocity", data=vel[i])
+    return str(path)

@@ -158,3 +158,50 @@ def test_two_process_sharded_export(tmp_path):
     # the union reassembles into the full particle set
     re = ClusterParticles.from_gadget_files(tmp_path / "ic.0.h5")
     assert sum(re.num_particles.values()) == int(totals[0].sum())
+
+
+def test_ensemble_datagen_streams_to_hdf5(tmp_path):
+    """ensemble_datagen: cfg5b's batched datagen as a user API — one HDF5
+    with a group per cluster, correct shapes/attrs, physical draws
+    (radii within the grid, speeds below local escape), and batching
+    that spans multiple vmapped batches."""
+    import h5py
+
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(3), 6)
+    fn = str(tmp_path / "datagen.h5")
+    out = ensemble_datagen(M, c, fn, 2000, batch_size=4, num_points=128,
+                           key=jax.random.key(9))
+    assert out == fn
+    with pytest.raises(IOError):
+        ensemble_datagen(M, c, fn, 10)
+
+    with h5py.File(fn) as f:
+        assert f.attrs["n_clusters"] == 6
+        names = sorted(f.keys())
+        assert names == [f"cluster_{i:06d}" for i in range(6)]
+        for i, name in enumerate(names):
+            g = f[name]
+            pos = g["particle_position"][()]
+            vel = g["particle_velocity"][()]
+            assert pos.shape == (2000, 3) and vel.shape == (2000, 3)
+            assert pos.dtype == np.float32
+            assert np.isfinite(pos).all() and np.isfinite(vel).all()
+            r = np.linalg.norm(pos, axis=1)
+            assert r.max() <= 10_000.0 * 1.001  # build grid rmax
+            assert g.attrs["M200"] == pytest.approx(float(M[i]))
+            assert g.attrs["particle_mass"] > 0
+            # speeds bounded by the central escape speed (loose physical
+            # sanity: v^2/2 < psi_max)
+            v = np.linalg.norm(vel, axis=1)
+            assert (v < 15.0).all()
+
+    # different clusters are genuinely different draws
+    with h5py.File(fn) as f:
+        p0 = f["cluster_000000"]["particle_position"][()]
+        p5 = f["cluster_000005"]["particle_position"][()]
+    assert not np.allclose(p0, p5)

@@ -216,94 +216,36 @@ def bench_cfg5b():
     """Ensemble datagen END-TO-END: 1024 clusters -> 1e5 DM phase-space
     draws EACH (1.02e8 particles), in HBM-sized cluster batches.
 
-    Extends cfg5 (fields + DF only) with the actual datagen product: per
-    cluster, the 256-row inverse speed-CDF table is built and n_p
-    positions + velocities (radius quantile -> isotropic direction; speed
-    table -> isotropic direction) are drawn, all inside ONE jitted
-    program vmapped over the cluster batch.
+    Runs the SAME jitted batch program as the production
+    ``parallel.ensemble.ensemble_datagen`` API (minus the host HDF5
+    writes): per cluster, HSE build + Eddington DF + the 256-row inverse
+    speed-CDF table, then n_p positions + velocities through the radius
+    quantile-pair table and the joint absolute-speed table.
 
     Memory envelope (f32): a batch of B clusters x n_p particles holds
-    6*4*B*n_p bytes of draws + ~0.3 MB/cluster of fields+tables; at
-    B=256, n_p=1e5 that is ~0.65 GB of draws -> 4 batches cover 1024
-    clusters inside a 16 GB v5e HBM.  Scaling limit: B*n_p <= ~5e8/6
-    values; beyond that, shard the cluster axis over a mesh
-    (parallel/ensemble.py) or stream batches to host like this loop.
+    6*4*B*n_p bytes of draws; at B=256, n_p=1e5 that is ~0.65 GB -> 4
+    batches cover 1024 clusters inside a 16 GB v5e HBM.  Scaling limit:
+    B*n_p <= ~5e8/6 values; beyond that, shard the cluster axis over a
+    mesh (parallel/ensemble.py) or stream batches like ensemble_datagen.
     """
-    import numpy as np
-
     import jax
-    import jax.numpy as jnp
 
-    from cluster_generator_tpu.parallel.ensemble import build_one_cluster
-    from cluster_generator_tpu.virial import (
-        speed_inverse_cdf_table,
-        speed_table_defaults,
-    )
+    from cluster_generator_tpu.parallel import sample_ensemble_params
+    from cluster_generator_tpu.parallel.ensemble import _datagen_batch_fn
 
     n_cl = 32 if _SMOKE else 1024
     n_batch = 8 if _SMOKE else 256
     n_part = 2_000 if _SMOKE else 100_000
     n_pts = 128 if _SMOKE else 512
-    kw = speed_table_defaults()
-    row_idx = np.unique(np.round(
-        np.linspace(0, n_pts - 1, min(256, n_pts))).astype(int))
-
-    from cluster_generator_tpu.core.interp import adjacent_pairs
-    from cluster_generator_tpu.virial import (
-        build_joint_speed_pairs,
-        sample_speeds_joint,
-    )
-
-    RQ = 2048
-
-    def one_cluster(m, c, key):
-        f = build_one_cluster(m, c, num_points=n_pts, with_df=True)
-        ee = -f["gravitational_potential"][::-1]
-        df = f["dm_df"][::-1]
-        row_ee = ee[row_idx]
-        tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
-        rr, mm = f["radius"], f["dark_matter_mass"]
-        # quantile-table draws (the class-API design): the per-cluster
-        # grid searches happen ONCE at RQ nodes, not once per particle
-        q = jnp.linspace(0.0, 1.0, RQ)
-        r_q = jnp.interp(q * mm[-1], mm, rr)
-        r_pair = adjacent_pairs(r_q).astype(jnp.float32)
-        joint = build_joint_speed_pairs(rr, -f["gravitational_potential"],
-                                        row_ee, tab, r_q, dtype=tab.dtype)
-        k_r, k_v, k_u, k_w = jax.random.split(key, 4)
-        u = jax.random.uniform(k_r, (n_part,), jnp.float32)
-        x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-6)
-        kq = jnp.minimum(x.astype(jnp.int32), RQ - 2)  # f32 ulp guard
-        wq = x - kq.astype(jnp.float32)
-        rp = r_pair[kq]
-        radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
-        speed = sample_speeds_joint(joint, tab.shape[1], kq, wq, k_v)
-        pos = radius[:, None] * _isotropic(k_u, n_part)
-        vel = speed[:, None].astype(jnp.float32) * _isotropic(k_w, n_part)
-        return pos, vel
-
-    def _isotropic(key, n):
-        k1, k2 = jax.random.split(key)
-        mu = jax.random.uniform(k1, (n,), jnp.float32, -1.0, 1.0)
-        phi = jax.random.uniform(k2, (n,), jnp.float32, 0.0, 2.0 * np.pi)
-        s = jnp.sqrt(1.0 - mu * mu)
-        return jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), mu], axis=1)
-
-    @jax.jit
-    def run_batch(M, c, key):
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-            jnp.arange(M.shape[0]))
-        return jax.vmap(one_cluster)(M, c, keys)
-
-    from cluster_generator_tpu.parallel import sample_ensemble_params
+    run_batch = _datagen_batch_fn(n_pts, n_part)
 
     M, c = sample_ensemble_params(jax.random.key(7), n_cl)
 
     def once(i):
         tot = 0.0
         for b0 in range(0, n_cl, n_batch):
-            pos, vel = run_batch(M[b0:b0 + n_batch] * (1 + 1e-6 * i),
-                                 c[b0:b0 + n_batch], jax.random.key(i))
+            pos, vel, _ = run_batch(M[b0:b0 + n_batch] * (1 + 1e-6 * i),
+                                    c[b0:b0 + n_batch], jax.random.key(i))
             tot += _force(pos, vel)
         return tot
 

@@ -2,6 +2,7 @@
 CDFs — the jax.random analogue of the reference's golden-particle tests,
 SURVEY.md §4)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -211,3 +212,82 @@ def test_r_max_below_grid_raises(canonical_model):
     silently sampled the whole grid with the full-grid mass."""
     with pytest.raises(ValueError, match="below the first grid point"):
         canonical_model.generate_dm_particles(100, r_max=0.05, prng=3)
+
+
+def test_generate_particle_radii_exact_api(canonical_model):
+    """The public exact-interp API (reference utils.py:154-166 parity)
+    still stands on its own after the generators moved to the
+    quantile-table fast path: draws respect r_max, mtot matches the
+    truncated mass, and the distribution agrees with the table path."""
+    from scipy.stats import ks_2samp
+
+    from cluster_generator_tpu.sampling import (
+        _radius_quantile_pairs,
+        _sample_radii_table,
+        _truncated_cdf,
+        generate_particle_radii,
+    )
+
+    r = np.asarray(canonical_model["radius"])
+    m = np.asarray(canonical_model["dark_matter_mass"])
+    radii, mtot = generate_particle_radii(r, m, 100_000, r_max=3000.0,
+                                          prng=5)
+    radii = np.asarray(radii)
+    assert radii.max() <= 3000.0 * (1 + 1e-12)
+    idx = np.searchsorted(r, 3000.0)
+    assert mtot == pytest.approx(m[idx - 1])
+
+    P, rr_ins, _ = _truncated_cdf(r, m, r_max=3000.0)
+    tab_r, _, _ = _sample_radii_table(
+        jax.random.key(5), _radius_quantile_pairs(P, rr_ins), 100_000)
+    stat, p = ks_2samp(radii, np.asarray(tab_r))
+    assert p > 1e-3, (stat, p)
+
+
+def test_sample_speeds_legacy_matches_joint(canonical_model):
+    """virial.sample_speeds (the bilinear psi-lookup path the class API
+    used before round 3) and the joint-table path draw the same speed
+    distribution at fixed radii — the legacy API remains correct."""
+    from scipy.stats import ks_2samp
+
+    from cluster_generator_tpu.core.interp import (
+        adjacent_pairs,
+        cubic_spline,
+        spline_eval,
+    )
+    from cluster_generator_tpu.virial import (
+        VirialEquilibrium,
+        build_joint_speed_pairs,
+        sample_speeds,
+        sample_speeds_joint,
+    )
+
+    v = VirialEquilibrium(canonical_model)
+    row_ee, s_inv = v._speed_table()
+    rgrid = jnp.asarray(canonical_model["radius"])
+    psi_grid = jnp.asarray(v.ee)[::-1]
+
+    n = 100_000
+    key = jax.random.key(8)
+    kr, kv1, kv2 = jax.random.split(key, 3)
+    u = jax.random.uniform(kr, (n,), dtype=jnp.float64)
+    RQ = 2048
+    q = jnp.linspace(0.0, 1.0, RQ)
+    mm = jnp.asarray(canonical_model["dark_matter_mass"])
+    r_q = jnp.interp(q * mm[-1], mm, rgrid)
+    x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-9)
+    kq = jnp.minimum(x.astype(jnp.int32), RQ - 2)
+    wq = x - kq
+    rp = adjacent_pairs(r_q)[kq]
+    radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
+
+    psi_p = spline_eval(cubic_spline(rgrid, psi_grid), radius)
+    legacy = np.asarray(sample_speeds(radius, psi_p, row_ee, s_inv, kv1))
+
+    joint = build_joint_speed_pairs(rgrid, psi_grid, row_ee, s_inv, r_q,
+                                    dtype=s_inv.dtype)
+    new = np.asarray(sample_speeds_joint(joint, s_inv.shape[1], kq, wq,
+                                         kv2))
+    assert np.isfinite(legacy).all() and np.isfinite(new).all()
+    stat, p = ks_2samp(legacy, new)
+    assert p > 1e-3, (stat, p)

@@ -218,7 +218,7 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
         E = E.astype(table_dtype)
         x = jnp.clip(E.reshape(-1) / e_max.astype(table_dtype) * (NF - 1),
                      0.0, NF - 1 - 1e-6)
-        k = x.astype(jnp.int32)
+        k = jnp.minimum(x.astype(jnp.int32), NF - 2)  # f32 ulp guard
         w = x - k.astype(table_dtype)
         fp = f_pairs[k]
         f_E = ((1.0 - w) * fp[:, 0] + w * fp[:, 1]).reshape(E.shape)

@@ -70,3 +70,30 @@ def test_pcr_matches_thomas_and_scipy():
             + np.diag(np.asarray(du), 1)
         np.testing.assert_allclose(A @ x_pcr, np.asarray(rhs),
                                    rtol=1e-10, atol=1e-10)
+
+
+def test_spline_randomized_grids_vs_scipy():
+    """Stress the PCR spline on adversarial grids: random sizes
+    (non-powers-of-2 included — PCR's shift fills must handle every n),
+    wildly non-uniform spacing (log + jitter, ratios up to ~1e5), and
+    rough data. Values and first derivatives must match scipy's
+    not-a-knot spline everywhere."""
+    from scipy.interpolate import CubicSpline as SciCS
+
+    from cluster_generator_tpu.core.interp import cubic_spline, spline_eval
+
+    rng = np.random.default_rng(42)
+    for n in (5, 17, 33, 100, 257, 1000, 1023):
+        # non-uniform: log-spaced base with multiplicative jitter
+        x = np.sort(np.unique(
+            np.logspace(-2, 3, n) * np.exp(rng.normal(0, 0.2, n))))
+        y = np.sin(np.log(x)) * x**0.3 + rng.normal(0, 0.01, x.size)
+        sp = cubic_spline(jnp.asarray(x), jnp.asarray(y))
+        ref = SciCS(x, y, bc_type="not-a-knot")
+        q = np.sort(rng.uniform(x[0], x[-1], 500))
+        np.testing.assert_allclose(np.asarray(spline_eval(sp, jnp.asarray(q))),
+                                   ref(q), rtol=1e-8, atol=1e-10,
+                                   err_msg=f"n={x.size} values")
+        np.testing.assert_allclose(
+            np.asarray(spline_eval(sp, jnp.asarray(q), nu=1)),
+            ref(q, 1), rtol=1e-6, atol=1e-8, err_msg=f"n={x.size} deriv")

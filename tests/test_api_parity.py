@@ -102,3 +102,38 @@ def test_field_class_parity(ref):
         our_cls = getattr(cg, cls_name)
         missing = [n for n in _public(ref_cls) if not hasattr(our_cls, n)]
         assert not missing, f"{cls_name} members missing: {missing}"
+
+
+def test_migration_doc_symbols_exist():
+    """Every identifier docs/migration.md's "What's identical" section
+    names must actually resolve in the package — the doc is a promise to
+    migrating users and must not drift."""
+    import cluster_generator_tpu as cg
+    import cluster_generator_tpu.utils as utils
+
+    for name in ("ClusterModel", "HydrostaticEquilibrium",
+                 "ClusterParticles", "ClusterICs",
+                 "compute_centers_for_binary", "rescale_profile_by_mass",
+                 "find_radius_mass", "find_overdensity_radius",
+                 "setup_gamer_ics", "setup_flash_ics", "setup_ramses_ics",
+                 "setup_arepo_ics", "resample_arepo_ics"):
+        assert hasattr(cg, name), name
+    for name in ("from_dens_and_tden", "from_dens_and_temp",
+                 "from_dens_and_entr", "no_gas", "from_h5_file",
+                 "check_hse", "check_dm_virial",
+                 "set_magnetic_field_from_beta",
+                 "generate_dm_particles", "generate_gas_particles",
+                 "generate_star_particles", "generate_tracer_particles",
+                 "create_dataset", "write_model_to_h5"):
+        assert hasattr(cg.ClusterModel, name), name
+    for name in ("integrate_mass", "integrate", "integrate_toinf",
+                 "generate_particle_radii", "field_label_map"):
+        assert hasattr(utils, name), name
+    for name in ("RandomMagneticField", "RadialRandomMagneticField",
+                 "RandomMagneticVectorPotential",
+                 "RadialRandomMagneticVectorPotential",
+                 "RandomVelocityField", "RadialRandomVelocityField"):
+        assert hasattr(cg, name), name
+    assert hasattr(cg.ClusterParticles, "write_to_gadget_file")
+    assert hasattr(cg.ClusterParticles, "from_gadget_file")
+    assert hasattr(cg.ClusterParticles, "from_gadget_files")

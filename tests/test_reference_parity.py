@@ -156,3 +156,66 @@ def test_particle_masses_match_reference(framework_particles,
     m_ref = reference_particles["particle_mass"]
     assert np.allclose(m_mine[0], m_ref[0], rtol=1e-6)
     assert np.allclose(m_mine.sum(), m_ref.sum(), rtol=1e-6)
+
+
+def test_second_configuration_cross_package_parity():
+    """Cross-package parity at a SECOND cluster configuration (different
+    mass, concentration, redshift, f_gas, grid) — the committed goldens
+    cover only the canonical cluster; this runs the reference LIVE via
+    refshim and compares the full field set + DF in-session."""
+    import jax.numpy as jnp
+
+    from tests.refshim import load_reference
+
+    import cluster_generator_tpu as cg
+
+    ref = load_reference()
+
+    z, M200, conc, f_g = 0.35, 6.0e14, 6.5, 0.10
+    rmin, rmax, npts = 0.2, 6.0e3, 600
+
+    r200 = float(cg.find_overdensity_radius(M200, 200.0, z=z))
+    a = r200 / conc
+    M = float(cg.snfw_total_mass(M200, r200, a))
+    rhot = cg.snfw_density_profile(M, a)
+    Mt = cg.snfw_mass_profile(M, a)
+    r500, M500 = cg.find_radius_mass(Mt, z=z, delta=500.0)
+    rhog = cg.rescale_profile_by_mass(
+        cg.vikhlinin_density_profile(1.0, 80.0, r200, 1.1, 0.7, 3),
+        f_g * float(M500), float(r500))
+
+    mine = cg.ClusterModel.from_dens_and_tden(
+        rmin, rmax, rhog, rhot, stellar_density=0.02 * rhot,
+        num_points=npts)
+
+    # the reference package needs its own profile objects: wrap OURS as
+    # plain callables (its RadialProfile accepts functions)
+    rp = ref.radial_profiles
+    ref_rhog = rp.RadialProfile(lambda r: np.asarray(
+        rhog(jnp.asarray(np.atleast_1d(r)))))
+    ref_rhot = rp.RadialProfile(lambda r: np.asarray(
+        rhot(jnp.asarray(np.atleast_1d(r)))))
+    ref_rhos = rp.RadialProfile(lambda r: 0.02 * np.asarray(
+        rhot(jnp.asarray(np.atleast_1d(r)))))
+    theirs = ref.ClusterModel.from_dens_and_tden(
+        rmin, rmax, ref_rhog, ref_rhot, stellar_density=ref_rhos,
+        num_points=npts)
+
+    for name in ("density", "total_density", "pressure", "total_mass",
+                 "temperature", "gravitational_potential",
+                 "dark_matter_mass"):
+        a_ = np.asarray(mine[name])
+        b_ = np.asarray(theirs[name])
+        rel = np.abs(a_ - b_) / np.maximum(np.abs(b_), 1e-300)
+        assert np.median(rel) < 1e-5, (name, np.median(rel))
+        assert rel.max() < 1e-3, (name, rel.max())
+
+    # DF parity at the reference's own quad tolerance (the reference's
+    # .dm_virial lazy property runs its per-energy adaptive quads; .df is
+    # a unyt_array on the reversed radial grid — virial.py:68-76)
+    v_mine = mine.dm_virial
+    f_ref = np.asarray(theirs.dm_virial.df.d[::-1])
+    f_me = np.asarray(v_mine.ff)
+    sel = f_ref > f_ref.max() * 1e-8
+    rel = np.abs(f_me[sel] - f_ref[sel]) / f_ref[sel]
+    assert np.median(rel) < 1e-4, np.median(rel)

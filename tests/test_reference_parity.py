@@ -158,11 +158,14 @@ def test_particle_masses_match_reference(framework_particles,
     assert np.allclose(m_mine.sum(), m_ref.sum(), rtol=1e-6)
 
 
+@pytest.mark.filterwarnings("ignore")
 def test_second_configuration_cross_package_parity():
     """Cross-package parity at a SECOND cluster configuration (different
     mass, concentration, redshift, f_gas, grid) — the committed goldens
     cover only the canonical cluster; this runs the reference LIVE via
-    refshim and compares the full field set + DF in-session."""
+    refshim and compares the full field set + DF in-session (the
+    reference's adaptive quads emit ~3e5 IntegrationWarnings here —
+    its own behavior, silenced for log hygiene)."""
     import jax.numpy as jnp
 
     from tests.refshim import load_reference

@@ -112,3 +112,37 @@ def test_ics_create_dataset(profile_file, tmp_path):
     with h5py.File(fn) as f:
         assert f.attrs["model_count"] == 1
         assert (np.asarray(f["grid"]["density"][()]) > 0).any()
+
+
+def test_triple_cluster_ics(profile_file, tmp_path):
+    """Three-halo scene end-to-end: pro-rated counts over three halos,
+    all species sampled around each center, gas mixed over H=3 halos
+    (the static halo unroll in _sample_clusters/_mix must handle H>2),
+    and the Gadget write/read round-trips."""
+    centers = [[-2000.0, 0, 0], [2000.0, 0, 0], [0.0, 2500.0, 0]]
+    vels = [[0.2, 0, 0], [-0.2, 0, 0], [0.0, -0.25, 0]]
+    ics = cg.ClusterICs("triple", 3, [profile_file] * 3, centers, vels,
+                        num_particles={"dm": 9000, "gas": 6000,
+                                       "star": 3000}, r_max=3000.0)
+    parts = ics.setup_particle_ics(prng=17)
+    counts = parts.num_particles
+    assert counts["dm"] == 9000 and counts["gas"] == 6000 \
+        and counts["star"] == 3000
+
+    pos = np.asarray(parts["dm", "particle_position"])
+    # particles cluster around all three centers: each center has a
+    # nontrivial share within r_max
+    for ctr in centers:
+        d = np.linalg.norm(pos - np.asarray(ctr), axis=1)
+        frac = float((d < 3000.0).mean())
+        assert frac > 0.2, (ctr, frac)
+    # gas thermal energy finite and positive after 3-halo mixing
+    e = np.asarray(parts["gas", "thermal_energy"])
+    assert (e > 0).all() and np.isfinite(e).all()
+
+    box = 16000.0
+    parts.add_offsets([box / 2] * 3, [0.0] * 3)
+    fn = str(tmp_path / "triple.h5")
+    parts.write_to_gadget_file(fn, box)
+    back = cg.ClusterParticles.from_gadget_file(fn)
+    assert sum(back.num_particles.values()) == 18000

@@ -200,15 +200,18 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
     if table_dtype is not None:
         # evaluate f(E) at the (rows x n_s) query block in reduced
         # precision THROUGH a uniform-energy node table: the exact f64
-        # cubic spline is evaluated once at 4096 uniform-E nodes, and the
+        # cubic spline is evaluated once at NF uniform-E nodes, and the
         # block queries become computed-index lerps (one row-of-2 gather
         # each) instead of per-query cubic searches — the table build was
         # gather-bound in those searches (~20 ms/halo on v5e; this route
         # cuts the gather count ~7x).  The pdf only shapes a CDF that is
-        # re-normalized row-wise, and the 1/4096 E-resolution sits well
-        # under the n_s/row resolution of the table itself.  Scale into
-        # f32 range first (f ~ 1e12 in galactic DF units).
-        NF = 4096
+        # re-normalized row-wise.  NF=16384 puts the lerp's worst error
+        # (the steep f(E) rise toward E_max, i.e. cluster centers) at
+        # 2.3e-3 of v_esc — level with the 1/n_q quantile resolution;
+        # 4096 left 4.8e-2 there and 65536 no longer helps (measured,
+        # tests/test_virial.py::test_table_uniform_energy_lerp_accuracy).
+        # Scale into f32 range first (f ~ 1e12 in galactic DF units).
+        NF = 16384
         fmax = jnp.max(jnp.abs(f_vals))
         e_max = jnp.max(row_ee)
         eu = jnp.linspace(0.0, 1.0, NF) * e_max

@@ -139,3 +139,33 @@ def test_df_resume_skips_recompute(canonical_model, tmp_path):
     m2 = cg.ClusterModel.from_h5_file(fn)
     # resumed DF should be identical, not re-derived
     assert np.array_equal(m2.dm_virial.df, canonical_model.dm_virial.df)
+
+
+def test_table_uniform_energy_lerp_accuracy(canonical_model):
+    """The f32 table path evaluates f(E) through a 4096-node uniform-E
+    lerp (round 3); pin its error against the exact-f64 cubic path: the
+    inverse-CDF tables must agree to well under the 1/n_q quantile
+    resolution everywhere that matters."""
+    import jax.numpy as jnp
+
+    from cluster_generator_tpu.virial import speed_inverse_cdf_table
+
+    v = canonical_model.dm_virial
+    ee = jnp.asarray(v.ee)
+    ff = jnp.asarray(v.ff)
+    idx = np.unique(np.round(np.linspace(0, ee.shape[0] - 1,
+                                         256)).astype(int))
+    row_ee = ee[idx]
+    fast = np.asarray(speed_inverse_cdf_table(
+        ee, ff, row_ee=row_ee, n_s=512, n_q=512,
+        table_dtype=jnp.float32))
+    exact = np.asarray(speed_inverse_cdf_table(
+        ee, ff, row_ee=row_ee, n_s=512, n_q=512, table_dtype=None))
+    # s_inv entries are speed FRACTIONS in [0, 1]; measured at
+    # NF=16384: median 5.2e-6, p99 4.7e-4, max 2.3e-3 (the max sits in
+    # the steep-f(E) highest-energy rows and is level with the 1/n_q
+    # quantile resolution)
+    diff = np.abs(fast - exact)
+    assert np.median(diff) < 5e-5, np.median(diff)
+    assert np.quantile(diff, 0.99) < 1e-3, np.quantile(diff, 0.99)
+    assert diff.max() < 5e-3, diff.max()

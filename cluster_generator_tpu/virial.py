@@ -199,30 +199,46 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
     E = row_ee[:, None] * (1.0 - s[None, :] ** 2)  # (rows, n_s)
     if table_dtype is not None:
         # evaluate f(E) at the (rows x n_s) query block in reduced
-        # precision THROUGH a uniform-energy node table: the exact f64
-        # cubic spline is evaluated once at NF uniform-E nodes, and the
-        # block queries become computed-index lerps (one row-of-2 gather
-        # each) instead of per-query cubic searches — the table build was
-        # gather-bound in those searches (~20 ms/halo on v5e; this route
-        # cuts the gather count ~7x).  The pdf only shapes a CDF that is
-        # re-normalized row-wise.  NF=16384 puts the lerp's worst error
-        # (the steep f(E) rise toward E_max, i.e. cluster centers) at
-        # 2.3e-3 of v_esc — level with the 1/n_q quantile resolution;
-        # 4096 left 4.8e-2 there and 65536 no longer helps (measured,
-        # tests/test_virial.py::test_table_uniform_energy_lerp_accuracy).
+        # precision THROUGH an energy node table: the exact f64 cubic
+        # spline is evaluated once at the nodes, and the block queries
+        # become computed-index lerps (one row-of-2 gather each) instead
+        # of per-query cubic searches — the table build was gather-bound
+        # in those searches (~20 ms/halo on v5e; this route cuts the
+        # gather count ~7x).  The pdf only shapes a CDF that is
+        # re-normalized row-wise.  Node placement is TWO uniform
+        # segments: NF1 nodes over [0, 0.9 e_max) and NF2 over the top
+        # decade [0.9 e_max, e_max], where f(E) rises steeply (cluster
+        # centers) — effective top resolution e_max/41k at 8192 total
+        # node evals.  Measured vs the exact-f64 path: worst row 1.9e-3,
+        # p99 1.4e-4 of v_esc (uniform 4096 left 4.8e-2; uniform 16384
+        # reached 2.3e-3 AND doubled the node-eval cost, cfg5b 7.3 -> 11.2 s).
         # Scale into f32 range first (f ~ 1e12 in galactic DF units).
-        NF = 16384
+        NF1, NF2 = 4096, 4096
         fmax = jnp.max(jnp.abs(f_vals))
         e_max = jnp.max(row_ee)
-        eu = jnp.linspace(0.0, 1.0, NF) * e_max
+        b = 0.9 * e_max
+        eu = jnp.concatenate([
+            jnp.linspace(0.0, 1.0, NF1, endpoint=False) * b,
+            b + jnp.linspace(0.0, 1.0, NF2) * (e_max - b)])
         fu = jnp.maximum(spline_eval(f_sp, eu) / fmax, 0.0)
         f_pairs = adjacent_pairs(fu.astype(table_dtype))
         s = s.astype(table_dtype)
         E = E.astype(table_dtype)
-        x = jnp.clip(E.reshape(-1) / e_max.astype(table_dtype) * (NF - 1),
-                     0.0, NF - 1 - 1e-6)
-        k = jnp.minimum(x.astype(jnp.int32), NF - 2)  # f32 ulp guard
-        w = x - k.astype(table_dtype)
+        Ef = E.reshape(-1)
+        bt = b.astype(table_dtype)
+        # segment 1: interval k covers [k, k+1) * b/NF1; the seam
+        # interval (k = NF1-1) ends exactly at b = the first seg-2 node,
+        # so adjacent_pairs over the concatenated nodes stays valid
+        x1 = jnp.clip(Ef / bt * NF1, 0.0, NF1 - 1e-4)
+        k1 = jnp.minimum(x1.astype(jnp.int32), NF1 - 1)
+        w1 = x1 - k1.astype(table_dtype)
+        x2 = jnp.clip((Ef - bt) / (e_max.astype(table_dtype) - bt)
+                      * (NF2 - 1), 0.0, NF2 - 1 - 1e-4)
+        k2 = jnp.minimum(x2.astype(jnp.int32), NF2 - 2)
+        w2 = x2 - k2.astype(table_dtype)
+        in1 = Ef < bt
+        k = jnp.where(in1, k1, NF1 + k2)
+        w = jnp.where(in1, w1, w2)
         fp = f_pairs[k]
         f_E = ((1.0 - w) * fp[:, 0] + w * fp[:, 1]).reshape(E.shape)
         pdf = s[None, :] ** 2 * f_E

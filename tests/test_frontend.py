@@ -378,3 +378,40 @@ def test_sphere_read_is_radially_consistent(yt_frontend, grid_file,
                      bc_type="not-a-knot")
     np.testing.assert_allclose(out[_FLUID, "density"], sp(rr), rtol=1e-7)
     ds.close()
+
+
+def test_two_model_scene_read(yt_frontend, canonical_model, tmp_path):
+    """A two-halo ICs scene painted onto one grid reads back as the SUM
+    of the two radial profiles at the hierarchy's cell centers — the
+    painter accumulates (+=) per model and the reader must preserve it."""
+    from scipy.interpolate import CubicSpline
+
+    from cluster_generator_tpu.data_structures import YTHDF5
+
+    yt, fe = yt_frontend
+    fn = str(tmp_path / "scene.h5")
+    ds_w = YTHDF5.build(fn, (32, 32, 32), np.array([[-4000.0, 4000.0]] * 3),
+                        chunksize=16)
+    c1, c2 = [-1500.0, 0.0, 0.0], [1500.0, 0.0, 0.0]
+    ds_w.add_model(canonical_model, c1, [0.0, 0.0, 0.0])
+    ds_w.add_model(canonical_model, c2, [0.0, 0.0, 0.0])
+
+    ds = fe.ClusterGeneratorDataset(fn)
+    index = ds.index
+    from yt.geometry.selection_routines import AlwaysSelector
+
+    grids = list(index.grids)
+    size = sum(int(np.prod(g.ActiveDimensions)) for g in grids)
+    out = index.io._read_fluid_selection(
+        iter([type("C", (), {"objs": grids})()]), AlwaysSelector(),
+        [(_FLUID, "density")], size)
+
+    centers = np.concatenate(
+        [g.icoords_centers().reshape(-1, 3) for g in grids])
+    sp = CubicSpline(np.asarray(canonical_model["radius"]),
+                     np.asarray(canonical_model["density"]),
+                     bc_type="not-a-knot")
+    expect = sp(np.linalg.norm(centers - c1, axis=1)) \
+        + sp(np.linalg.norm(centers - c2, axis=1))
+    np.testing.assert_allclose(out[_FLUID, "density"], expect, rtol=1e-7)
+    ds.close()

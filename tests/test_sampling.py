@@ -291,3 +291,29 @@ def test_sample_speeds_legacy_matches_joint(canonical_model):
     assert np.isfinite(legacy).all() and np.isfinite(new).all()
     stat, p = ks_2samp(legacy, new)
     assert p > 1e-3, (stat, p)
+
+
+def test_parse_prng_accepts_all_reference_forms(canonical_model):
+    """prng= accepts int, jax key, numpy RandomState (harvested for a
+    seed), and None (entropy) — the reference-API compatibility matrix
+    (sampling.parse_prng)."""
+    m = canonical_model
+    p_int = m.generate_tracer_particles(500, prng=42)
+    p_key = m.generate_tracer_particles(500, prng=jax.random.key(42))
+    # int seed and the equivalent key draw identically
+    np.testing.assert_array_equal(
+        p_int["tracer", "particle_position"],
+        p_key["tracer", "particle_position"])
+    # RandomState: accepted, deterministic given the same state
+    p_rs1 = m.generate_tracer_particles(
+        500, prng=np.random.RandomState(7))
+    p_rs2 = m.generate_tracer_particles(
+        500, prng=np.random.RandomState(7))
+    np.testing.assert_array_equal(
+        p_rs1["tracer", "particle_position"],
+        p_rs2["tracer", "particle_position"])
+    # None: entropy-seeded, still valid draws
+    p_none = m.generate_tracer_particles(500, prng=None)
+    r = np.linalg.norm(
+        np.asarray(p_none["tracer", "particle_position"]), axis=1)
+    assert np.isfinite(r).all() and (r > 0).all()

@@ -69,3 +69,39 @@ def test_unit_roundtrips():
         6.77e-32, rel=1e-2)
     assert units.keV_to_K(1.0) == pytest.approx(1.1605e7, rel=1e-3)
     assert units.K_to_keV(units.keV_to_K(2.5)) == pytest.approx(2.5)
+
+
+def test_units_boundary_conversions_and_refusals():
+    """The unit boundary (core/units.py): same-dimension conversions are
+    exact, dimension mismatches raise, native-unit families refuse
+    cross-family conversions (K->keV requires the explicit thermal
+    equivalence), and the thermal equivalence round-trips."""
+    import pytest as _pytest
+
+    from cluster_generator_tpu.core import units as U
+
+    # galactic-base conversions
+    np.testing.assert_allclose(U.to_field_units(1.0, "Mpc", "radius"),
+                               1000.0)
+    np.testing.assert_allclose(
+        U.to_field_units(1.0, "g/cm**3", "density"),
+        U.unit_factor("g/cm**3") / U.unit_factor("Msun/kpc**3"))
+    # dimension mismatch refused
+    with _pytest.raises(ValueError):
+        U.to_field_units(1.0, "Msun", "radius")
+    # unknown unit refused with a registration hint
+    with _pytest.raises(KeyError):
+        U.unit_factor("furlong")
+    # native keV family: Kelvin refused, keV accepted
+    with _pytest.raises(ValueError):
+        U.to_field_units(1.0e7, "K", "temperature")
+    np.testing.assert_allclose(
+        U.to_field_units(5.0, "keV", "temperature"), 5.0)
+    # gauss family accepts microgauss
+    np.testing.assert_allclose(
+        U.to_field_units(1.0, "uG", "magnetic_field_strength"), 1.0e-6)
+    # thermal equivalence round-trip
+    np.testing.assert_allclose(U.K_to_keV(U.keV_to_K(3.2)), 3.2,
+                               rtol=1e-12)
+    # ~1 keV is ~1.16e7 K (physical sanity)
+    assert 1.15e7 < float(U.keV_to_K(1.0)) < 1.17e7

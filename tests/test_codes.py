@@ -158,7 +158,9 @@ def test_gamer_export_content_values(small_ics, tmp_path, monkeypatch):
 
     ics, d = small_ics
     monkeypatch.chdir(tmp_path)
-    lines = cg.setup_gamer_ics(ics)
+    # regenerate: the module-scoped ics' particle cache lives in earlier
+    # tests' (already deleted) tmp dirs
+    lines = cg.setup_gamer_ics(ics, regenerate_particles=True)
 
     # velocities in the parameter lines are km/s conversions of the scene
     vel_kms = np.asarray(ics.velocity[0]) / U.unit_factor("km/s")

@@ -316,19 +316,34 @@ class ClusterModel:
         return np.interp(r, self["radius"], self[field])
 
     def mass_in_radius(self, radius):
-        """Masses of each component within ``radius`` (model.py:1088-1107)."""
+        """Masses of each component within ``radius`` (model.py:1088-1107).
+
+        A ``radius`` below the first grid point returns zeros for every
+        component (the reference raises a bare IndexError there,
+        model.py:1088-1107 — an inherited edge-case bug fixed here)."""
         masses = {}
         r = self.fields["radius"]
+        inside = r < radius
         for mtype in ["total", "gas", "dark_matter", "stellar"]:
             if f"{mtype}_mass" in self.fields:
-                masses[mtype] = self.fields[f"{mtype}_mass"][r < radius][-1]
+                m = self.fields[f"{mtype}_mass"]
+                masses[mtype] = m[inside][-1] if inside.any() else 0.0 * m[0]
         return masses
 
     def find_radius_for_density(self, density):
         """Radius where the gas density falls to ``density``
-        (model.py:1109-1113)."""
+        (model.py:1109-1113).
+
+        The interpolation requires a monotonically decreasing density
+        profile (the reference silently returns garbage otherwise); a
+        non-monotone profile raises ValueError here."""
         r = self.fields["radius"][::-1]
         d = self.fields["density"][::-1]
+        if np.any(np.diff(d) < 0.0):
+            raise ValueError(
+                "find_radius_for_density requires a monotonically "
+                "decreasing density profile; this model's gas density "
+                "is non-monotone in radius.")
         return float(np.interp(density, d, r))
 
     # ------------------------------------------------------------- checks

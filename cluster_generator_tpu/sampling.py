@@ -111,7 +111,12 @@ def _radius_quantile_pairs(P, rr):
     from .core.interp import adjacent_pairs
 
     P = np.asarray(P)
-    r_cap = np.asarray(rr)[int(np.argmax(P >= 1.0))]
+    hits = np.flatnonzero(P >= 1.0)
+    # _truncated_cdf guarantees an exact 1.0 in P; if a future caller
+    # passes a CDF topping out below 1, argmax-style indexing would pick
+    # index 0 and silently clamp every radius to rr[0] — fall back to the
+    # grid end instead so the failure mode is a loose cap, not a collapse
+    r_cap = np.asarray(rr)[int(hits[0])] if hits.size else np.asarray(rr)[-1]
     q = jnp.linspace(0.0, 1.0, _RQ_CLASS)
     r_q = jnp.minimum(jnp.interp(q, jnp.asarray(P), jnp.asarray(rr)), r_cap)
     return adjacent_pairs(r_q)
@@ -288,6 +293,14 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
                                           psi_q=psi_nodes)
     speed_sub = sample_speeds_joint(joint_pairs, s_inv.shape[1],
                                     kq, wq, k_v)
+    # the joint table picks the speed row by Bernoulli between the two
+    # radius-quantile nodes while the radius is lerped, so a particle near
+    # the outer node can draw from the inner node's (faster) table and
+    # exceed its LOCAL escape speed by up to the inter-node v_esc
+    # difference, O(1/RQ).  Cap at v_esc(r) = sqrt(2 psi(r)) using the
+    # already-computed psi_p so no particle leaves unbound.
+    speed_sub = jnp.minimum(speed_sub,
+                            jnp.sqrt(2.0 * psi_p).astype(speed_sub.dtype))
     speed = _tile(speed_sub, sub_sample, num_particles)
     vel = speed[:, None] * _isotropic_units(k_vang, num_particles)
 

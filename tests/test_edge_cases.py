@@ -88,3 +88,45 @@ def test_model_ascii_cgs(canonical_model, tmp_path):
     canonical_model.write_model_to_ascii(fn, in_cgs=True)
     txt = open(fn).read()
     assert "unit_system=cgs" in txt
+
+
+def test_mass_in_radius_below_grid(canonical_model):
+    """A radius below the first grid point returns zeros instead of the
+    reference's bare IndexError (reference model.py:1088-1107)."""
+    r0 = float(canonical_model["radius"][0])
+    masses = canonical_model.mass_in_radius(0.5 * r0)
+    assert set(masses) >= {"total", "gas", "dark_matter"}
+    for v in masses.values():
+        assert float(v) == 0.0
+    # and a normal radius still returns increasing positive masses
+    inside = canonical_model.mass_in_radius(100.0)
+    assert all(float(v) > 0 for v in inside.values())
+
+
+def test_find_radius_for_density_monotone_guard(canonical_model):
+    """Non-monotone gas density raises instead of silently interpolating
+    garbage (reference model.py:1109-1113)."""
+    import copy
+
+    d0 = float(canonical_model.find_field_at_radius("density", 500.0))
+    r = canonical_model.find_radius_for_density(d0)
+    assert np.isclose(r, 500.0, rtol=1e-3)
+
+    bad = copy.deepcopy(canonical_model)
+    dens = np.asarray(bad.fields["density"]).copy()
+    dens[10] = dens[9] * 2.0  # create a local bump
+    bad.fields["density"] = dens
+    with pytest.raises(ValueError, match="monoton"):
+        bad.find_radius_for_density(d0)
+
+
+def test_speed_cap_at_local_escape(canonical_model):
+    """Joint-table speed draws are capped at the LOCAL escape speed
+    sqrt(2 psi(r)) (the Bernoulli row selection can otherwise exceed it
+    by the inter-node v_esc difference)."""
+    p = canonical_model.generate_dm_particles(50_000, prng=11,
+                                              compute_potential=True)
+    v = np.linalg.norm(np.asarray(p["dm", "particle_velocity"]), axis=1)
+    psi = -np.asarray(p["dm", "particle_potential"])
+    v_esc = np.sqrt(2.0 * psi)
+    assert (v <= v_esc * (1.0 + 1e-12)).all()

@@ -124,7 +124,8 @@ def test_triple_cluster_ics(profile_file, tmp_path):
     ics = cg.ClusterICs("triple", 3, [profile_file] * 3, centers, vels,
                         num_particles={"dm": 9000, "gas": 6000,
                                        "star": 3000}, r_max=3000.0)
-    parts = ics.setup_particle_ics(prng=17)
+    # output_directory keeps the per-halo particle caches out of the cwd
+    parts = ics.setup_particle_ics(output_directory=str(tmp_path), prng=17)
     counts = parts.num_particles
     assert counts["dm"] == 9000 and counts["gas"] == 6000 \
         and counts["star"] == 3000

@@ -254,6 +254,47 @@ def bench_cfg5b():
                   "particles_total": n_cl * n_part})
 
 
+def bench_cfg5c():
+    """Full-species ensemble datagen: 1024 clusters x 1e5 particles EACH
+    (5e4 DM + 4e4 gas + 1e4 star; 1.02e8 total) — the complete
+    per-cluster IC product (positions + velocities + thermal energy for
+    every species) at ensemble scale, VERDICT r3 item 1.
+
+    Same program as ``ensemble_datagen(..., {"dm": ..., "gas": ...,
+    "star": ...})`` minus the host HDF5 writes (which overlap device
+    compute in the API).  Per cluster this adds to cfg5b: a second
+    Eddington DF (stars), a second speed table, and the gas draws —
+    the star table work is count-independent, so the rate is dominated
+    by total draws + per-cluster table builds.
+    """
+    import jax
+
+    from cluster_generator_tpu.parallel import sample_ensemble_params
+    from cluster_generator_tpu.parallel.ensemble import _datagen_full_batch_fn
+
+    n_cl = 32 if _SMOKE else 1024
+    n_batch = 8 if _SMOKE else 256
+    n_dm, n_gas, n_star = ((1_000, 800, 200) if _SMOKE
+                           else (50_000, 40_000, 10_000))
+    n_pts = 128 if _SMOKE else 512
+    run_batch = _datagen_full_batch_fn(n_pts, n_dm, n_gas, n_star)
+
+    M, c = sample_ensemble_params(jax.random.key(7), n_cl)
+
+    def once(i):
+        tot = 0.0
+        for b0 in range(0, n_cl, n_batch):
+            out = run_batch(M[b0:b0 + n_batch] * (1 + 1e-6 * i),
+                            c[b0:b0 + n_batch], jax.random.key(i))
+            tot += _force(out["dm"][0], out["dm"][1], out["gas"][0],
+                          out["gas"][1], out["star"][0], out["star"][1])
+        return tot
+
+    _timed("cfg5c_ensemble_full_species_1024x1e5_wall_time", None, once,
+           extra={"clusters_per_s": lambda v: round(n_cl / v, 1),
+                  "particles_total": n_cl * (n_dm + n_gas + n_star)})
+
+
 def bench_field():
     """512^3 divergence-free Gaussian random magnetic field.
 
@@ -278,7 +319,8 @@ def bench_field():
 
 
 ALL = {"cfg1": bench_cfg1, "cfg2": bench_cfg2, "cfg3": bench_cfg3,
-       "cfg5": bench_cfg5, "cfg5b": bench_cfg5b, "field": bench_field}
+       "cfg5": bench_cfg5, "cfg5b": bench_cfg5b, "cfg5c": bench_cfg5c,
+       "field": bench_field}
 
 
 def main():

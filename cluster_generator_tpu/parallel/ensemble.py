@@ -32,7 +32,8 @@ from ..profiles.solvers import (
 from ..virial import compute_df
 
 __all__ = ["build_one_cluster", "build_ensemble",
-           "sample_ensemble_params", "ensemble_datagen"]
+           "sample_ensemble_params", "ensemble_datagen",
+           "prorate_species_counts"]
 
 
 def build_one_cluster(M200, conc, z=0.1, f_g=None, rmin=0.1, rmax=10000.0,
@@ -155,19 +156,173 @@ def _datagen_batch_fn(num_points, n_part, n_rows=256, rq=2048):
     return batch
 
 
+def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=256,
+                           rq=2048):
+    """One jitted program: (M200, conc, key) batch -> per-cluster
+    FULL-SPECIES draws — the complete per-cluster IC product at ensemble
+    scale (reference model.py:838-1039 gas generator + virial.py:108-236
+    collisionless generator, per cluster in the vmapped batch):
+
+    * dm / star: positions + velocities from the per-species mass CDF and
+      joint absolute-speed table (the cfg5b draw scheme; the star species
+      gets its own Eddington DF from the stellar density in the shared
+      total potential);
+    * gas: positions from the gas-mass CDF + thermal energy
+      e = 1.5 P / rho lerped at the particle radius (gas velocities are
+      identically zero in HSE and are not materialized).
+
+    Gather design: the radius-quantile table is packed as row-of-4
+    ``(r_lo, r_hi, x_lo, x_hi)`` where x is v_esc (collisionless — the
+    local escape-speed cap rides the radius gather for free; row width 4
+    is the measured gather knee, docs/performance.md E4) or the thermal
+    energy (gas — the energy lookup rides the same gather).
+    """
+    from ..core.interp import adjacent_pairs
+    from ..virial import (
+        build_joint_speed_pairs,
+        sample_speeds_joint,
+        speed_inverse_cdf_table,
+        speed_table_defaults,
+    )
+
+    kw = speed_table_defaults()
+    row_idx = np.unique(np.round(
+        np.linspace(0, num_points - 1, min(n_rows, num_points))).astype(int))
+
+    def _isotropic(key, n):
+        k1, k2 = jax.random.split(key)
+        mu = jax.random.uniform(k1, (n,), jnp.float32, -1.0, 1.0)
+        phi = jax.random.uniform(k2, (n,), jnp.float32, 0.0,
+                                 2.0 * float(np.pi))
+        s = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
+        return jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), mu], axis=1)
+
+    def _draw_quantiles(key, n):
+        u = jax.random.uniform(key, (n,), jnp.float32)
+        x = jnp.clip(u * (rq - 1), 0.0, rq - 1 - 1e-6)
+        kq = jnp.minimum(x.astype(jnp.int32), rq - 2)  # f32 ulp guard
+        wq = x - kq.astype(jnp.float32)
+        return kq, wq
+
+    def _quantile_nodes(rr, mm):
+        """(rq,) radius nodes at uniform mass quantiles."""
+        qq = jnp.linspace(0.0, 1.0, rq)
+        return jnp.interp(qq * mm[-1], mm, rr)
+
+    def _pack4(r_q, x_q):
+        """(rq-1, 4) rows (r_lo, r_hi, x_lo, x_hi) for one row-of-4 gather."""
+        rp = adjacent_pairs(r_q).astype(jnp.float32)
+        xp = adjacent_pairs(x_q).astype(jnp.float32)
+        return jnp.concatenate([rp, xp], axis=1)
+
+    def _collisionless(f, row_ee, mass_field, df_rev, n_part, key):
+        ee = -f["gravitational_potential"][::-1]
+        tab = speed_inverse_cdf_table(ee, df_rev, row_ee=row_ee, **kw)
+        rr, mm = f["radius"], f[mass_field]
+        r_q = _quantile_nodes(rr, mm)
+        psi_q = jnp.interp(r_q, rr, -f["gravitational_potential"])
+        table4 = _pack4(r_q, jnp.sqrt(2.0 * psi_q))
+        joint = build_joint_speed_pairs(rr, -f["gravitational_potential"],
+                                        row_ee, tab, r_q, dtype=tab.dtype,
+                                        psi_q=psi_q)
+        k_r, k_v, k_u, k_w = jax.random.split(key, 4)
+        kq, wq = _draw_quantiles(k_r, n_part)
+        row = table4[kq]
+        radius = (1.0 - wq) * row[:, 0] + wq * row[:, 1]
+        v_esc = (1.0 - wq) * row[:, 2] + wq * row[:, 3]
+        speed = sample_speeds_joint(joint, tab.shape[1], kq, wq, k_v)
+        # Bernoulli row selection can exceed the LOCAL escape speed by the
+        # inter-node v_esc difference; cap rides the radius gather
+        speed = jnp.minimum(speed, v_esc.astype(speed.dtype))
+        pos = radius[:, None] * _isotropic(k_u, n_part)
+        vel = speed[:, None].astype(jnp.float32) * _isotropic(k_w, n_part)
+        pmass = (mm[-1] / n_part).astype(jnp.float32)
+        return pos, vel, pmass
+
+    def _gas(f, n_part, key):
+        rr, mm = f["radius"], f["gas_mass"]
+        r_q = _quantile_nodes(rr, mm)
+        e_grid = 1.5 * f["pressure"] / f["density"]
+        table4 = _pack4(r_q, jnp.interp(r_q, rr, e_grid))
+        k_r, k_u = jax.random.split(key)
+        kq, wq = _draw_quantiles(k_r, n_part)
+        row = table4[kq]
+        radius = (1.0 - wq) * row[:, 0] + wq * row[:, 1]
+        energy = (1.0 - wq) * row[:, 2] + wq * row[:, 3]
+        pos = radius[:, None] * _isotropic(k_u, n_part)
+        pmass = (mm[-1] / n_part).astype(jnp.float32)
+        return pos, energy, pmass
+
+    def one(m, c, key):
+        f = build_one_cluster(m, c, num_points=num_points, with_df=True)
+        ee = -f["gravitational_potential"][::-1]
+        row_ee = ee[row_idx]
+        k_dm, k_gas, k_star = jax.random.split(key, 3)
+        out = {}
+        if n_dm:
+            out["dm"] = _collisionless(f, row_ee, "dark_matter_mass",
+                                       f["dm_df"][::-1], n_dm, k_dm)
+        if n_star:
+            star_df = compute_df(ee, f["stellar_density"][::-1])
+            out["star"] = _collisionless(f, row_ee, "stellar_mass",
+                                         star_df, n_star, k_star)
+        if n_gas:
+            out["gas"] = _gas(f, n_gas, k_gas)
+        return out
+
+    @jax.jit
+    def batch(M200, conc, key):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(M200.shape[0]))
+        return jax.vmap(one)(M200, conc, keys)
+
+    return batch
+
+
+def prorate_species_counts(n_total, M200=1.5e15, conc=4.0, num_points=512):
+    """Split a per-cluster particle budget across species by mass fraction
+    (the reference's pro-rata rule, ics.py:100-160, applied to species
+    instead of halos — ensemble batches need static per-species shapes, so
+    the split is computed once from a representative cluster build).
+
+    Returns ``{"dm": n_dm, "gas": n_gas, "star": n_star}`` summing to
+    ``n_total``.
+    """
+    f = jax.jit(lambda m, c: build_one_cluster(
+        m, c, num_points=num_points, with_df=False))(M200, conc)
+    m_dm = float(f["dark_matter_mass"][-1])
+    m_gas = float(f["gas_mass"][-1])
+    m_star = float(f["stellar_mass"][-1])
+    tot = m_dm + m_gas + m_star
+    n_dm = int(round(n_total * m_dm / tot))
+    n_gas = int(round(n_total * m_gas / tot))
+    n_star = max(n_total - n_dm - n_gas, 0)
+    return {"dm": n_dm, "gas": n_gas, "star": n_star}
+
+
 def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                      batch_size=256, num_points=512, key=None,
                      overwrite=False):
-    """Stream an ensemble's DM phase-space draws to ONE HDF5 file.
+    """Stream an ensemble's particle draws to ONE HDF5 file.
 
-    The production form of benchmark cfg5b: clusters are processed in
-    HBM-sized vmapped batches (f32 draws: ``6 * 4 * batch_size *
-    n_particles_per_cluster`` bytes live at once — 0.6 GB at the
-    defaults), and each cluster lands as a group
-    ``cluster_%06d/{particle_position, particle_velocity}`` (kpc,
-    kpc/Myr) with ``M200 / conc / particle_mass`` attrs.  Measured
-    throughput on one v5e: ~138 clusters/s at 1e5 particles each
-    (1.02e8 particle draws in 7.4 s + host write time).
+    ``n_particles_per_cluster`` selects the product:
+
+    * **int** — DM phase space only (the cfg5b benchmark program): each
+      cluster lands as ``cluster_%06d/{particle_position,
+      particle_velocity}`` (kpc, kpc/Myr) with ``M200 / conc /
+      particle_mass`` attrs;
+    * **dict** ``{"dm": n, "gas": n, "star": n}`` — the FULL per-cluster
+      IC product (cfg5c): ``dm_position / dm_velocity / star_position /
+      star_velocity / gas_position / gas_thermal_energy`` datasets plus
+      per-species ``particle_mass_*`` attrs (gas velocities are
+      identically zero in HSE and are not written).  Use
+      :func:`prorate_species_counts` for a mass-pro-rated split.
+
+    Clusters are processed in HBM-sized vmapped batches; the host HDF5
+    writes of batch k overlap the device compute of batch k+1 (the next
+    batch is dispatched asynchronously BEFORE the blocking
+    device-to-host transfer of the current one).  Measured on one v5e:
+    ~138 clusters/s at 1e5 DM particles each.
 
     Returns the filename.
     """
@@ -185,28 +340,68 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     n_cl = int(M200.shape[0])
     if key is None:
         key = jax.random.key(0)
-    batch_fn = None
-    mylog.info("Ensemble datagen: %d clusters x %d particles -> %s",
+    full = isinstance(n_particles_per_cluster, dict)
+    # one jitted program; jit's shape-keyed cache handles the short final
+    # batch (it retraces once for the tail shape, nothing to rebuild here)
+    if full:
+        counts = {s: int(n_particles_per_cluster.get(s, 0))
+                  for s in ("dm", "gas", "star")}
+        batch_fn = _datagen_full_batch_fn(num_points, counts["dm"],
+                                          counts["gas"], counts["star"])
+    else:
+        batch_fn = _datagen_batch_fn(num_points,
+                                     int(n_particles_per_cluster))
+    mylog.info("Ensemble datagen: %d clusters x %s particles -> %s",
                n_cl, n_particles_per_cluster, path)
+
+    def _dispatch(b0):
+        Mb = M200[b0:b0 + batch_size]
+        cb = conc[b0:b0 + batch_size]
+        return Mb, cb, batch_fn(Mb, cb, jax.random.fold_in(key, b0))
+
+    def _write_full(f, b0, Mb, cb, out):
+        out = jax.tree_util.tree_map(np.asarray, out)  # blocks this batch
+        for i in range(Mb.shape[0]):
+            g = f.create_group(f"cluster_{b0 + i:06d}")
+            g.attrs["M200"] = float(Mb[i])
+            g.attrs["conc"] = float(cb[i])
+            for sp in ("dm", "star"):
+                if sp in out:
+                    pos, vel, pmass = out[sp]
+                    g.attrs[f"particle_mass_{sp}"] = float(pmass[i])
+                    g.create_dataset(f"{sp}_position", data=pos[i])
+                    g.create_dataset(f"{sp}_velocity", data=vel[i])
+            if "gas" in out:
+                pos, energy, pmass = out["gas"]
+                g.attrs["particle_mass_gas"] = float(pmass[i])
+                g.create_dataset("gas_position", data=pos[i])
+                g.create_dataset("gas_thermal_energy", data=energy[i])
+
+    def _write_dm(f, b0, Mb, cb, out):
+        pos, vel, pmass = (np.asarray(a) for a in out)
+        for i in range(Mb.shape[0]):
+            g = f.create_group(f"cluster_{b0 + i:06d}")
+            g.attrs["M200"] = float(Mb[i])
+            g.attrs["conc"] = float(cb[i])
+            g.attrs["particle_mass"] = float(pmass[i])
+            g.create_dataset("particle_position", data=pos[i])
+            g.create_dataset("particle_velocity", data=vel[i])
+
+    write = _write_full if full else _write_dm
     with h5py.File(path, "w") as f:
         f.attrs["n_clusters"] = n_cl
-        f.attrs["n_particles_per_cluster"] = n_particles_per_cluster
+        if full:
+            for s, n in counts.items():
+                f.attrs[f"n_{s}_per_cluster"] = n
+        else:
+            f.attrs["n_particles_per_cluster"] = n_particles_per_cluster
         f.attrs["units"] = "kpc, kpc/Myr, Msun (galactic)"
+        pending = None
         for b0 in range(0, n_cl, batch_size):
-            Mb = M200[b0:b0 + batch_size]
-            cb = conc[b0:b0 + batch_size]
-            if batch_fn is None or Mb.shape[0] != last_b:
-                batch_fn = _datagen_batch_fn(num_points,
-                                             int(n_particles_per_cluster))
-                last_b = Mb.shape[0]
-            pos, vel, pmass = batch_fn(Mb, cb, jax.random.fold_in(key, b0))
-            pos, vel, pmass = (np.asarray(pos), np.asarray(vel),
-                               np.asarray(pmass))
-            for i in range(Mb.shape[0]):
-                g = f.create_group(f"cluster_{b0 + i:06d}")
-                g.attrs["M200"] = float(Mb[i])
-                g.attrs["conc"] = float(cb[i])
-                g.attrs["particle_mass"] = float(pmass[i])
-                g.create_dataset("particle_position", data=pos[i])
-                g.create_dataset("particle_velocity", data=vel[i])
+            nxt = (b0, *_dispatch(b0))  # async dispatch BEFORE the write
+            if pending is not None:
+                write(f, *pending)
+            pending = nxt
+        if pending is not None:
+            write(f, *pending)
     return str(path)

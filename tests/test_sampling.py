@@ -317,3 +317,81 @@ def test_parse_prng_accepts_all_reference_forms(canonical_model):
     r = np.linalg.norm(
         np.asarray(p_none["tracer", "particle_position"]), axis=1)
     assert np.isfinite(r).all() and (r > 0).all()
+
+
+@pytest.mark.parametrize("M200,conc,seed", [
+    (1.5e15, 4.0, 3), (3.0e14, 7.2, 11), (8.0e14, 5.5, 23),
+])
+def test_drawn_sigma_v_matches_jeans(M200, conc, seed):
+    """The f32 speed-table node grid, validated against an OBSERVABLE
+    (VERDICT r3 item 6): the radial velocity-dispersion profile of a
+    drawn DM ensemble must match the isotropic Jeans sigma_r(r)
+    (ClusterModel.compute_velocity_dispersion) across a randomized
+    (M200, c) sweep — the drawn-particle analogue of the reference's
+    check_virial (virial.py:78-106)."""
+    from cluster_generator_tpu.parallel.ensemble import build_one_cluster
+
+    fields = jax.jit(lambda m, c: build_one_cluster(
+        m, c, num_points=512, with_df=False))(M200, conc)
+    m = cg.ClusterModel.from_arrays(
+        {k: np.asarray(v) for k, v in fields.items()})
+    sigma_jeans = np.asarray(m.compute_velocity_dispersion("dark_matter"))
+    rr = np.asarray(m["radius"])
+
+    p = m.generate_dm_particles(400_000, prng=seed)
+    pos = np.asarray(p["dm", "particle_position"], dtype=np.float64)
+    vel = np.asarray(p["dm", "particle_velocity"], dtype=np.float64)
+    r = np.linalg.norm(pos, axis=1)
+    v2 = np.sum(vel * vel, axis=1)
+
+    # isotropy: sigma_r^2 = <v^2>/3 per radial bin; interior bins only
+    # (the outermost bins mix truncation + sparse statistics)
+    bins = np.geomspace(5.0, 3000.0, 16)
+    idx = np.digitize(r, bins)
+    devs = []
+    for b in range(1, len(bins)):
+        sel = idx == b
+        if sel.sum() < 2000:
+            continue
+        sig_meas = np.sqrt(v2[sel].mean() / 3.0)
+        r_cen = np.sqrt(bins[b - 1] * bins[b])
+        sig_ref = np.interp(r_cen, rr, sigma_jeans)
+        devs.append(abs(sig_meas / sig_ref - 1.0))
+    devs = np.asarray(devs)
+    assert devs.size >= 8  # the sweep actually covers the profile
+    # statistical error at >=2000/bin is ~1.6%/sqrt(2); the band pins the
+    # table-resolution systematic well below the physics tolerances
+    assert np.median(devs) < 0.02, devs
+    assert devs.max() < 0.06, devs
+
+
+def test_df_node_grid_config_knobs():
+    """df_node_grid_{body,top} are live config knobs: they reach
+    speed_table_defaults() and change the table program (VERDICT r3
+    item 6)."""
+    from cluster_generator_tpu.core.config import cgparams
+    from cluster_generator_tpu.virial import (
+        speed_inverse_cdf_table,
+        speed_table_defaults,
+    )
+
+    kw = speed_table_defaults()
+    assert kw["nf1"] == cgparams["numerical"]["df_node_grid_body"]
+    assert kw["nf2"] == cgparams["numerical"]["df_node_grid_top"]
+
+    old = cgparams["numerical"]["df_node_grid_body"]
+    try:
+        cgparams["numerical"]["df_node_grid_body"] = 512
+        assert speed_table_defaults()["nf1"] == 512
+        # a coarse node grid still builds a monotone, in-range table
+        ee = jnp.linspace(1e-4, 1.0, 64)
+        ff = jnp.exp(ee) - 1.0
+        tab = speed_inverse_cdf_table(ee, ff, n_s=128, n_q=64,
+                                      table_dtype=jnp.float32,
+                                      **{k: speed_table_defaults()[k]
+                                         for k in ("nf1", "nf2")})
+        t = np.asarray(tab)
+        assert (t >= 0).all() and (t <= 1.0 + 1e-6).all()
+        assert (np.diff(t, axis=1) >= -1e-6).all()
+    finally:
+        cgparams["numerical"]["df_node_grid_body"] = old

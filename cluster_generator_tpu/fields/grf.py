@@ -286,7 +286,7 @@ class GaussianRandomField(ClusterField):
                  ctr2=None, ctr3=None, r1=None, r2=None, r3=None, g1=None,
                  g2=None, g3=None, vector_potential=False,
                  divergence_clean=False, prng=None, r_max=None,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, use_rfft=False):
         key = parse_prng(prng)
         super().__init__(left_edge, right_edge, ddims, padding=padding,
                          vector_potential=vector_potential,
@@ -334,7 +334,9 @@ class GaussianRandomField(ClusterField):
             kxd = np.sin(kx * self.dx) / self.dx
             kyd = np.sin(ky * self.dy) / self.dy
             kzd = np.sin(kz * self.dz) / self.dz
-            self.gx, self.gy, self.gz = _grf_core_fused(
+            core = (_grf_core_rfft_staged if use_rfft and
+                    self.dtype != jnp.float64 else _grf_core_fused)
+            self.gx, self.gy, self.gz = core(
                 key, (nx, ny, nz), jnp.asarray(kx), jnp.asarray(ky),
                 jnp.asarray(kz), jnp.asarray(kxd, self.dtype),
                 jnp.asarray(kyd, self.dtype), jnp.asarray(kzd, self.dtype),
@@ -451,6 +453,89 @@ def _grf_core_fused(key, shape, kx, ky, kz, kxd, kyd, kzd, k0, k1, alpha,
     return tuple(jnp.fft.ifftn(w).real.astype(dtype) for w in W)
 
 
+@partial(jax.jit, static_argnames=("shape",))
+def _rfft_shape_one(w, sigma_h, shape):
+    """One component: real white noise -> shaped HALF-spectrum (rfft).
+
+    ``lax.fft`` with an explicit FftType avoids jnp.fft's x64 promotion
+    of float32 -> complex128 (TPU has no c128 FFT)."""
+    Wk = jax.lax.fft(w, jax.lax.FftType.RFFT, shape)
+    return Wk * sigma_h
+
+
+@partial(jax.jit, static_argnames=("shape", "div_clean", "vec_pot"))
+def _rfft_kmath(Wx, Wy, Wz, wz, kxd, kyd, kzd_h, kx, ky, kz_h, g_rms,
+                shape, div_clean, vec_pot):
+    """All half-spectrum k-space math in one (FFT-free) program:
+    Parseval rms normalization, divergence projection with its
+    power-preserving rescale, optional vector potential.
+
+    ``wz``: (nzh,) Parseval plane weights — 2 for interior kz planes whose
+    conjugate mirror the half-spectrum drops, 1 for the self-conjugate
+    kz=0 (and kz=n/2 when n is even) planes."""
+    nx, ny, nz = shape
+    n_cells = nx * ny * nz
+
+    def power(S):
+        return sum(jnp.sum(wz * jnp.abs(s) ** 2) for s in S)
+
+    W = [Wx, Wy, Wz]
+    g_avg = jnp.sqrt(power(W) / (n_cells * float(n_cells)))
+    scale = (g_rms / g_avg).astype(Wx.real.dtype)
+    W = [w * scale for w in W]
+    if div_clean:
+        p0 = power(W)
+        W = list(_div_clean_k(*W, kxd, kyd, kzd_h))
+        W = [w * jnp.sqrt(p0 / power(W)).astype(Wx.real.dtype) for w in W]
+    if vec_pot:
+        W = list(_vector_potential_k(*W, kx, ky, kz_h))
+    return tuple(W)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _irfft_one(Wk, shape):
+    return jax.lax.fft(Wk, jax.lax.FftType.IRFFT, shape)
+
+
+def _grf_core_rfft_staged(key, shape, kx, ky, kz, kxd, kyd, kzd, k0, k1,
+                          alpha, g_rms, div_clean, vec_pot, dtype):
+    """The fused constant-rms GRF on rfft HALF-spectra, as STAGED programs.
+
+    Mathematically identical to :func:`_grf_core_fused` (the imaginary
+    half of a real field's spectrum is redundant), but each FFT moves/
+    computes half the data: a 512^3 rfft measures 99/95 ms fwd/inv vs
+    128 ms for the c64 fftn on v5e (docs/performance.md S4).  The FULLY
+    fused 6-rfft program crashes the remote TPU compiler (round-3
+    negative result), so this variant deliberately splits the work into
+    3 forward + 1 k-math + 3 inverse programs — the dispatches pipeline
+    asynchronously, so the seams cost latency only, not wall-time.
+    Float32 path only (f64 stays on the fused c128 route, CPU-tested).
+    """
+    nx, ny, nz = (int(s) for s in shape)
+    nzh = nz // 2 + 1
+    kz_h, kzd_h = kz[..., :nzh], kzd[..., :nzh]
+    kk = jnp.sqrt(kx**2 + ky**2 + kz_h**2)
+    sigma = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * jnp.exp(
+        -0.5 * (kk / k0) ** 2)
+    sigma = sigma.at[0, 0, 0].set(0.0).astype(dtype)
+    wz = np.full(nzh, 2.0, dtype=np.float32)
+    wz[0] = 1.0
+    if nz % 2 == 0:
+        wz[-1] = 1.0
+    wz = jnp.asarray(wz)
+
+    # the SAME single-key (3, nx, ny, nz) draw as _grf_core_fused, so the
+    # two routes produce identical fields for identical keys (pinned by
+    # tests/test_fields.py)
+    noise = jax.random.normal(key, (3, nx, ny, nz), dtype=dtype)
+    W = [_rfft_shape_one(noise[i], sigma, (nx, ny, nz)) for i in range(3)]
+    W = _rfft_kmath(W[0], W[1], W[2], wz, kxd, kyd, kzd_h,
+                    kx.astype(dtype), ky.astype(dtype),
+                    kz_h.astype(dtype), g_rms, (nx, ny, nz), div_clean,
+                    vec_pot)
+    return tuple(_irfft_one(w, (nx, ny, nz)) for w in W)
+
+
 def _load_radial_profile(profile, field_name):
     """(r, g) arrays from a ClusterModel, an HDF5 path, or an (r, g) tuple
     (fields.py:631-690 pattern)."""
@@ -477,11 +562,12 @@ class RandomMagneticField(GaussianRandomField):
     _vector_potential = False
 
     def __init__(self, left_edge, right_edge, ddims, l_min, l_max, B_rms,
-                 padding=0.1, alpha=-11.0 / 3.0, prng=None, dtype=jnp.float64):
+                 padding=0.1, alpha=-11.0 / 3.0, prng=None, dtype=jnp.float64,
+                 use_rfft=False):
         super().__init__(left_edge, right_edge, ddims, l_min, l_max,
                          padding=padding, alpha=alpha, divergence_clean=True,
                          g_rms=B_rms, vector_potential=self._vector_potential,
-                         prng=prng, dtype=dtype)
+                         prng=prng, dtype=dtype, use_rfft=use_rfft)
 
 
 class RadialRandomMagneticField(GaussianRandomField):

@@ -33,6 +33,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from cluster_generator_tpu.core.aot import artifact_path, load_compiled
     from cluster_generator_tpu.pipeline import merger_ic_fused
 
     M200 = jnp.asarray([1.5e15, 1.0e15])
@@ -47,13 +48,8 @@ def main() -> None:
         div = 100
         ng, nd, ns = (tuple(n // div for n in t) for t in (ng, nd, ns))
 
-    def run(key):
-        # the whole IC (models + DFs + tables + 1e7 draws) is ONE program
-        p, _ = merger_ic_fused(M200, conc, centers, vels, rmax, key,
-                               ng, nd, ns)
-        # force completion with a small checksum transfer
-        return float(jnp.sum(p["dm", "particle_velocity"][::4096])
-                     + jnp.sum(p["gas", "thermal_energy"][::4096]))
+    jitted = jax.jit(lambda key: merger_ic_fused(
+        M200, conc, centers, vels, rmax, key, ng, nd, ns))
 
     # Separate the per-process backend warm-up (the axon remote-compiler
     # spin-up: measured 25-404 s, environmental and wildly variable —
@@ -65,11 +61,42 @@ def main() -> None:
     print(f"# backend warm-up (trivial jit): {warmup_s:.1f}s",
           file=sys.stderr)
 
+    # AOT-serialized executable (VERDICT r3 item 5): a primed artifact
+    # skips tracing + lowering + compile-cache lookup entirely.  Prime
+    # with `python bench.py --prime-aot` at HEAD on the target backend;
+    # any mismatch (backend, jax version, shapes) falls back to jit.
+    aot_file = artifact_path("/root/repo/.aot",
+                             f"merger_ic_{'smoke' if _SMOKE else 'full'}")
+    call = None
+    if "--prime-aot" in sys.argv:
+        from cluster_generator_tpu.core.aot import save_compiled
+
+        t0 = time.time()
+        call = save_compiled(jitted, (jax.random.key(0),), aot_file)
+        print(f"# AOT prime (lower+compile+serialize): "
+              f"{time.time() - t0:.1f}s -> {aot_file}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        call = load_compiled(aot_file)
+        if call is not None:
+            print(f"# AOT executable loaded in {time.time() - t0:.2f}s "
+                  f"({aot_file})", file=sys.stderr)
+    aot = call is not None
+    if not aot:
+        call = jitted
+
+    def run(key):
+        # the whole IC (models + DFs + tables + 1e7 draws) is ONE program
+        p, _ = call(key)
+        # force completion with a small checksum transfer
+        return float(jnp.sum(p["dm", "particle_velocity"][::4096])
+                     + jnp.sum(p["gas", "thermal_energy"][::4096]))
+
     t0 = time.time()
-    checksum = run(jax.random.key(0))  # compile + first run
+    checksum = run(jax.random.key(0))  # (compile +) first run
     compile_s = time.time() - t0
-    print(f"# compile+first-run: {compile_s:.1f}s checksum={checksum:.6g}",
-          file=sys.stderr)
+    print(f"# {'first-run (AOT)' if aot else 'compile+first-run'}: "
+          f"{compile_s:.1f}s checksum={checksum:.6g}", file=sys.stderr)
 
     times = []
     for trial in range(3):
@@ -84,6 +111,8 @@ def main() -> None:
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_S / value, 3),
+        "aot": aot,
+        "first_run_s": round(compile_s, 2),
     }))
 
 

@@ -1,0 +1,77 @@
+"""AOT persistence of compiled XLA executables.
+
+The persistent *compilation cache* (``.jax_cache/``) removes XLA's
+compile time but a fresh process still pays tracing + lowering + cache
+lookup (~17 s for the deep fused headline program, docs/performance.md).
+This module serializes the compiled executable itself
+(``jax.experimental.serialize_executable``): loading deserializes the
+PjRt executable directly — no tracing, no lowering, no compile — so the
+first IC of a fresh process costs deserialization + run.
+
+Artifacts are keyed on (jax version, backend platform, donated/static
+shape signature) — a stale or cross-backend artifact fails loudly at
+deserialization, so ``load_compiled`` returns ``None`` on ANY failure
+and callers fall back to the jit path.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+
+__all__ = ["save_compiled", "load_compiled", "artifact_path"]
+
+_MAGIC = b"CGTPU-AOT-1\n"
+
+
+def artifact_path(directory, name):
+    """Stable artifact filename keyed on jax version + default backend."""
+    backend = jax.default_backend()
+    return os.path.join(directory,
+                        f"{name}-{jax.__version__}-{backend}.aotx")
+
+
+def save_compiled(jitted_fn, args, path):
+    """Lower + compile ``jitted_fn`` at ``args`` and persist the
+    executable.  Returns the compiled function (usable immediately)."""
+    from jax.experimental.serialize_executable import serialize
+
+    compiled = jitted_fn.lower(*args).compile()
+    payload = serialize(compiled)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        # deserialize_and_load binds the executable to the client's FULL
+        # local device set; record the save-time count so a mismatched
+        # load (e.g. an artifact saved single-chip, loaded under a forced
+        # 8-device virtual mesh) falls back instead of failing at call
+        pickle.dump({"n_devices": jax.local_device_count(),
+                     "payload": payload}, f)
+    os.replace(tmp, path)
+    return compiled
+
+
+def load_compiled(path):
+    """Deserialize a persisted executable; ``None`` if missing/stale/
+    incompatible (callers fall back to jit + persistent cache)."""
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    try:
+        with open(path, "rb") as f:
+            if f.read(len(_MAGIC)) != _MAGIC:
+                return None
+            record = pickle.load(f)
+        # deserialize_and_load binds the executable to the client's FULL
+        # local device set (a 1-device-placed program deserialized under
+        # an 8-device client demands 8-shard inputs and fails at call
+        # time), so the facility is restricted to the product path:
+        # single-device client loading a single-device artifact.
+        if record["n_devices"] != 1 or jax.local_device_count() != 1:
+            return None
+        serialized, in_tree, out_tree = record["payload"]
+        return deserialize_and_load(serialized, in_tree, out_tree)
+    except Exception:
+        return None

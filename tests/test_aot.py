@@ -1,0 +1,75 @@
+"""AOT executable persistence (core/aot.py; VERDICT r3 item 5)."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cluster_generator_tpu.core.aot import (
+    artifact_path,
+    load_compiled,
+    save_compiled,
+)
+
+
+def test_multi_device_guard_and_corrupt_artifacts(tmp_path):
+    """deserialize_and_load binds the executable to the client's FULL
+    local device set, so under the 8-device test mesh the loader must
+    refuse (None -> jit fallback) BEFORE the call-time shard-count
+    failure.  Missing/corrupt artifacts also return None; saving and
+    calling the returned compiled function still works."""
+    assert jax.local_device_count() > 1  # the conftest 8-device mesh
+    fn = jax.jit(lambda x: jnp.sin(x) * 2.0)
+    x = jnp.linspace(0.0, 1.0, 128)
+    p = artifact_path(str(tmp_path), "toy")
+    assert "cpu" in os.path.basename(p)  # keyed on backend
+    compiled = save_compiled(fn, (x,), p)
+    np.testing.assert_allclose(np.asarray(compiled(x)),
+                               np.sin(np.asarray(x)) * 2.0, rtol=1e-6)
+    assert load_compiled(p) is None  # multi-device client -> refuse
+
+    assert load_compiled(p + ".missing") is None
+    bad = tmp_path / "bad.aotx"
+    bad.write_bytes(b"not an artifact")
+    assert load_compiled(str(bad)) is None
+
+
+def test_cross_process_save_then_load(tmp_path):
+    """A 1-device process saves the executable; a FRESH 1-device process
+    deserializes and runs it without recompiling — the product path for
+    first-IC latency on a primed repo (bench.py --prime-aot)."""
+    p = artifact_path(str(tmp_path), "xproc").replace("-cpu.aotx",
+                                                      "-cpu1.aotx")
+    common = """
+import os
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp, numpy as np
+"""
+    save_code = common + f"""
+from cluster_generator_tpu.core.aot import save_compiled
+fn = jax.jit(lambda x: jnp.sum(x**2) + x * 3.0)
+x = jnp.arange(64, dtype=jnp.float64)
+c = save_compiled(fn, (x,), {p!r})
+np.save({str(tmp_path / "expected.npy")!r}, np.asarray(c(x)))
+"""
+    load_code = common + f"""
+from cluster_generator_tpu.core.aot import load_compiled
+loaded = load_compiled({p!r})
+assert loaded is not None, "artifact failed to load cross-process"
+out = np.asarray(loaded(jnp.arange(64, dtype=jnp.float64)))
+np.save({str(tmp_path / "out.npy")!r}, out)
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    for code in (save_code, load_code):
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+    np.testing.assert_array_equal(np.load(tmp_path / "expected.npy"),
+                                  np.load(tmp_path / "out.npy"))

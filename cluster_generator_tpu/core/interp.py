@@ -205,6 +205,35 @@ def spline_eval(sp: CubicSpline, xq, nu: int = 0):
     raise ValueError("nu must be 0, 1 or 2")
 
 
+def spline_eval_uniform(sp: CubicSpline, lo, step, n: int):
+    """Evaluate a spline at the UNIFORM nodes ``lo + i*step, i in [0, n)``
+    without any per-node binary search.
+
+    ``spline_eval``'s searchsorted costs ~9 compare+gather rounds per
+    query; for uniform queries the bracketing interval of every node is
+    recoverable from the opposite direction — scatter one count per
+    spline BREAKPOINT onto the node grid (its position there is a
+    computed index) and prefix-sum: ``idx_i = (# x_k <= node_i) - 1``.
+    Cost: len(x) scatters + one (n+1) cumsum + ONE row-of-5 coefficient
+    gather per node, vs ~14 gathers per node for the search route.
+    Bit-identical to ``spline_eval`` at the same nodes (pinned by
+    tests/test_interp.py), including the boundary-polynomial
+    extrapolation for nodes outside the knot range.
+    """
+    from .scan_ops import cumsum
+
+    x = sp.x
+    # first node index at-or-above x_k: node_i >= x_k  <=>  i >= (x_k-lo)/step
+    pos = jnp.clip(jnp.ceil((x - lo) / step).astype(jnp.int32), 0, n)
+    cnt = jnp.zeros((n + 1,), jnp.int32).at[pos].add(1)
+    count = cumsum(cnt, axis=0)[:n]  # inclusive: # breakpoints <= node_i
+    idx = jnp.clip(count - 1, 0, x.shape[0] - 2)
+    rows = jnp.stack([x[:-1], sp.a, sp.b, sp.c, sp.d], axis=1)
+    r = rows[idx]  # one row-of-5 gather per node
+    t = (lo + step * jnp.arange(n, dtype=x.dtype)) - r[:, 0]
+    return r[:, 1] + t * (r[:, 2] + t * (r[:, 3] + t * r[:, 4]))
+
+
 def interp(xq, x, y, left=None, right=None):
     """jnp.interp passthrough (reference's np.interp, utils.py:165)."""
     return jnp.interp(xq, x, y, left=left, right=right)

@@ -97,3 +97,33 @@ def test_spline_randomized_grids_vs_scipy():
         np.testing.assert_allclose(
             np.asarray(spline_eval(sp, jnp.asarray(q), nu=1)),
             ref(q, 1), rtol=1e-6, atol=1e-8, err_msg=f"n={x.size} deriv")
+
+
+def test_spline_eval_uniform_matches_searchsorted_route():
+    """spline_eval_uniform (scatter+cumsum bracketing, one row-of-5
+    gather per node) is bit-identical to spline_eval at the same uniform
+    nodes, including below-range extrapolation and nodes exactly on
+    knots."""
+    from cluster_generator_tpu.core.interp import (
+        cubic_spline,
+        spline_eval,
+        spline_eval_uniform,
+    )
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        n_knots = int(rng.integers(8, 200))
+        x = jnp.asarray(np.sort(rng.uniform(0.1, 10.0, n_knots)))
+        y = jnp.asarray(rng.standard_normal(n_knots))
+        sp = cubic_spline(x, y)
+        for lo, step, n in [
+            (0.0, float(x[-1]) / 500, 501),        # spans below + inside
+            (float(x[0]), (float(x[-1]) - float(x[0])) / 63, 64),
+            (float(x[3]), 1e-3, 17),               # starts ON a knot
+        ]:
+            nodes = lo + step * jnp.arange(n, dtype=x.dtype)
+            expect = spline_eval(sp, nodes)
+            got = spline_eval_uniform(sp, jnp.asarray(lo), jnp.asarray(step),
+                                      n)
+            np.testing.assert_array_equal(np.asarray(expect),
+                                          np.asarray(got))

@@ -286,7 +286,7 @@ class GaussianRandomField(ClusterField):
                  ctr2=None, ctr3=None, r1=None, r2=None, r3=None, g1=None,
                  g2=None, g3=None, vector_potential=False,
                  divergence_clean=False, prng=None, r_max=None,
-                 dtype=jnp.float64, use_rfft=False):
+                 dtype=jnp.float64, use_rfft=None):
         key = parse_prng(prng)
         super().__init__(left_edge, right_edge, ddims, padding=padding,
                          vector_potential=vector_potential,
@@ -334,6 +334,12 @@ class GaussianRandomField(ClusterField):
             kxd = np.sin(kx * self.dx) / self.dx
             kyd = np.sin(ky * self.dy) / self.dy
             kzd = np.sin(kz * self.dz) / self.dz
+            if use_rfft is None:
+                # auto: the staged half-spectrum route measured 0.602 s
+                # vs 0.676 s fused-c64 at 512^3 f32 on one v5e (r4
+                # batch 1); f64 needs c128 FFTs the TPU lacks, so the
+                # fused route keeps the f64/CPU path
+                use_rfft = self.dtype != jnp.float64
             core = (_grf_core_rfft_staged if use_rfft and
                     self.dtype != jnp.float64 else _grf_core_fused)
             self.gx, self.gy, self.gz = core(
@@ -563,7 +569,7 @@ class RandomMagneticField(GaussianRandomField):
 
     def __init__(self, left_edge, right_edge, ddims, l_min, l_max, B_rms,
                  padding=0.1, alpha=-11.0 / 3.0, prng=None, dtype=jnp.float64,
-                 use_rfft=False):
+                 use_rfft=None):
         super().__init__(left_edge, right_edge, ddims, l_min, l_max,
                          padding=padding, alpha=alpha, divergence_clean=True,
                          g_rms=B_rms, vector_potential=self._vector_potential,

@@ -9,7 +9,7 @@ inserting the collectives.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -92,11 +92,31 @@ def sample_ensemble_params(key, n, logM_range=(14.0, 15.3),
     return M200, conc
 
 
+def _speed_table_key():
+    """``speed_table_defaults()`` as a hashable memo key, so the cached
+    factories below see config changes (``cgparams['numerical']``)."""
+    from ..virial import speed_table_defaults
+
+    return tuple(sorted(speed_table_defaults().items(),
+                        key=lambda kv: kv[0]))
+
+
 def _datagen_batch_fn(num_points, n_part, n_rows=256, rq=2048):
     """One jitted program: (M200, conc, keys) batch -> per-cluster DM
     phase-space draws (positions, velocities, particle mass).
 
-    The cfg5b datagen core (benchmarks/bench_configs.py): HSE build +
+    Memoized on every compile-time knob (grid/table/count sizes + the
+    ``cgparams['numerical']`` table config), so repeated API calls with
+    the same shapes reuse one jitted program — see
+    tests/test_recompilation.py.
+    """
+    return _datagen_batch_cached(num_points, n_part, n_rows, rq,
+                                 _speed_table_key())
+
+
+@lru_cache(maxsize=32)
+def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
+    """The cfg5b datagen core (benchmarks/bench_configs.py): HSE build +
     Eddington DF + 256-row inverse speed-CDF table per cluster, then
     ``n_part`` draws through the radius quantile-pair table
     (computed-index lerp) and the joint absolute-speed table (one
@@ -107,10 +127,9 @@ def _datagen_batch_fn(num_points, n_part, n_rows=256, rq=2048):
         build_joint_speed_pairs,
         sample_speeds_joint,
         speed_inverse_cdf_table,
-        speed_table_defaults,
     )
 
-    kw = speed_table_defaults()
+    kw = dict(kw_items)
     row_idx = np.unique(np.round(
         np.linspace(0, num_points - 1, min(n_rows, num_points))).astype(int))
 
@@ -158,6 +177,15 @@ def _datagen_batch_fn(num_points, n_part, n_rows=256, rq=2048):
 
 def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=256,
                            rq=2048):
+    """Memoized wrapper (see :func:`_datagen_batch_fn`) for the
+    full-species datagen program."""
+    return _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star,
+                                      n_rows, rq, _speed_table_key())
+
+
+@lru_cache(maxsize=32)
+def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
+                               rq, kw_items):
     """One jitted program: (M200, conc, key) batch -> per-cluster
     FULL-SPECIES draws — the complete per-cluster IC product at ensemble
     scale (reference model.py:838-1039 gas generator + virial.py:108-236
@@ -182,10 +210,9 @@ def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=256,
         build_joint_speed_pairs,
         sample_speeds_joint,
         speed_inverse_cdf_table,
-        speed_table_defaults,
     )
 
-    kw = speed_table_defaults()
+    kw = dict(kw_items)
     row_idx = np.unique(np.round(
         np.linspace(0, num_points - 1, min(n_rows, num_points))).astype(int))
 

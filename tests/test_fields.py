@@ -235,7 +235,7 @@ def test_rfft_staged_grf_matches_fused():
 
         kw = dict(padding=0.0, prng=42, dtype=jnp.float32)
         f1 = RandomMagneticField([-500.0] * 3, [500.0] * 3, dims,
-                                 50.0, 200.0, 1.0e-6, **kw)
+                                 50.0, 200.0, 1.0e-6, use_rfft=False, **kw)
         f2 = RandomMagneticField([-500.0] * 3, [500.0] * 3, dims,
                                  50.0, 200.0, 1.0e-6, use_rfft=True, **kw)
         for a, b in [(f1.gx, f2.gx), (f1.gy, f2.gy), (f1.gz, f2.gz)]:

@@ -176,16 +176,31 @@ def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
 
 
 def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=256,
-                           rq=2048):
+                           rq=2048, star_n_rows=64, star_rq=512,
+                           star_n_s=256, star_n_q=256):
     """Memoized wrapper (see :func:`_datagen_batch_fn`) for the
-    full-species datagen program."""
+    full-species datagen program.
+
+    The ``star_*`` knobs set the STAR species' table resolutions
+    independently of the DM defaults: the star table build is per-cluster
+    work (CDF inversion O(rows x n_q x n_s), joint table O(rq x n_q))
+    while stars draw ~10x fewer particles than DM, so full-resolution
+    star tables dominated cfg5c (+3.3 s of the +3.65 s full-species
+    overhead, benchmarks/measurements_r4/r4_cfg5c_attr.log).  At 1e4
+    draws/cluster the coarse defaults' O(1/rq + 1/n_q) table error is
+    far below the 1/sqrt(n) statistical floor — pinned by the
+    KS-vs-class-API test (tests/test_parallel.py).
+    """
     return _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star,
-                                      n_rows, rq, _speed_table_key())
+                                      n_rows, rq, star_n_rows, star_rq,
+                                      star_n_s, star_n_q,
+                                      _speed_table_key())
 
 
 @lru_cache(maxsize=32)
 def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
-                               rq, kw_items):
+                               rq, star_n_rows, star_rq, star_n_s,
+                               star_n_q, kw_items):
     """One jitted program: (M200, conc, key) batch -> per-cluster
     FULL-SPECIES draws — the complete per-cluster IC product at ensemble
     scale (reference model.py:838-1039 gas generator + virial.py:108-236
@@ -213,8 +228,14 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
     )
 
     kw = dict(kw_items)
-    row_idx = np.unique(np.round(
-        np.linspace(0, num_points - 1, min(n_rows, num_points))).astype(int))
+
+    def _row_idx(n):
+        return np.unique(np.round(
+            np.linspace(0, num_points - 1, min(n, num_points))).astype(int))
+
+    row_idx = _row_idx(n_rows)
+    row_idx_star = _row_idx(star_n_rows)
+    kw_star = dict(kw, n_s=star_n_s, n_q=star_n_q)
 
     def _isotropic(key, n):
         k1, k2 = jax.random.split(key)
@@ -224,16 +245,16 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         s = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
         return jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), mu], axis=1)
 
-    def _draw_quantiles(key, n):
+    def _draw_quantiles(key, n, rq_sp=rq):
         u = jax.random.uniform(key, (n,), jnp.float32)
-        x = jnp.clip(u * (rq - 1), 0.0, rq - 1 - 1e-6)
-        kq = jnp.minimum(x.astype(jnp.int32), rq - 2)  # f32 ulp guard
+        x = jnp.clip(u * (rq_sp - 1), 0.0, rq_sp - 1 - 1e-6)
+        kq = jnp.minimum(x.astype(jnp.int32), rq_sp - 2)  # f32 ulp guard
         wq = x - kq.astype(jnp.float32)
         return kq, wq
 
-    def _quantile_nodes(rr, mm):
-        """(rq,) radius nodes at uniform mass quantiles."""
-        qq = jnp.linspace(0.0, 1.0, rq)
+    def _quantile_nodes(rr, mm, rq_sp=rq):
+        """(rq_sp,) radius nodes at uniform mass quantiles."""
+        qq = jnp.linspace(0.0, 1.0, rq_sp)
         return jnp.interp(qq * mm[-1], mm, rr)
 
     def _pack4(r_q, x_q):
@@ -242,18 +263,19 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         xp = adjacent_pairs(x_q).astype(jnp.float32)
         return jnp.concatenate([rp, xp], axis=1)
 
-    def _collisionless(f, row_ee, mass_field, df_rev, n_part, key):
+    def _collisionless(f, row_ee, mass_field, df_rev, n_part, key,
+                       rq_sp=rq, kw_sp=kw):
         ee = -f["gravitational_potential"][::-1]
-        tab = speed_inverse_cdf_table(ee, df_rev, row_ee=row_ee, **kw)
+        tab = speed_inverse_cdf_table(ee, df_rev, row_ee=row_ee, **kw_sp)
         rr, mm = f["radius"], f[mass_field]
-        r_q = _quantile_nodes(rr, mm)
+        r_q = _quantile_nodes(rr, mm, rq_sp)
         psi_q = jnp.interp(r_q, rr, -f["gravitational_potential"])
         table4 = _pack4(r_q, jnp.sqrt(2.0 * psi_q))
         joint = build_joint_speed_pairs(rr, -f["gravitational_potential"],
                                         row_ee, tab, r_q, dtype=tab.dtype,
                                         psi_q=psi_q)
         k_r, k_v, k_u, k_w = jax.random.split(key, 4)
-        kq, wq = _draw_quantiles(k_r, n_part)
+        kq, wq = _draw_quantiles(k_r, n_part, rq_sp)
         row = table4[kq]
         radius = (1.0 - wq) * row[:, 0] + wq * row[:, 1]
         v_esc = (1.0 - wq) * row[:, 2] + wq * row[:, 3]
@@ -291,8 +313,9 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
                                        f["dm_df"][::-1], n_dm, k_dm)
         if n_star:
             star_df = compute_df(ee, f["stellar_density"][::-1])
-            out["star"] = _collisionless(f, row_ee, "stellar_mass",
-                                         star_df, n_star, k_star)
+            out["star"] = _collisionless(f, ee[row_idx_star],
+                                         "stellar_mass", star_df, n_star,
+                                         k_star, star_rq, kw_star)
         if n_gas:
             out["gas"] = _gas(f, n_gas, k_gas)
         return out

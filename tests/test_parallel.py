@@ -277,6 +277,17 @@ def test_ensemble_datagen_full_species(tmp_path):
         d, pval = ks_2samp(v_ens, v_cls)
         assert pval > 1e-3, (d, pval)
 
+        # STAR speeds: the ensemble program uses the coarse star tables
+        # (star_n_rows/star_rq/star_n_s/star_n_q defaults) while the
+        # class API builds full-resolution tables — KS agreement pins the
+        # coarse-table error below the 1/sqrt(n) statistical floor
+        p_s = m.generate_star_particles(counts["star"], prng=8)
+        v_cls_s = np.linalg.norm(
+            np.asarray(p_s["star", "particle_velocity"]), axis=1)
+        v_ens_s = np.linalg.norm(np.float64(g["star_velocity"][()]), axis=1)
+        d, pval = ks_2samp(v_ens_s, v_cls_s)
+        assert pval > 1e-3, (d, pval)
+
     # pro-rata helper: counts sum to the total, dominated by dm
     pr = prorate_species_counts(10_000, num_points=128)
     assert sum(pr.values()) == 10_000

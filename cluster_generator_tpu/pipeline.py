@@ -189,9 +189,11 @@ def _build_joint_speed_pairs(fields_h, s_inv, r_q, dtype):
     # bracketing rows are (n-2-jr, n-1-jr) with weight (1 - wr)
     jr, wr = _log_grid_locate(r_q.astype(dtype), rr, dtype, n=n_rows)
     k_row = jnp.clip(n_rows - 2 - jr, 0, n_rows - 2)
-    wk = (1.0 - wr)[:, None]
-    sd = s_inv.astype(dtype)
-    srow = (1.0 - wk) * sd[k_row] + wk * sd[k_row + 1]
+    from .virial import _banded_row_lerp
+
+    # banded-weight matmul instead of two wide-row gathers (see
+    # virial._banded_row_lerp; the fold was gather-bound at batch scale)
+    srow = _banded_row_lerp(s_inv.astype(dtype), k_row, (1.0 - wr))
     joint = srow * jnp.sqrt(2.0 * psi_q)[:, None]  # (RQ, n_q)
     return adjacent_pairs(joint).reshape(-1, 2)
 

@@ -370,11 +370,34 @@ def build_joint_speed_pairs(rr, psi_grid, row_ee, s_inv, r_q,
     j = jnp.clip(jnp.searchsorted(row_ee, psi_q, side="right") - 1,
                  0, n_rows - 2)
     w = (psi_q - row_ee[j]) / (row_ee[j + 1] - row_ee[j])
-    w = jnp.clip(w, 0.0, 1.0).astype(dtype)[:, None]
-    sd = s_inv.astype(dtype)
-    srow = (1.0 - w) * sd[j] + w * sd[j + 1]
+    w = jnp.clip(w, 0.0, 1.0).astype(dtype)
+    srow = _banded_row_lerp(s_inv.astype(dtype), j, w)
     joint = srow * jnp.sqrt(2.0 * psi_q).astype(dtype)[:, None]
     return adjacent_pairs(joint).reshape(-1, 2)
+
+
+def _banded_row_lerp(sd, j, w):
+    """Row interpolation ``(1-w) sd[j] + w sd[j+1]`` as a banded-weight
+    matmul instead of two wide-row gathers.
+
+    At production shapes the gather form moves rq x n_q x 2 table
+    elements through TPU's issue-bound gather path (~2.1 s of the
+    1024-cluster datagen batch, benchmarks/measurements_r4/
+    r4_cfg5b_attr.log: the joint fold was the single largest table
+    stage).  The same lerp is exactly a 2-banded interpolation matrix
+    W (rq, n_rows) — one-hot bands carrying (1-w, w) at columns
+    (j, j+1) — applied as W @ sd: rq x n_rows x n_q MACs on the MXU at
+    HIGHEST precision (f32-accurate; the ~n_rows-2 zero terms per row
+    add nothing), which is orders cheaper than the gathers.
+    """
+    n_rows = sd.shape[0]
+    k = jnp.arange(n_rows, dtype=jnp.int32)
+    # exact one-hot bands (a fractional-position hat max(0, 1-|pos-k|)
+    # loses ~ulp(n_rows) of w to the index subtraction)
+    W = (jnp.where(k[None, :] == j[:, None], 1.0 - w[:, None], 0.0)
+         + jnp.where(k[None, :] == j[:, None] + 1, w[:, None], 0.0)
+         ).astype(sd.dtype)
+    return jax.lax.dot(W, sd, precision=jax.lax.Precision.HIGHEST)
 
 
 def sample_speeds_joint(joint_pairs, n_q, kq, wq, key):

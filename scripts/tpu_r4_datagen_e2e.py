@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""End-to-end `ensemble_datagen` measurement WITH HDF5 writes (TPU).
+
+The cfg5b/cfg5c rows time the jitted batch programs with checksum
+forcing; the product path adds the device->host transfer and the h5py
+writes (overlapped with the next batch's compute).  256 clusters keeps
+the run tunnel-D2H-bounded but short; the per-cluster rate extrapolates.
+
+DM-only: 256 x 1e5 -> ~0.6 GB on disk.  Full-species: same counts as
+cfg5c -> ~0.7 GB.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+
+def main():
+    t0 = time.time()
+    float(jnp.sum(jax.jit(lambda x: x + 1)(jnp.float32(1.0))))
+    print(f"# backend warm-up: {time.time() - t0:.1f}s", flush=True)
+
+    from cluster_generator_tpu.parallel import sample_ensemble_params
+    from cluster_generator_tpu.parallel.ensemble import ensemble_datagen
+
+    n_cl = 256
+    M, c = sample_ensemble_params(jax.random.key(7), n_cl)
+    out_dir = "/tmp/datagen_e2e"
+    os.makedirs(out_dir, exist_ok=True)
+
+    for tag, counts in [
+        ("dm-only", 100_000),
+        ("full-species", {"dm": 50_000, "gas": 40_000, "star": 10_000}),
+    ]:
+        for trial in range(3):
+            fn = os.path.join(out_dir, f"{tag}-{trial}.h5")
+            t0 = time.time()
+            ensemble_datagen(M, c, fn, counts, batch_size=128,
+                             num_points=512, key=jax.random.key(trial),
+                             overwrite=True)
+            dt = time.time() - t0
+            sz = os.path.getsize(fn) / 1e9
+            print(f"# e2e[{tag}] trial {trial}: {dt:.2f}s "
+                  f"({n_cl / dt:.1f} clusters/s, {sz:.2f} GB, "
+                  f"{sz / dt * 1e3:.0f} MB/s to disk)", flush=True)
+            os.remove(fn)
+        print(f"RESULT e2e_{tag} done", flush=True)
+
+    print("E2E DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -237,3 +237,34 @@ def spline_eval_uniform(sp: CubicSpline, lo, step, n: int):
 def interp(xq, x, y, left=None, right=None):
     """jnp.interp passthrough (reference's np.interp, utils.py:165)."""
     return jnp.interp(xq, x, y, left=left, right=right)
+
+
+def bracket_indices(grid, queries):
+    """Bracketing interval index of each query in an ascending ``grid``,
+    via one comparison matrix + row reduce.
+
+    ``jnp.searchsorted`` / ``jnp.interp`` lower to sequential
+    binary-search rounds whose per-round gathers dominate vmapped table
+    builds on TPU: the per-stage timing (benchmarks/measurements_r4/
+    r4_cfg5b_stages.log) put ~0.6 s PER 2048-query interp on the
+    1024-cluster datagen batch, ~2 s total — while the (queries x grid)
+    compare+reduce is plain vector work (~1M ops per cluster here, well
+    under the HBM stream floor).  Matches ``searchsorted(side='right')-1``
+    clipped to valid intervals: grid[j] <= q < grid[j+1].
+    """
+    j = jnp.sum((grid[None, :] <= queries[:, None]).astype(jnp.int32),
+                axis=1) - 1
+    return jnp.clip(j, 0, grid.shape[0] - 2)
+
+
+def interp_monotone(xq, x, y):
+    """``jnp.interp`` on an ascending grid via :func:`bracket_indices`
+    (compare-matrix bracketing instead of binary search; same endpoint
+    clamping).  Flat intervals (x[j+1] == x[j]) take the left value
+    instead of producing 0/0."""
+    j = bracket_indices(x, xq)
+    x0, x1 = x[j], x[j + 1]
+    dx = x1 - x0
+    w = jnp.where(dx > 0, (xq - x0) / jnp.where(dx > 0, dx, 1.0), 0.0)
+    w = jnp.clip(w, 0.0, 1.0)
+    return (1.0 - w) * y[j] + w * y[j + 1]

@@ -122,7 +122,7 @@ def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
     (computed-index lerp) and the joint absolute-speed table (one
     row-of-2 gather) — no per-particle searches anywhere.
     """
-    from ..core.interp import adjacent_pairs
+    from ..core.interp import adjacent_pairs, interp_monotone
     from ..virial import (
         build_joint_speed_pairs,
         sample_speeds_joint,
@@ -149,7 +149,7 @@ def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
         tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
         rr, mm = f["radius"], f["dark_matter_mass"]
         q = jnp.linspace(0.0, 1.0, rq)
-        r_q = jnp.interp(q * mm[-1], mm, rr)
+        r_q = interp_monotone(q * mm[-1], mm, rr)
         r_pair = adjacent_pairs(r_q).astype(jnp.float32)
         joint = build_joint_speed_pairs(rr, -f["gravitational_potential"],
                                         row_ee, tab, r_q, dtype=tab.dtype)
@@ -220,7 +220,7 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
     is the measured gather knee, docs/performance.md E4) or the thermal
     energy (gas — the energy lookup rides the same gather).
     """
-    from ..core.interp import adjacent_pairs
+    from ..core.interp import adjacent_pairs, interp_monotone
     from ..virial import (
         build_joint_speed_pairs,
         sample_speeds_joint,
@@ -255,7 +255,7 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
     def _quantile_nodes(rr, mm, rq_sp=rq):
         """(rq_sp,) radius nodes at uniform mass quantiles."""
         qq = jnp.linspace(0.0, 1.0, rq_sp)
-        return jnp.interp(qq * mm[-1], mm, rr)
+        return interp_monotone(qq * mm[-1], mm, rr)
 
     def _pack4(r_q, x_q):
         """(rq-1, 4) rows (r_lo, r_hi, x_lo, x_hi) for one row-of-4 gather."""
@@ -269,7 +269,7 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         tab = speed_inverse_cdf_table(ee, df_rev, row_ee=row_ee, **kw_sp)
         rr, mm = f["radius"], f[mass_field]
         r_q = _quantile_nodes(rr, mm, rq_sp)
-        psi_q = jnp.interp(r_q, rr, -f["gravitational_potential"])
+        psi_q = interp_monotone(r_q, rr, -f["gravitational_potential"])
         table4 = _pack4(r_q, jnp.sqrt(2.0 * psi_q))
         joint = build_joint_speed_pairs(rr, -f["gravitational_potential"],
                                         row_ee, tab, r_q, dtype=tab.dtype,
@@ -292,7 +292,7 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         rr, mm = f["radius"], f["gas_mass"]
         r_q = _quantile_nodes(rr, mm)
         e_grid = 1.5 * f["pressure"] / f["density"]
-        table4 = _pack4(r_q, jnp.interp(r_q, rr, e_grid))
+        table4 = _pack4(r_q, interp_monotone(r_q, rr, e_grid))
         k_r, k_u = jax.random.split(key)
         kq, wq = _draw_quantiles(k_r, n_part)
         row = table4[kq]

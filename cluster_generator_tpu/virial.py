@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core.config import cgparams
-from .core.interp import adjacent_pairs, cubic_spline, spline_eval
+from .core.interp import (adjacent_pairs, bracket_indices,
+                          cubic_spline, interp_monotone, spline_eval)
 from .core.logging import mylog
 from .core.scan_ops import cumsum
 
@@ -365,10 +366,11 @@ def build_joint_speed_pairs(rr, psi_grid, row_ee, s_inv, r_q,
     O(RQ x n_q) one-time work — trivial against the O(N) draws.
     """
     if psi_q is None:
-        psi_q = jnp.interp(r_q, rr, psi_grid)
+        psi_q = interp_monotone(r_q, rr, psi_grid)
     n_rows, n_q = s_inv.shape
-    j = jnp.clip(jnp.searchsorted(row_ee, psi_q, side="right") - 1,
-                 0, n_rows - 2)
+    # compare-matrix bracketing: vmapped searchsorted was a dominant
+    # table-build stage on TPU (r4_cfg5b_stages.log)
+    j = bracket_indices(row_ee, psi_q)
     w = (psi_q - row_ee[j]) / (row_ee[j + 1] - row_ee[j])
     w = jnp.clip(w, 0.0, 1.0).astype(dtype)
     srow = _banded_row_lerp(s_inv.astype(dtype), j, w)

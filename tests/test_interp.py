@@ -127,3 +127,40 @@ def test_spline_eval_uniform_matches_searchsorted_route():
                                       n)
             np.testing.assert_array_equal(np.asarray(expect),
                                           np.asarray(got))
+
+
+def test_bracket_indices_and_interp_monotone_match_searchsorted():
+    """bracket_indices (compare-matrix bracketing — vmapped searchsorted
+    was a dominant TPU table-build stage, r4_cfg5b_stages.log) matches
+    searchsorted(side='right')-1 clipped, and interp_monotone matches
+    jnp.interp including out-of-range clamping, queries exactly on knots,
+    and flat (duplicate-x) intervals."""
+    from cluster_generator_tpu.core.interp import (
+        bracket_indices,
+        interp_monotone,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(8, 300))
+        x = np.sort(rng.uniform(0.0, 10.0, n))
+        y = rng.standard_normal(n)
+        q = np.concatenate([
+            rng.uniform(-1.0, 11.0, 400),
+            x[rng.integers(0, n, 20)],          # exactly on knots
+            [x[0], x[-1], -5.0, 50.0],
+        ])
+        jref = np.clip(np.searchsorted(x, q, side="right") - 1, 0, n - 2)
+        jgot = np.asarray(bracket_indices(jnp.asarray(x), jnp.asarray(q)))
+        np.testing.assert_array_equal(jgot, jref)
+        got = np.asarray(interp_monotone(jnp.asarray(q), jnp.asarray(x),
+                                         jnp.asarray(y)))
+        expect = np.asarray(jnp.interp(jnp.asarray(q), jnp.asarray(x),
+                                       jnp.asarray(y)))
+        np.testing.assert_allclose(got, expect, rtol=0, atol=1e-12)
+
+    # flat interval: interp_monotone takes the left value, no 0/0
+    x = jnp.asarray([0.0, 1.0, 1.0, 2.0])
+    y = jnp.asarray([0.0, 10.0, 20.0, 30.0])
+    out = np.asarray(interp_monotone(jnp.asarray([1.0]), x, y))
+    assert np.isfinite(out).all()

@@ -101,7 +101,7 @@ def _speed_table_key():
                         key=lambda kv: kv[0]))
 
 
-def _datagen_batch_fn(num_points, n_part, n_rows=256, rq=2048):
+def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048):
     """One jitted program: (M200, conc, keys) batch -> per-cluster DM
     phase-space draws (positions, velocities, particle mass).
 
@@ -117,10 +117,17 @@ def _datagen_batch_fn(num_points, n_part, n_rows=256, rq=2048):
 @lru_cache(maxsize=32)
 def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
     """The cfg5b datagen core (benchmarks/bench_configs.py): HSE build +
-    Eddington DF + 256-row inverse speed-CDF table per cluster, then
-    ``n_part`` draws through the radius quantile-pair table
+    Eddington DF + an ``n_rows``-row inverse speed-CDF table per cluster,
+    then ``n_part`` draws through the radius quantile-pair table
     (computed-index lerp) and the joint absolute-speed table (one
     row-of-2 gather) — no per-particle searches anywhere.
+
+    ``n_rows`` defaults to 128: the joint fold lerps s_inv rows in psi
+    anyway, and the table sub-stage split (benchmarks/measurements_r4/
+    r4_table_stages.log) put the rows-proportional f(E) lerp block at
+    1.17 s of the 1024-cluster batch.  Same-key draws at 128 vs 256 rows
+    shift speeds by median 4e-5 / p99 1.1e-3 relative — inside the
+    accepted speed-table accuracy envelope (virial.py worst-row 1.9e-3).
     """
     from ..core.interp import adjacent_pairs, interp_monotone
     from ..virial import (
@@ -175,7 +182,7 @@ def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
     return batch
 
 
-def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=256,
+def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=128,
                            rq=2048, star_n_rows=64, star_rq=512,
                            star_n_s=256, star_n_q=256):
     """Memoized wrapper (see :func:`_datagen_batch_fn`) for the

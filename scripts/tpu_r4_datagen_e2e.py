@@ -40,6 +40,35 @@ def main():
     out_dir = "/tmp/datagen_e2e"
     os.makedirs(out_dir, exist_ok=True)
 
+    # BASELINE "clusters/sec for 1e6-particle ICs" re-measure (the r3 row
+    # was 33 clusters/s; the r4 table-path wins apply here too)
+    from cluster_generator_tpu.parallel.ensemble import _datagen_batch_fn
+
+    n64 = 64
+    run_batch = _datagen_batch_fn(512, 1_000_000)
+    M64, c64 = sample_ensemble_params(jax.random.key(11), n64)
+
+    def once(i):
+        tot = 0.0
+        for b0 in range(0, n64, 16):
+            pos, vel, pm = run_batch(M64[b0:b0 + 16] * (1 + 1e-6 * i),
+                                     c64[b0:b0 + 16], jax.random.key(i))
+            tot += float(jnp.sum(pos[-1, -2:]) + jnp.sum(vel[-1, -2:]))
+        return tot
+
+    t0 = time.time()
+    once(0)
+    print(f"# 1e6-ic-64: compile+first-run {time.time() - t0:.1f}s",
+          flush=True)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        once(i + 1)
+        times.append(time.time() - t0)
+        print(f"# 1e6-ic-64: warm {times[-1]:.3f}s "
+              f"({n64 / times[-1]:.1f} clusters/s)", flush=True)
+    print(f"RESULT 1e6_ic_64 median {sorted(times)[1]:.3f}s", flush=True)
+
     for tag, counts in [
         ("dm-only", 100_000),
         ("full-species", {"dm": 50_000, "gas": 40_000, "star": 10_000}),

@@ -12,6 +12,16 @@ Artifacts are keyed on (jax version, backend platform, donated/static
 shape signature) — a stale or cross-backend artifact fails loudly at
 deserialization, so ``load_compiled`` returns ``None`` on ANY failure
 and callers fall back to the jit path.
+
+NOT keyed on source code: like any build artifact, a persisted
+executable keeps running the program it was compiled from.  Re-prime
+(``python bench.py --prime-aot``) after changing the traced code, the
+same way ``.jax_cache`` re-lowers on a program-hash change.
+
+Measured tradeoff on the axon-tunneled v5e (r4_batch{2,3}.log): AOT
+12.8 s first-IC with a warm artifact (6.1 s deserialize + 6.7 s first
+dispatch) vs 15.9 s for jit + primed persistent cache; the FIRST
+deserialize of a 244 MB artifact costs 29.7 s (server-cached after).
 """
 
 from __future__ import annotations

@@ -87,6 +87,36 @@ def main():
             os.remove(fn)
         print(f"RESULT e2e_{tag} done", flush=True)
 
+    # cfg4's output clause: 1e7-particle merger IC -> Gadget HDF5 on disk
+    # (BASELINE.json config 4).  The D2H of ~0.3 GB rides the axon tunnel
+    # here; on a co-located host it is PCIe.
+    from cluster_generator_tpu.pipeline import binary_merger_ic
+
+    for trial in range(2):
+        fn = os.path.join(out_dir, f"merger-{trial}.h5")
+        t0 = time.time()
+        parts, fields, tables = binary_merger_ic(
+            [1.5e15, 1.0e15], [4.0, 5.0],
+            [[8500.0, 10000.0, 10000.0], [11500.0, 10000.0, 10000.0]],
+            [[0.3, 0.0, 0.0], [-0.45, 0.0, 0.0]],
+            {"gas": 5_000_000, "dm": 4_000_000, "star": 1_000_000},
+            key=jax.random.key(trial))
+        t_ic = time.time() - t0
+        from cluster_generator_tpu.particles import ClusterParticles
+
+        species = sorted({k[0] for k in parts})
+        container = ClusterParticles(species, parts)  # D2H happens here
+        t_d2h = time.time() - t0 - t_ic
+        t0 = time.time()
+        container.write_to_gadget_file(fn, 20000.0, overwrite=True)
+        t_write = time.time() - t0
+        sz = os.path.getsize(fn) / 1e9
+        print(f"# merger+gadget trial {trial}: IC {t_ic:.2f}s + D2H "
+              f"{t_d2h:.2f}s + write {t_write:.2f}s ({sz:.2f} GB)",
+              flush=True)
+        os.remove(fn)
+    print("RESULT merger_gadget done", flush=True)
+
     print("E2E DONE", flush=True)
 
 

@@ -379,7 +379,10 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     writes of batch k overlap the device compute of batch k+1 (the next
     batch is dispatched asynchronously BEFORE the blocking
     device-to-host transfer of the current one).  Measured on one v5e:
-    ~138 clusters/s at 1e5 DM particles each.
+    the batch program runs 254 clusters/s (DM) / 218 clusters/s
+    (full-species) at 1e5 particles each; end-to-end with writes the
+    tunnel-attached host here is D2H-bound (benchmarks/measurements_r4/
+    r4_e2e.log) — on a co-located host the batch rate dominates.
 
     Returns the filename.
     """

@@ -134,9 +134,25 @@ class ClusterParticles:
             self.field_names[field[0]].append(field[1])
 
     def _clip_to_box(self, ptype, box_size):
+        """Mask of particles inside the Gadget box [0, box_size]^3.
+
+        Gadget boxes start at the ORIGIN, so a scene built around (0,0,0)
+        must be offset (e.g. centers near box_size/2) before writing —
+        the reference silently drops out-of-box particles
+        (particles.py:495-500); here a large drop is logged loudly
+        because an origin-centered scene loses exactly 7/8 of its
+        particles to the positive octant."""
         pos = self.fields[ptype, "particle_position"]
-        return ~np.logical_or((pos < 0.0).any(axis=1),
+        keep = ~np.logical_or((pos < 0.0).any(axis=1),
                               (pos > box_size).any(axis=1))
+        dropped = keep.size - int(keep.sum())
+        if dropped > 0.05 * keep.size:
+            mylog.warning(
+                "write_to_gadget_file: dropping %d/%d %s particles outside "
+                "the box [0, %g]^3 — center your scene inside the box "
+                "(e.g. centers near box_size/2)", dropped, keep.size,
+                ptype, box_size)
+        return keep
 
     def __add__(self, other):
         fields = self.fields.copy()

@@ -130,3 +130,44 @@ def test_speed_cap_at_local_escape(canonical_model):
     psi = -np.asarray(p["dm", "particle_potential"])
     v_esc = np.sqrt(2.0 * psi)
     assert (v <= v_esc * (1.0 + 1e-12)).all()
+
+
+def test_gadget_writer_warns_on_out_of_box_clipping(tmp_path, caplog):
+    """Gadget boxes start at the origin; an origin-centered scene loses
+    the negative octants silently in the reference — here the writer
+    logs a loud warning when >5% of a species is dropped (and still
+    writes the in-box remainder)."""
+    import logging
+
+    import h5py
+
+    from cluster_generator_tpu.particles import ClusterParticles
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-500.0, 500.0, (4000, 3))  # origin-centered
+    parts = ClusterParticles(["dm"], {
+        ("dm", "particle_position"): pos,
+        ("dm", "particle_velocity"): np.zeros_like(pos),
+        ("dm", "particle_mass"): np.full(4000, 1.0e8),
+    })
+    fn = str(tmp_path / "clip.h5")
+    # mylog doesn't propagate (core/logging.py); capture via a handler
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    from cluster_generator_tpu.core.logging import mylog
+
+    h = _Catch(level=logging.WARNING)
+    mylog.addHandler(h)
+    try:
+        parts.write_to_gadget_file(fn, 1000.0)
+    finally:
+        mylog.removeHandler(h)
+    assert any("outside the box" in m for m in records)
+    with h5py.File(fn) as f:
+        n = f["PartType1"]["Coordinates"].shape[0]
+    inside = ((pos >= 0) & (pos <= 1000.0)).all(axis=1).sum()
+    assert n == inside > 0

@@ -31,9 +31,11 @@ print(f"built {B} clusters: kT range "
       f"{T.max(axis=1).min():.2f}..{T.max(axis=1).max():.2f} keV")
 print("every f(E) >= 0:", bool((np.asarray(fields['dm_df']) >= 0).all()))
 
-# Full DATAGEN: stream every cluster's DM phase-space draws to one HDF5
-# catalog (group per cluster). ~138 clusters/s at 1e5 particles each on
-# one v5e; see docs/parallel.md.
+# Full DATAGEN: stream every cluster's draws to one HDF5 catalog
+# (group per cluster).  An int count draws DM phase space (254
+# clusters/s at 1e5 each on one v5e); a dict draws the complete
+# full-species product -- DM + stars with per-species Eddington DFs,
+# gas with thermal energies (218 clusters/s); see docs/parallel.md.
 import tempfile
 
 from cluster_generator_tpu.parallel import ensemble_datagen
@@ -47,3 +49,12 @@ with tempfile.TemporaryDirectory() as td:
     with h5py.File(fn) as f:
         print(f"datagen catalog: {f.attrs['n_clusters']} clusters x "
               f"{f.attrs['n_particles_per_cluster']} particles")
+
+    # full-species variant: every species per cluster in one program
+    fn2 = ensemble_datagen(M200[:4], conc[:4], f"{td}/full.h5",
+                           {"dm": 10_000, "gas": 8_000, "star": 2_000},
+                           batch_size=4, num_points=256,
+                           key=jax.random.key(2))
+    with h5py.File(fn2) as f:
+        g = f["cluster_000000"]
+        print("full-species datasets:", sorted(g.keys()))

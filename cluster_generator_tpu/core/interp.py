@@ -261,7 +261,13 @@ def interp_monotone(xq, x, y):
     """``jnp.interp`` on an ascending grid via :func:`bracket_indices`
     (compare-matrix bracketing instead of binary search; same endpoint
     clamping).  Flat intervals (x[j+1] == x[j]) take the left value
-    instead of producing 0/0."""
+    instead of producing 0/0.
+
+    Sized for TABLE-scale query counts (the compare matrix is
+    O(queries x grid) transient memory — ~1 M elements at the datagen
+    table shapes).  Per-PARTICLE lookups must keep using computed-index
+    or paired-gather schemes (pipeline._log_grid_locate, adjacent_pairs
+    tables): at 1e7+ queries the matrix would be gigabytes."""
     j = bracket_indices(x, xq)
     x0, x1 = x[j], x[j + 1]
     dx = x1 - x0

@@ -45,8 +45,20 @@ def artifact_path(directory, name):
 
 def save_compiled(jitted_fn, args, path):
     """Lower + compile ``jitted_fn`` at ``args`` and persist the
-    executable.  Returns the compiled function (usable immediately)."""
+    executable.  Returns the compiled function (usable immediately).
+
+    Warns when priming on a multi-device client: ``load_compiled``
+    only accepts single-device artifacts (see the load-side comment),
+    so a mesh-primed artifact would be dead weight."""
+    import warnings
+
     from jax.experimental.serialize_executable import serialize
+
+    if jax.local_device_count() != 1:
+        warnings.warn(
+            f"save_compiled on a {jax.local_device_count()}-device "
+            "client: load_compiled only loads single-device artifacts, "
+            "so this artifact will never be used", stacklevel=2)
 
     compiled = jitted_fn.lower(*args).compile()
     payload = serialize(compiled)

@@ -339,12 +339,15 @@ class ClusterModel:
         non-monotone profile raises ValueError here."""
         r = self.fields["radius"][::-1]
         d = self.fields["density"][::-1]
-        if np.any(np.diff(d) < 0.0):
+        # tolerance-based guard: float-noise wiggles (|step| within
+        # ~1e-12 of the local magnitude) must not reject an otherwise
+        # decreasing profile loaded from arrays or HDF5
+        if np.any(np.diff(d) < -1e-12 * np.abs(d[:-1])):
             raise ValueError(
                 "find_radius_for_density requires a monotonically "
                 "decreasing density profile; this model's gas density "
                 "is non-monotone in radius.")
-        return float(np.interp(density, d, r))
+        return float(np.interp(density, np.maximum.accumulate(d), r))
 
     # ------------------------------------------------------------- checks
     def check_hse(self):

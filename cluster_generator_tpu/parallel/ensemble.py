@@ -105,6 +105,11 @@ def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048):
     """One jitted program: (M200, conc, keys) batch -> per-cluster DM
     phase-space draws (positions, velocities, particle mass).
 
+    Delegates to the full-species factory with gas = star = 0 — ONE
+    datagen core (the DM-only branch of :func:`_datagen_full_batch_fn`),
+    so the int-count and dict-count products cannot drift (the
+    escape-speed cap, table knobs, and draw scheme are shared; a
+    round-4 review caught the two paths diverging on the v_esc cap).
     Memoized on every compile-time knob (grid/table/count sizes + the
     ``cgparams['numerical']`` table config), so repeated API calls with
     the same shapes reuse one jitted program — see
@@ -116,68 +121,15 @@ def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048):
 
 @lru_cache(maxsize=32)
 def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
-    """The cfg5b datagen core (benchmarks/bench_configs.py): HSE build +
-    Eddington DF + an ``n_rows``-row inverse speed-CDF table per cluster,
-    then ``n_part`` draws through the radius quantile-pair table
-    (computed-index lerp) and the joint absolute-speed table (one
-    row-of-2 gather) — no per-particle searches anywhere.
+    full = _datagen_full_batch_cached(num_points, n_part, 0, 0, n_rows,
+                                      rq, 64, 512, 256, 256, kw_items)
 
-    ``n_rows`` defaults to 128: the joint fold lerps s_inv rows in psi
-    anyway, and the table sub-stage split (benchmarks/measurements_r4/
-    r4_table_stages.log) put the rows-proportional f(E) lerp block at
-    1.17 s of the 1024-cluster batch.  Same-key draws at 128 vs 256 rows
-    shift speeds by median 4e-5 / p99 1.1e-3 relative — inside the
-    accepted speed-table accuracy envelope (virial.py worst-row 1.9e-3).
-    """
-    from ..core.interp import adjacent_pairs, interp_monotone
-    from ..virial import (
-        build_joint_speed_pairs,
-        sample_speeds_joint,
-        speed_inverse_cdf_table,
-    )
-
-    kw = dict(kw_items)
-    row_idx = np.unique(np.round(
-        np.linspace(0, num_points - 1, min(n_rows, num_points))).astype(int))
-
-    def _isotropic(key, n):
-        k1, k2 = jax.random.split(key)
-        mu = jax.random.uniform(k1, (n,), jnp.float32, -1.0, 1.0)
-        phi = jax.random.uniform(k2, (n,), jnp.float32, 0.0,
-                                 2.0 * float(np.pi))
-        s = jnp.sqrt(jnp.maximum(1.0 - mu * mu, 0.0))
-        return jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), mu], axis=1)
-
-    def one(m, c, key):
-        f = build_one_cluster(m, c, num_points=num_points, with_df=True)
-        ee = -f["gravitational_potential"][::-1]
-        df = f["dm_df"][::-1]
-        row_ee = ee[row_idx]
-        tab = speed_inverse_cdf_table(ee, df, row_ee=row_ee, **kw)
-        rr, mm = f["radius"], f["dark_matter_mass"]
-        q = jnp.linspace(0.0, 1.0, rq)
-        r_q = interp_monotone(q * mm[-1], mm, rr)
-        r_pair = adjacent_pairs(r_q).astype(jnp.float32)
-        joint = build_joint_speed_pairs(rr, -f["gravitational_potential"],
-                                        row_ee, tab, r_q, dtype=tab.dtype)
-        k_r, k_v, k_u, k_w = jax.random.split(key, 4)
-        u = jax.random.uniform(k_r, (n_part,), jnp.float32)
-        x = jnp.clip(u * (rq - 1), 0.0, rq - 1 - 1e-6)
-        kq = jnp.minimum(x.astype(jnp.int32), rq - 2)  # f32 ulp guard
-        wq = x - kq.astype(jnp.float32)
-        rp = r_pair[kq]
-        radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
-        speed = sample_speeds_joint(joint, tab.shape[1], kq, wq, k_v)
-        pos = radius[:, None] * _isotropic(k_u, n_part)
-        vel = speed[:, None].astype(jnp.float32) * _isotropic(k_w, n_part)
-        pmass = (mm[-1] / n_part).astype(jnp.float32)
-        return pos, vel, pmass
-
+    # jit-of-jit: tracing `full` inlines its jaxpr, so exactly one
+    # program compiles; the outer jit also carries the cache
+    # introspection the recompilation tests assert on
     @jax.jit
     def batch(M200, conc, key):
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-            jnp.arange(M200.shape[0]))
-        return jax.vmap(one)(M200, conc, keys)
+        return full(M200, conc, key)["dm"]
 
     return batch
 
@@ -404,6 +356,13 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     # one jitted program; jit's shape-keyed cache handles the short final
     # batch (it retraces once for the tail shape, nothing to rebuild here)
     if full:
+        unknown = set(n_particles_per_cluster) - {"dm", "gas", "star"}
+        if unknown:
+            raise ValueError(
+                f"unknown species {sorted(unknown)} in "
+                "n_particles_per_cluster; expected keys from "
+                "{'dm', 'gas', 'star'} (a typo here would otherwise "
+                "silently drop the species from the catalog)")
         counts = {s: int(n_particles_per_cluster.get(s, 0))
                   for s in ("dm", "gas", "star")}
         batch_fn = _datagen_full_batch_fn(num_points, counts["dm"],

@@ -233,6 +233,11 @@ def speed_inverse_cdf_table(ee, f_vals, n_s: int = 1024, n_q: int = 512,
         # the datagen batch program's table-overhead hot spot)
         from .core.interp import spline_eval_uniform
 
+        if NF1 < 2 or NF2 < 2:
+            raise ValueError(
+                f"df node grids need >= 2 nodes per segment (got "
+                f"nf1={NF1}, nf2={NF2}); NF2=1 would divide by zero and "
+                "poison the whole speed table with NaNs")
         step1 = b / NF1
         step2 = (e_max - b) / (NF2 - 1)
         fu = jnp.concatenate([

@@ -292,3 +292,37 @@ def test_ensemble_datagen_full_species(tmp_path):
     pr = prorate_species_counts(10_000, num_points=128)
     assert sum(pr.values()) == 10_000
     assert pr["dm"] > pr["gas"] > pr["star"] > 0
+
+
+def test_ensemble_datagen_rejects_unknown_species(tmp_path):
+    """A typo'd species key must raise, not silently drop the species
+    (round-4 review finding)."""
+    from cluster_generator_tpu.parallel import ensemble_datagen
+
+    with pytest.raises(ValueError, match="unknown species"):
+        ensemble_datagen(np.array([1e15]), np.array([5.0]),
+                         str(tmp_path / "x.h5"),
+                         {"dm": 100, "stars": 10})
+
+
+def test_dm_only_datagen_caps_speeds_at_local_escape():
+    """The int-count (DM-only) datagen path shares the full-species
+    core, including the local escape-speed cap (round-4 review: the two
+    paths had diverged on it)."""
+    from cluster_generator_tpu.parallel.ensemble import (
+        _datagen_batch_fn,
+        build_one_cluster,
+    )
+
+    n_pts = 256
+    fn = _datagen_batch_fn(n_pts, 20_000)
+    M, c = jnp.asarray([1.2e15]), jnp.asarray([5.0])
+    pos, vel, pm = fn(M, c, jax.random.key(0))
+    fields = jax.jit(lambda m, cc: build_one_cluster(
+        m, cc, num_points=n_pts, with_df=False))(M[0], c[0])
+    rr = np.asarray(fields["radius"])
+    psi = -np.asarray(fields["gravitational_potential"])
+    r = np.linalg.norm(np.asarray(pos[0]), axis=1)
+    v = np.linalg.norm(np.asarray(vel[0]), axis=1)
+    v_esc = np.sqrt(2.0 * np.interp(r, rr, psi))
+    assert (v <= v_esc * (1.0 + 1e-4)).all()

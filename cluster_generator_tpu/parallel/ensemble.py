@@ -137,8 +137,9 @@ def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
 def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=128,
                            rq=2048, star_n_rows=64, star_rq=512,
                            star_n_s=256, star_n_q=256):
-    """Memoized wrapper (see :func:`_datagen_batch_fn`) for the
-    full-species datagen program.
+    """Memoized factory for the full-species datagen program — the ONE
+    datagen core (the int-count path delegates here with gas=star=0;
+    species with a zero count are simply absent from the output dict).
 
     The ``star_*`` knobs set the STAR species' table resolutions
     independently of the DM defaults: the star table build is per-cluster

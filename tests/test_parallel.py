@@ -326,3 +326,19 @@ def test_dm_only_datagen_caps_speeds_at_local_escape():
     v = np.linalg.norm(np.asarray(vel[0]), axis=1)
     v_esc = np.sqrt(2.0 * np.interp(r, rr, psi))
     assert (v <= v_esc * (1.0 + 1e-4)).all()
+
+
+def test_int_and_dict_datagen_paths_agree_exactly():
+    """The int-count path IS the full-species core with gas=star=0 —
+    same key must give bit-identical DM draws through both entries."""
+    from cluster_generator_tpu.parallel.ensemble import (
+        _datagen_batch_fn,
+        _datagen_full_batch_fn,
+    )
+
+    M, c = jnp.asarray([1.1e15]), jnp.asarray([4.5])
+    key = jax.random.key(12)
+    out_i = _datagen_batch_fn(128, 3000)(M, c, key)
+    out_d = _datagen_full_batch_fn(128, 3000, 0, 0)(M, c, key)["dm"]
+    for a, b in zip(out_i, out_d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -8,7 +8,7 @@ split (paint-only forces every device batch without touching disk;
 write-only streams cached blocks), so the overlap win and the remaining
 bound are attributable.  JSON lines like bench.py.
 
-    python benchmarks/bench_ythdf5.py [device|native]
+    python benchmarks/bench_ythdf5.py [device|native] [f8|f4]
 
 BENCH_SMOKE=1 runs 128^3.
 """
@@ -29,6 +29,7 @@ _SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
 def main():
     engine = sys.argv[1] if len(sys.argv) > 1 else "device"
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "f8"
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -51,11 +52,12 @@ def main():
         {k: np.asarray(v) for k, v in fields.items()})
     model.set_magnetic_field_from_beta(100.0)
     n_fields = 8  # density, dm, stellar, pressure, 3 momentum, B pressure
-    gb = dim**3 * 8 * n_fields / 1e9
+    itemsize = {"f8": 8, "f4": 4}[dtype]
+    gb = dim**3 * itemsize * n_fields / 1e9
 
     with tempfile.TemporaryDirectory() as td:
         fn = os.path.join(td, "grid.h5")
-        ds = YTHDF5.build(fn, domain_dimensions=(dim,) * 3,
+        ds = YTHDF5.build(fn, dtype=dtype, domain_dimensions=(dim,) * 3,
                           bbox=np.array([[-5000.0, 5000.0]] * 3),
                           chunksize=cs)
 
@@ -107,6 +109,7 @@ def main():
         "value": round(total_s, 2), "unit": "s",
         "vs_baseline": None,
         "engine": engine,
+        "dtype": dtype,
         "gb_written": round(gb, 2),
         "gb_per_s": round(gb / total_s, 3),
         "paint_1field_s": round(paint_s, 2),

@@ -98,13 +98,19 @@ def spline_eval(sp, q) -> np.ndarray:
     return out.reshape(q.shape)
 
 
-def paint_radial_chunks(sp, starts, chunksize, deltas, left) -> np.ndarray:
+def paint_radial_chunks(sp, starts, chunksize, deltas, left,
+                        out=None) -> np.ndarray:
     """Evaluate a radial spline field on chunk cell centers.
 
     starts: (N, 3) first-cell indices; returns (N, cs, cs, cs) blocks in
     the on-disk z-first layout block[k, j, i] = f(x_i, y_j, z_k) (matching
     data_structures._paint_chunk and the reference reader's transpose,
-    reference frontend/io.py:81)."""
+    reference frontend/io.py:81).
+
+    ``out``: optional preallocated (N, cs, cs, cs) f64 buffer.  A fresh
+    ~100 MB allocation per batch is first-touch page faults each call
+    (measured 3-4x the paint cost at 512^3); streaming callers should
+    allocate once and pass it back in."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -114,10 +120,16 @@ def paint_radial_chunks(sp, starts, chunksize, deltas, left) -> np.ndarray:
     cs = int(chunksize)
     deltas = np.ascontiguousarray(deltas, dtype=np.float64)
     left = np.ascontiguousarray(left, dtype=np.float64)
-    out = np.empty(n * cs * cs * cs, dtype=np.float64)
+    if out is None:
+        out = np.empty((n, cs, cs, cs), dtype=np.float64)
+    else:
+        assert out.dtype == np.float64 and out.flags.c_contiguous \
+            and out.shape == (n, cs, cs, cs), \
+            f"out buffer must be C-contiguous f64 {(n, cs, cs, cs)}"
     lib.cg_paint_radial_chunks(xs, a, b, c, d, xs.size, starts.ravel(), n,
-                               cs, deltas, left, out)
-    return out.reshape(n, cs, cs, cs)
+                               cs, deltas, left,
+                               out.reshape(-1))
+    return out
 
 
 def trilinear(xs, ys, zs, field, pts) -> np.ndarray:

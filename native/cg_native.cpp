@@ -69,6 +69,36 @@ static inline double spline_one(const double* xs, const double* a,
   return a[lo] + t * (b[lo] + t * (cc[lo] + t * d[lo]));
 }
 
+// Binary-search interval locate (same bracket convention as spline_one).
+static inline int64_t spline_locate(const double* xs, int64_t n, double q) {
+  if (q <= xs[0]) return 0;
+  if (q >= xs[n - 1]) return n - 2;
+  int64_t lo = 0, hi = n - 2;
+  while (lo < hi) {
+    int64_t mid = (lo + hi + 1) >> 1;
+    if (xs[mid] <= q)
+      lo = mid;
+    else
+      hi = mid - 1;
+  }
+  return lo;
+}
+
+// Hint-based interval search: r varies smoothly between adjacent grid
+// cells (at most a few knots per step), so walking the bracket from the
+// previous cell's interval touches only neighboring knots — O(1)
+// amortized and L1-resident, where a fresh binary search over a
+// ~1000-knot table streams the whole xs array through cache per query.
+static inline int64_t spline_locate_hinted(const double* xs, int64_t n,
+                                           double q, int64_t hint) {
+  if (q <= xs[0]) return 0;
+  if (q >= xs[n - 1]) return n - 2;
+  int64_t lo = hint;
+  while (q < xs[lo]) --lo;
+  while (q >= xs[lo + 1]) ++lo;
+  return lo;
+}
+
 void cg_spline_eval(const double* xs, const double* a, const double* b,
                     const double* c, const double* d, int64_t n,
                     const double* q, int64_t nq, double* out) {
@@ -115,6 +145,10 @@ void cg_paint_radial_chunks(const double* xs, const double* a,
       double* blk = out + ci * cs * cs * cs;
       // on-disk z-first layout blk[k][j][i] = f(x_i, y_j, z_k) (matches
       // data_structures._paint_chunk / the reference reader's transpose)
+      // seed the interval hint once per chunk with a binary search, then
+      // walk it cell-to-cell (r is unimodal along each row and changes
+      // slowly between rows, so the walk is a handful of comparisons)
+      int64_t hint = -1;
       for (int64_t k = 0; k < cs; ++k) {
         const double z = left[2] + (sz + k + 0.5) * deltas[2];
         for (int64_t j = 0; j < cs; ++j) {
@@ -122,8 +156,16 @@ void cg_paint_radial_chunks(const double* xs, const double* a,
           const double z2y2 = z * z + y * y;
           for (int64_t i = 0; i < cs; ++i) {
             const double x = left[0] + (sx + i + 0.5) * deltas[0];
-            const double r = std::sqrt(z2y2 + x * x);
-            blk[(k * cs + j) * cs + i] = spline_one(xs, a, b, c, d, n, r);
+            double r = std::sqrt(z2y2 + x * x);
+            // clamp to the knot range: boundary value, not extrapolation
+            // (matches _paint_chunk; the reference extrapolates and can
+            // paint negative densities in bbox corners)
+            r = std::min(std::max(r, xs[0]), xs[n - 1]);
+            hint = hint < 0 ? spline_locate(xs, n, r)
+                            : spline_locate_hinted(xs, n, r, hint);
+            const double t = r - xs[hint];
+            blk[(k * cs + j) * cs + i] =
+                a[hint] + t * (b[hint] + t * (c[hint] + t * d[hint]));
           }
         }
       }

@@ -45,7 +45,7 @@ def main():
     cells = dim**3
     print(f"checksum {float(out.sum()):.6e}")
     print(f"median {med:.3f}s  {cells / med / 1e6:.1f} Mcells/s  "
-          f"(512^3 x 8 fields extrapolates to {32 * med:.1f}s paint)")
+          f"(512^3 x 8 fields extrapolates to {64 * med:.1f}s paint)")
 
 
 if __name__ == "__main__":

@@ -185,3 +185,68 @@ def test_noncubic_native_matches_device(canonical_model, tmp_path):
             np.testing.assert_allclose(fd["grid"][field][()],
                                        fn_["grid"][field][()], rtol=1e-12,
                                        err_msg=field)
+
+
+def test_raw_slab_io_matches_h5py_path(canonical_model, tmp_path,
+                                       monkeypatch):
+    """The pwrite-at-offset fast path produces byte-identical files to
+    the h5py H5Dwrite fallback, including the accumulate (second model)
+    read-modify-write."""
+    import h5py
+
+    from cluster_generator_tpu import data_structures as DS
+
+    bbox = np.array([[-2000.0, 2000.0]] * 3)
+
+    def build_and_add(fn):
+        ds = YTHDF5.build(fn, (32, 32, 32), bbox, chunksize=16)
+        ds.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0])
+        ds.add_model(canonical_model, [300.0, 0, 0], [-0.2, 0, 0])
+        return ds
+
+    f_raw = str(tmp_path / "raw.h5")
+    build_and_add(f_raw)
+
+    # force the fallback by making every _RawSlabIO ineligible
+    orig_init = DS._RawSlabIO.__init__
+
+    def no_raw(self, fileio, dset):
+        orig_init(self, fileio, dset)
+        self.close()
+        self.eligible = False
+
+    monkeypatch.setattr(DS._RawSlabIO, "__init__", no_raw)
+    f_h5 = str(tmp_path / "h5.h5")
+    build_and_add(f_h5)
+
+    with h5py.File(f_raw) as a, h5py.File(f_h5) as b:
+        for field in a["grid"]:
+            np.testing.assert_array_equal(a["grid"][field][()],
+                                          b["grid"][field][()],
+                                          err_msg=field)
+
+
+def test_f4_dtype_option(canonical_model, tmp_path):
+    """dtype='f4' stores float32 datasets (half the disk traffic) whose
+    values match the f8 grid at float32 precision."""
+    import h5py
+
+    bbox = np.array([[-2000.0, 2000.0]] * 3)
+    f8 = str(tmp_path / "f8.h5")
+    f4 = str(tmp_path / "f4.h5")
+    ds8 = YTHDF5.build(f8, (32, 32, 32), bbox, chunksize=16)
+    ds8.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0])
+    ds4 = YTHDF5.build(f4, (32, 32, 32), bbox, chunksize=16, dtype="f4")
+    ds4.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0])
+    assert ds4._itemsize == 4 and ds8._itemsize == 8
+    assert ds4._estimated_size == ds8._estimated_size / 2
+    with h5py.File(f8) as a, h5py.File(f4) as b:
+        for field in a["grid"]:
+            assert b["grid"][field].dtype == np.dtype("<f4"), field
+            va = a["grid"][field][()]
+            vb = b["grid"][field][()].astype(np.float64)
+            np.testing.assert_allclose(vb, va, rtol=2e-7, atol=0,
+                                       err_msg=field)
+    with pytest.raises(ValueError):
+        YTHDF5.build(str(tmp_path / "bad.h5"), (32, 32, 32), bbox,
+                     chunksize=16, dtype="f2")

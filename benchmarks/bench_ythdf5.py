@@ -98,11 +98,16 @@ def main():
         print(f"# write-only (1 field assign): {write_s:.2f}s",
               file=sys.stderr)
 
-        # --- end-to-end add_model (8 fields, overlapped)
+        # --- end-to-end add_model (8 fields, overlapped); sync before so
+        # prior writeback backlog doesn't throttle us, and report the
+        # durable (sync-inclusive) time alongside the wall time
+        os.sync()
         t0 = time.time()
         ds.add_model(model, np.zeros(3), np.array([100.0, 0.0, 0.0]),
                      engine=engine)
         total_s = time.time() - t0
+        os.sync()
+        durable_s = time.time() - t0
 
     print(json.dumps({
         "metric": f"ythdf5_{dim}_add_model_wall_time",
@@ -112,6 +117,7 @@ def main():
         "dtype": dtype,
         "gb_written": round(gb, 2),
         "gb_per_s": round(gb / total_s, 3),
+        "durable_s": round(durable_s, 2),
         "paint_1field_s": round(paint_s, 2),
         "write_1field_s": round(write_s, 2),
     }))

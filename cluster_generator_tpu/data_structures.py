@@ -283,11 +283,25 @@ class YTHDF5:
 
         with h5py.File(self.filename, "a") as fo:
             for field, unit in self._yt_fields.items():
+                extra_scaled = []
                 if "momentum_density" in field:
-                    axis = {"x": 0, "y": 1, "z": 2}[field[-1]]
-                    if "density" not in model.fields:
+                    # written as scaled copies of the density paint below
+                    continue
+                elif field == "density":
+                    if field in model.fields:
+                        # momentum_density_{x,y,z} = density * v_bulk[axis]:
+                        # reuse the density blocks instead of repainting
+                        # the same spline three more times (8 -> 5 paints;
+                        # on the device engine, 3/8 less D2H traffic too)
+                        extra_scaled = [
+                            (f"momentum_density_{ax}", velocity[i])
+                            for i, ax in enumerate("xyz")]
+                    yy = np.asarray(model[field]) if field in model.fields \
+                        else None
+                    if yy is None:
+                        mylog.debug("Field %s not in model; skipping.",
+                                    field)
                         continue
-                    yy = np.asarray(model["density"]) * velocity[axis]
                 elif field == "magnetic_pressure":
                     if "magnetic_field_strength" not in model.fields:
                         continue
@@ -310,7 +324,8 @@ class YTHDF5:
                     continue
                 self._add_field(fo, rr, yy, field, left, deltas, chunk_starts,
                                 cs, engine=engine,
-                                accumulate=int(fo.attrs["model_count"]) > 0)
+                                accumulate=int(fo.attrs["model_count"]) > 0,
+                                extra_scaled=extra_scaled)
             mylog.info("Core fields of %s were written to %s.", model, self)
             fo.attrs["model_count"] += 1
 
@@ -325,7 +340,8 @@ class YTHDF5:
             self.add_model(model, ics.center[ic_id], ics.velocity[ic_id])
 
     def _add_field(self, fileio, r, y, fieldname, left, deltas, chunk_starts,
-                   cs, batch=64, engine="device", accumulate=True):
+                   cs, batch=64, engine="device", accumulate=True,
+                   extra_scaled=()):
         """Evaluate the radial field on every chunk and stream the blocks to
         disk (replaces opt.structures.dump_field_to_hdf5).
 
@@ -334,19 +350,29 @@ class YTHDF5:
         traffic.  The device engine double-buffers: the paint of chunk
         batch k+1 is dispatched (async) BEFORE the blocking
         device-to-host transfer + write of batch k, so host I/O overlaps
-        device compute (VERDICT r3 item 2)."""
+        device compute (VERDICT r3 item 2).
+
+        ``extra_scaled``: [(other_fieldname, factor), ...] — datasets that
+        are scalar multiples of this field (the momentum densities);
+        each painted batch is also written to them as ``factor * blocks``
+        without repainting."""
         sp = cubic_spline(jnp.asarray(r), jnp.asarray(y))
         dset = fileio["grid"][fieldname]
         n = chunk_starts.shape[0]
         raw = _RawSlabIO(fileio, dset)
+        sinks = [(dset, raw, 1.0)]
+        sinks += [(fileio["grid"][fn], _RawSlabIO(fileio, fileio["grid"][fn]),
+                   fac) for fn, fac in extra_scaled]
 
         def _store(i0, blocks):
-            if raw.eligible:
-                (raw.accumulate if accumulate else raw.write)(i0, blocks)
-            elif accumulate:
-                dset[i0:i0 + blocks.shape[0], ...] += blocks
-            else:
-                dset[i0:i0 + blocks.shape[0], ...] = blocks
+            for ds_k, raw_k, fac in sinks:
+                blk = blocks if fac == 1.0 else fac * blocks
+                if raw_k.eligible:
+                    (raw_k.accumulate if accumulate else raw_k.write)(i0, blk)
+                elif accumulate:
+                    ds_k[i0:i0 + blk.shape[0], ...] += blk
+                else:
+                    ds_k[i0:i0 + blk.shape[0], ...] = blk
 
         try:
             if engine == "native":
@@ -376,4 +402,5 @@ class YTHDF5:
             if pending is not None:
                 _store(pending[0], np.asarray(pending[1]))
         finally:
-            raw.close()
+            for _, raw_k, _ in sinks:
+                raw_k.close()

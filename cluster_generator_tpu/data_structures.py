@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core import constants as C
+from .core.h5raw import RawSlabIO, create_early_alloc
 from .core.interp import cubic_spline, spline_eval
 from .core.logging import mylog
 
@@ -50,69 +51,10 @@ def construct_chunks(domain_dimensions, chunksize: int) -> np.ndarray:
     return np.stack([starts, ends], axis=1)  # (3, 2, Nchunks)
 
 
-def _create_early_alloc(group, name, shape, dtype="f8"):
-    """Create a contiguous float dataset whose file extent is allocated
-    at creation (no fill written), so writers can stream slabs straight
-    to its file offset with os.pwrite.
-
-    H5Dwrite tops out ~250 MB/s here regardless of sieve-buffer size,
-    while raw pwrite at the dataset offset writes at page-cache/disk
-    speed — see ``_RawSlabIO``.  ALLOC_TIME_EARLY pins the offset up
-    front; FILL_TIME_NEVER keeps the multi-GB create instant (the extent
-    is a hole until painted, and every add_model paints all slabs)."""
-    space = h5py.h5s.create_simple(shape)
-    dcpl = h5py.h5p.create(h5py.h5p.DATASET_CREATE)
-    dcpl.set_alloc_time(h5py.h5d.ALLOC_TIME_EARLY)
-    dcpl.set_fill_time(h5py.h5d.FILL_TIME_NEVER)
-    h5t = h5py.h5t.IEEE_F64LE if dtype == "f8" else h5py.h5t.IEEE_F32LE
-    did = h5py.h5d.create(group.id, name.encode(), h5t, space, dcpl)
-    return h5py.Dataset(did)
-
-
-class _RawSlabIO:
-    """Raw pread/pwrite of outer-dimension slabs of a contiguous,
-    unfiltered little-endian-f64 HDF5 dataset, addressed by its file
-    offset.  Bypasses H5Dwrite's internal buffering (measured 250 MB/s)
-    for plain file I/O at disk speed; the bytes on disk are identical,
-    so every HDF5 reader sees the same dataset.
-
-    Falls back to ``eligible=False`` (callers use h5py) when the dataset
-    is chunked/filtered, a different dtype, or has no allocated offset.
-    The owning h5py file must be flushed before raw access so pending
-    sieve-buffer data cannot overwrite raw writes."""
-
-    def __init__(self, fileio, dset):
-        self.dtype = dset.dtype
-        self.eligible = (
-            dset.chunks is None
-            and dset.compression is None
-            and self.dtype in (np.dtype("<f8"), np.dtype("<f4"))
-            and dset.id.get_offset() is not None
-        )
-        if not self.eligible:
-            self.fd = None
-            return
-        fileio.flush()
-        self.offset = dset.id.get_offset()
-        self.row_bytes = int(np.prod(dset.shape[1:])) * self.dtype.itemsize
-        self.fd = os.open(fileio.filename, os.O_RDWR)
-
-    def write(self, i0, blocks):
-        blocks = np.ascontiguousarray(blocks, dtype=self.dtype)
-        os.pwrite(self.fd, memoryview(blocks).cast("B"),
-                  self.offset + i0 * self.row_bytes)
-
-    def accumulate(self, i0, blocks):
-        nb = len(blocks) * self.row_bytes
-        cur = np.frombuffer(
-            os.pread(self.fd, nb, self.offset + i0 * self.row_bytes),
-            dtype=self.dtype).reshape(blocks.shape)
-        self.write(i0, cur + blocks)
-
-    def close(self):
-        if self.fd is not None:
-            os.close(self.fd)
-            self.fd = None
+# raw-I/O helpers shared with the ensemble catalog writer; the alias
+# keeps this module's name for the painter's streaming pattern
+_create_early_alloc = create_early_alloc
+_RawSlabIO = RawSlabIO
 
 
 @partial(jax.jit, static_argnames=("cs",))
@@ -389,9 +331,18 @@ class YTHDF5:
                                                         out=buf)
                     _store(i0, blocks)
                 return
-            paint = jax.vmap(lambda s: _paint_chunk(sp, s,
-                                                    jnp.asarray(deltas),
-                                                    jnp.asarray(left), cs))
+            # when every sink stores f32, cast on device BEFORE the
+            # device-to-host transfer — halves the D2H bytes (the device
+            # engine is D2H-bound through a tunneled accelerator)
+            f32_out = all(ds_k.dtype == np.dtype("<f4") for ds_k, _, _
+                          in sinks)
+
+            def _one(s):
+                blk = _paint_chunk(sp, s, jnp.asarray(deltas),
+                                   jnp.asarray(left), cs)
+                return blk.astype(jnp.float32) if f32_out else blk
+
+            paint = jax.vmap(_one)
             pending = None
             for i0 in range(0, n, batch):
                 starts = jnp.asarray(chunk_starts[i0:i0 + batch])

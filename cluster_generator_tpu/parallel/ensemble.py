@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.grid import log_radius_grid
+from ..core.h5raw import RawWriter
 from ..model.builders import build_from_dens_and_tden
 from ..profiles.library import (
     snfw_density_profile,
@@ -379,8 +380,13 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
         cb = conc[b0:b0 + batch_size]
         return Mb, cb, batch_fn(Mb, cb, jax.random.fold_in(key, b0))
 
+    # catalog data goes through the raw pwrite-at-offset path: H5Dwrite
+    # is ~115-250 MB/s on these hosts (a 1024 x 1e5 full-species catalog
+    # is 20.8 s of H5Dwrite vs 4.7 s of device compute), while the raw
+    # path writes the identical bytes at page-cache speed (core/h5raw.py)
     def _write_full(f, b0, Mb, cb, out):
         out = jax.tree_util.tree_map(np.asarray, out)  # blocks this batch
+        raw = RawWriter(f)
         for i in range(Mb.shape[0]):
             g = f.create_group(f"cluster_{b0 + i:06d}")
             g.attrs["M200"] = float(Mb[i])
@@ -389,23 +395,26 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                 if sp in out:
                     pos, vel, pmass = out[sp]
                     g.attrs[f"particle_mass_{sp}"] = float(pmass[i])
-                    g.create_dataset(f"{sp}_position", data=pos[i])
-                    g.create_dataset(f"{sp}_velocity", data=vel[i])
+                    raw.add(g, f"{sp}_position", pos[i])
+                    raw.add(g, f"{sp}_velocity", vel[i])
             if "gas" in out:
                 pos, energy, pmass = out["gas"]
                 g.attrs["particle_mass_gas"] = float(pmass[i])
-                g.create_dataset("gas_position", data=pos[i])
-                g.create_dataset("gas_thermal_energy", data=energy[i])
+                raw.add(g, "gas_position", pos[i])
+                raw.add(g, "gas_thermal_energy", energy[i])
+        raw.flush()
 
     def _write_dm(f, b0, Mb, cb, out):
         pos, vel, pmass = (np.asarray(a) for a in out)
+        raw = RawWriter(f)
         for i in range(Mb.shape[0]):
             g = f.create_group(f"cluster_{b0 + i:06d}")
             g.attrs["M200"] = float(Mb[i])
             g.attrs["conc"] = float(cb[i])
             g.attrs["particle_mass"] = float(pmass[i])
-            g.create_dataset("particle_position", data=pos[i])
-            g.create_dataset("particle_velocity", data=vel[i])
+            raw.add(g, "particle_position", pos[i])
+            raw.add(g, "particle_velocity", vel[i])
+        raw.flush()
 
     write = _write_full if full else _write_dm
     with h5py.File(path, "w") as f:

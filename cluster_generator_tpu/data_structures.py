@@ -306,9 +306,18 @@ class YTHDF5:
         sinks += [(fileio["grid"][fn], _RawSlabIO(fileio, fileio["grid"][fn]),
                    fac) for fn, fac in extra_scaled]
 
+        scratch = [None]  # reused scaled-copy buffer (fresh 100MB+ allocs
+        # per batch cost multiples of the paint in page faults)
+
         def _store(i0, blocks):
             for ds_k, raw_k, fac in sinks:
-                blk = blocks if fac == 1.0 else fac * blocks
+                if fac == 1.0:
+                    blk = blocks
+                else:
+                    if (scratch[0] is None
+                            or scratch[0].shape != blocks.shape):
+                        scratch[0] = np.empty_like(blocks)
+                    blk = np.multiply(blocks, fac, out=scratch[0])
                 if raw_k.eligible:
                     (raw_k.accumulate if accumulate else raw_k.write)(i0, blk)
                 elif accumulate:

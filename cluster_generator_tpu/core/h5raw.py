@@ -26,7 +26,7 @@ import os
 import h5py
 import numpy as np
 
-__all__ = ["create_early_alloc", "RawSlabIO", "RawWriter"]
+__all__ = ["create_early_alloc", "RawSlabIO", "RawWriter", "RawReader"]
 
 _H5T = {"f8": h5py.h5t.IEEE_F64LE, "f4": h5py.h5t.IEEE_F32LE}
 _RAW_DTYPES = (np.dtype("<f8"), np.dtype("<f4"))
@@ -134,3 +134,32 @@ class RawWriter:
         finally:
             os.close(fd)
         self.pairs = []
+
+
+class RawReader:
+    """Whole-dataset pread companion to :class:`RawWriter` (H5Dread runs
+    ~0.26 GB/s even from page cache; pread of the same extent is
+    memcpy-speed).  Datasets the raw path cannot take fall back to
+    h5py transparently."""
+
+    def __init__(self, fileio):
+        self.fileio = fileio
+        self.fd = os.open(fileio.filename, os.O_RDONLY)
+
+    def read(self, dset):
+        if not _raw_eligible(dset):
+            return dset[()]
+        nbytes = dset.size * dset.dtype.itemsize
+        buf = os.pread(self.fd, nbytes, dset.id.get_offset())
+        return np.frombuffer(buf, dtype=dset.dtype).reshape(dset.shape)
+
+    def close(self):
+        if self.fd is not None:
+            os.close(self.fd)
+            self.fd = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

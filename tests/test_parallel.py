@@ -342,3 +342,34 @@ def test_int_and_dict_datagen_paths_agree_exactly():
     out_d = _datagen_full_batch_fn(128, 3000, 0, 0)(M, c, key)["dm"]
     for a, b in zip(out_i, out_d):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_read_catalog_roundtrip(tmp_path):
+    """read_catalog yields every dataset + attr of each cluster group,
+    byte-identical to a direct h5py read, honoring an index subset."""
+    import h5py
+
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        read_catalog,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(5), 5)
+    fn = str(tmp_path / "cat.h5")
+    ensemble_datagen(M, c, fn, {"dm": 800, "gas": 600, "star": 200},
+                     batch_size=3, num_points=128)
+
+    got = dict(read_catalog(fn))
+    assert sorted(got) == list(range(5))
+    with h5py.File(fn) as f:
+        for i in range(5):
+            g = f[f"cluster_{i:06d}"]
+            assert set(g.keys()) <= set(got[i])
+            for k in g:
+                np.testing.assert_array_equal(got[i][k], g[k][()], err_msg=k)
+            for k, v in g.attrs.items():
+                assert got[i][k] == v, k
+
+    subset = [ix for ix, _ in read_catalog(fn, indices=[3, 1])]
+    assert subset == [3, 1]

@@ -108,19 +108,23 @@ class RawWriter:
         self.pairs = []
 
     def add(self, group, name, arr):
+        """Create ``group[name]`` for ``arr`` and queue its bytes;
+        returns the dataset (e.g. for attrs).  NOTE: the dataset's DATA
+        is not on disk until :meth:`flush` — don't read it back before
+        then."""
         arr = np.ascontiguousarray(arr)
         if arr.dtype == np.float32:
             dt = "f4"
         elif arr.dtype == np.float64:
             dt = "f8"
         else:
-            group.create_dataset(name, data=arr)
-            return
+            return group.create_dataset(name, data=arr)
         ds = create_early_alloc(group, name, arr.shape, dt)
         if _raw_eligible(ds):
             self.pairs.append((ds, arr))
         else:  # pragma: no cover - early alloc always yields an offset
             ds[...] = arr
+        return ds
 
     def flush(self):
         if not self.pairs:

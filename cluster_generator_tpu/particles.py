@@ -326,13 +326,17 @@ class ClusterParticles:
         if Path(output_filename).exists() and not overwrite:
             raise IOError(f"Cannot create {output_filename}. "
                           "It exists and overwrite=False.")
+        from .core.h5raw import RawWriter
+
         with h5py.File(output_filename, "w") as f:
             for ptype in self.particle_types:
                 f.create_group(ptype)
+            raw = RawWriter(f)  # pwrite-at-offset: H5Dwrite is ~0.25 GB/s
             for (ptype, name), arr in self.fields.items():
-                ds = f[ptype].create_dataset(name, data=arr)
+                ds = raw.add(f[ptype], name, np.asarray(arr))
                 if name != "particle_index":
                     ds.attrs["units"] = particle_field_units.get(name, "")
+            raw.flush()
 
     def write_particles_to_h5(self, output_filename, overwrite=False):
         self.write_particles(output_filename, overwrite=overwrite)
@@ -381,10 +385,13 @@ class ClusterParticles:
                 self.fields[ptype, "particle_velocity"] + v_ctr)
 
     # ------------------------------------------------------------- gadget
-    def _write_gadget_fields(self, ptype, h5_group, idxs, dtype, code):
+    def _write_gadget_fields(self, ptype, h5_group, idxs, dtype, code,
+                             raw=None):
         fields = list(gadget_fields[ptype])
         if code in code_fields:
             fields += code_fields[code].get(ptype, [])
+        _add = (raw.add if raw is not None
+                else lambda g, k, v: g.create_dataset(k, data=v))
         for field in fields:
             if field == "ParticleIDs":
                 continue
@@ -392,13 +399,13 @@ class ClusterParticles:
                 if self.num_passive_scalars > 0:
                     data = np.stack([self[ptype, s] for s in
                                      self.passive_scalars], axis=-1)
-                    h5_group.create_dataset("PassiveScalars", data=data[idxs])
+                    _add(h5_group, "PassiveScalars", data[idxs])
             else:
                 my_field = gadget_field_map[field]
                 if (ptype, my_field) in self.fields:
                     fd = self.fields[ptype, my_field]
                     data = (fd[idxs] / gadget_field_factors[field]).astype(dtype)
-                    h5_group.create_dataset(field, data=data)
+                    _add(h5_group, field, data)
 
     def write_to_gadget_file(self, ic_filename, box_size, dtype="float32",
                              overwrite=False, code=None, num_files=1,
@@ -424,19 +431,25 @@ class ClusterParticles:
         num_particles = {}
         npart = id_offset
         mass_table = np.zeros(6)
+        from .core.h5raw import RawWriter
+
         with h5py.File(ic_filename, "w") as f:
+            raw = RawWriter(f)  # pwrite-at-offset: H5Dwrite is ~0.25 GB/s
             for ptype in self.particle_types:
                 gptype = rptype_map[ptype]
                 idxs = self._clip_to_box(ptype, box_size)
                 num_particles[ptype] = int(idxs.sum())
                 g = f.create_group(gptype)
-                self._write_gadget_fields(ptype, g, idxs, dtype, code)
+                self._write_gadget_fields(ptype, g, idxs, dtype, code,
+                                          raw=raw)
                 ids = np.arange(num_particles[ptype]) + 1 + npart
                 g.create_dataset("ParticleIDs", data=ids.astype("uint32"))
                 npart += num_particles[ptype]
                 if ptype in ["star", "dm", "black_hole"] \
                         and num_particles[ptype] > 0:
+                    raw.flush()  # Masses must be ON DISK before read-back
                     mass_table[int(rptype_map[ptype][-1])] = g["Masses"][0]
+            raw.flush()
             hg = f.create_group("Header")
             hg.attrs["Time"] = 0.0
             hg.attrs["Redshift"] = 0.0

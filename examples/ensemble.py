@@ -58,3 +58,12 @@ with tempfile.TemporaryDirectory() as td:
     with h5py.File(fn2) as f:
         g = f["cluster_000000"]
         print("full-species datasets:", sorted(g.keys()))
+
+    # consume it back (raw-pread fast path, ~6x h5py)
+    from cluster_generator_tpu.parallel import read_catalog
+
+    for i, cl in read_catalog(fn2, indices=[0, 2]):
+        print(f"cluster {i}: M200={cl['M200']:.3e}, "
+              f"dm={cl['dm_position'].shape}, "
+              f"e_gas range=({cl['gas_thermal_energy'].min():.3g}, "
+              f"{cl['gas_thermal_energy'].max():.3g})")

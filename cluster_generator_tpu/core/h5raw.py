@@ -26,7 +26,8 @@ import os
 import h5py
 import numpy as np
 
-__all__ = ["create_early_alloc", "RawSlabIO", "RawWriter", "RawReader"]
+__all__ = ["create_early_alloc", "RawSlabIO", "RawWriter", "RawReader",
+           "read_slab"]
 
 _H5T = {"f8": h5py.h5t.IEEE_F64LE, "f4": h5py.h5t.IEEE_F32LE}
 _RAW_DTYPES = (np.dtype("<f8"), np.dtype("<f4"))
@@ -167,3 +168,19 @@ class RawReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def read_slab(dset, lo, hi):
+    """``dset[lo:hi]`` (outer-dimension slab) via pread when eligible,
+    h5py otherwise.  The returned array may be read-only (zero-copy from
+    the pread buffer)."""
+    if not _raw_eligible(dset):
+        return dset[lo:hi]
+    row = int(np.prod(dset.shape[1:])) * dset.dtype.itemsize
+    fd = os.open(dset.file.filename, os.O_RDONLY)
+    try:
+        buf = os.pread(fd, (hi - lo) * row, dset.id.get_offset() + lo * row)
+    finally:
+        os.close(fd)
+    return np.frombuffer(buf, dset.dtype).reshape((hi - lo,)
+                                                  + dset.shape[1:])

@@ -92,3 +92,22 @@ def test_rawwriter_empty_flush(tmp_path):
     fn = str(tmp_path / "e.h5")
     with h5py.File(fn, "w") as f:
         RawWriter(f).flush()  # no-op, must not raise
+
+
+def test_read_slab_matches_h5py(tmp_path):
+    fn = str(tmp_path / "s.h5")
+    from cluster_generator_tpu.core.h5raw import read_slab
+
+    a = np.random.default_rng(1).random((10, 4, 3)).astype(np.float32)
+    with h5py.File(fn, "w") as f:
+        w = RawWriter(f)
+        w.add(f, "x", a)
+        w.flush()
+        ch = f.create_dataset("ch", data=a.astype(np.float64),
+                              chunks=(2, 4, 3))
+    with h5py.File(fn) as f:
+        np.testing.assert_array_equal(read_slab(f["x"], 2, 7), a[2:7])
+        np.testing.assert_array_equal(read_slab(f["x"], 0, 10), a)
+        # chunked dataset takes the h5py fallback
+        np.testing.assert_array_equal(read_slab(f["ch"], 1, 4),
+                                      a[1:4].astype(np.float64))

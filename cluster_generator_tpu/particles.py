@@ -237,16 +237,18 @@ class ClusterParticles:
         """Read native-HDF5 particles (particles.py:236-274)."""
         import h5py
 
+        from .core.h5raw import RawReader
+
         fields = OrderedDict()
-        with h5py.File(filename, "r") as f:
+        with h5py.File(filename, "r") as f, RawReader(f) as raw:
             if ptypes is None:
                 ptypes = list(f.keys())
             ptypes = _ensure_list(ptypes)
             for ptype in ptypes:
                 for field in f[ptype]:
-                    arr = np.asarray(f[ptype][field][()])
+                    arr = raw.read(f[ptype][field])
                     if field == "particle_index":
-                        fields[ptype, field] = arr
+                        fields[ptype, field] = np.asarray(arr)
                     else:
                         fields[ptype, field] = arr.astype(np.float64)
         return cls(ptypes, fields)
@@ -258,9 +260,11 @@ class ClusterParticles:
         """Read a Gadget/AREPO/GIZMO HDF5 snapshot (particles.py:281-335)."""
         import h5py
 
+        from .core.h5raw import RawReader
+
         fields = OrderedDict()
         particle_types = []
-        with h5py.File(filename, "r") as f:
+        with h5py.File(filename, "r") as f, RawReader(f) as raw:
             if ptypes is None:
                 ptypes = [k for k in f if k.startswith("PartType")]
             else:
@@ -276,7 +280,7 @@ class ClusterParticles:
                         else:
                             fd = gadget_field_map[field]
                             fields[my_ptype, fd] = (
-                                np.asarray(g[field][()], dtype=np.float64)
+                                raw.read(g[field]).astype(np.float64)
                                 * gadget_field_factors[field])
                 if "Masses" not in g:
                     n_ptype = g["ParticleIDs"].size

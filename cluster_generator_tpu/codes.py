@@ -39,17 +39,21 @@ def write_amr_particles(particles, output_filename, ptypes, ptype_num,
     if format == "hdf5":
         import h5py
 
+        from .core.h5raw import RawWriter
+
         with h5py.File(output_filename, "w") as f:
+            raw = RawWriter(f)  # pwrite-at-offset (H5Dwrite ~0.25 GB/s)
             for field in ["particle_position", "particle_velocity",
                           "particle_mass"]:
                 fd = np.concatenate([particles[ptype, field]
                                      for ptype in ptypes], axis=0)
                 if in_cgs:
                     fd = fd * _cgs_factor(field)
-                f.create_dataset(field, data=np.asarray(fd))
+                raw.add(f, field, np.asarray(fd))
             fd = np.concatenate([ptype_num[ptype] * np.ones(nparts[i])
                                  for i, ptype in enumerate(ptypes)])
-            f.create_dataset("particle_type", data=fd)
+            raw.add(f, "particle_type", fd)
+            raw.flush()
     elif format == "fortran":
         from scipy.io import FortranFile
 

@@ -474,9 +474,13 @@ class ClusterModel:
     # ------------------------------------------------------------- dataset
     def create_dataset(self, filename, domain_dimensions=(512, 512, 512),
                        left_edge=None, box_size=None, overwrite=False,
-                       chunksize=64):
+                       chunksize=64, dtype="f8", engine="device"):
         """Write this model onto a chunked uniform grid consumable by yt
-        (model.py:1115-1196)."""
+        (model.py:1115-1196).
+
+        ``dtype="f4"`` halves the on-disk bytes (the 512^3 build is
+        disk-bound); ``engine="native"`` paints on the host C++ painter
+        instead of the accelerator (see YTHDF5.add_model)."""
         from ..data_structures import YTHDF5
 
         rmax = float(np.amax(self["radius"]))
@@ -489,8 +493,9 @@ class ClusterModel:
         bbox = np.array([[le, le + bs] for le, bs in zip(left_edge, box_size)],
                         dtype="float64")
         ds_obj = YTHDF5.build(filename, domain_dimensions, bbox,
-                              chunksize=chunksize, overwrite=overwrite)
-        ds_obj.add_model(self, [0, 0, 0], [0, 0, 0])
+                              chunksize=chunksize, overwrite=overwrite,
+                              dtype=dtype)
+        ds_obj.add_model(self, [0, 0, 0], [0, 0, 0], engine=engine)
         return ds_obj.filename
 
 

@@ -415,3 +415,42 @@ def test_two_model_scene_read(yt_frontend, canonical_model, tmp_path):
         + sp(np.linalg.norm(centers - c2, axis=1))
     np.testing.assert_allclose(out[_FLUID, "density"], expect, rtol=1e-7)
     ds.close()
+
+
+def test_f4_grid_reads_both_frontends(yt_frontend, ref_frontend,
+                                      canonical_model, tmp_path):
+    """A dtype='f4' grid (half the disk bytes) loads and reads through
+    BOTH packages' frontend classes with values matching the direct
+    spline at float32 precision."""
+    from yt.geometry.selection_routines import AlwaysSelector
+
+    yt, fe = yt_frontend
+    rds_mod, rio_mod = ref_frontend
+
+    fn = str(tmp_path / "grid_f4.h5")
+    canonical_model.create_dataset(fn, domain_dimensions=(32, 32, 32),
+                                   chunksize=16, left_edge=[-2000.0] * 3,
+                                   box_size=[4000.0] * 3, dtype="f4")
+
+    from scipy.interpolate import CubicSpline
+
+    sp = CubicSpline(np.asarray(canonical_model["radius"]),
+                     np.asarray(canonical_model["density"]),
+                     bc_type="not-a-knot")
+
+    for ds in (fe.ClusterGeneratorDataset(fn),
+               rds_mod.ClusterGeneratorDataset(fn)):
+        index = ds.index
+        if not type(index.io).__module__.startswith("cluster_generator."):
+            index.io = fe.ClusterGeneratorIOHandler(ds)
+        grids = list(index.grids)
+        size = sum(int(np.prod(g.ActiveDimensions)) for g in grids)
+        out = index.io._read_fluid_selection(
+            iter([type("C", (), {"objs": grids})()]), AlwaysSelector(),
+            [(_FLUID, "density")], size)
+        centers = np.concatenate(
+            [g.icoords_centers().reshape(-1, 3) for g in grids])
+        rr = np.linalg.norm(centers, axis=1)
+        np.testing.assert_allclose(out[_FLUID, "density"], sp(rr),
+                                   rtol=3e-6)
+        ds.close()

@@ -34,7 +34,8 @@ from ..virial import compute_df
 
 __all__ = ["build_one_cluster", "build_ensemble",
            "sample_ensemble_params", "ensemble_datagen",
-           "prorate_species_counts", "read_catalog"]
+           "prorate_species_counts", "read_catalog",
+           "catalog_to_particles"]
 
 
 def build_one_cluster(M200, conc, z=0.1, f_g=None, rmin=0.1, rmax=10000.0,
@@ -464,3 +465,46 @@ def read_catalog(filename, indices=None):
                 out = {k: raw.read(g[k]) for k in g}
                 out.update(g.attrs)
                 yield int(i), out
+
+
+def catalog_to_particles(filename, index):
+    """Load one catalog cluster as a
+    :class:`~cluster_generator_tpu.particles.ClusterParticles` — the
+    bridge from datagen catalogs to the exporter stack (Gadget/AREPO
+    files, combines, resampling).
+
+    Handles both catalog forms: the full-species product maps
+    ``dm/gas/star`` datasets to per-type position/velocity/mass fields
+    (gas gets its thermal energy and zero velocities — the catalogs
+    store HSE clusters); the DM-only product maps to one ``dm`` type.
+
+    Catalog positions are ORIGIN-centered; Gadget boxes span
+    [0, box_size], so place the cluster before exporting, e.g.
+    ``p.add_offsets([box/2]*3, v_bulk)`` (the writer warns loudly when
+    it clips out-of-box particles)."""
+    from ..particles import ClusterParticles
+
+    (_, cl), = read_catalog(filename, indices=[index])
+    fields = {}
+    if "particle_position" in cl:  # DM-only product
+        n = cl["particle_position"].shape[0]
+        fields["dm", "particle_position"] = cl["particle_position"]
+        fields["dm", "particle_velocity"] = cl["particle_velocity"]
+        fields["dm", "particle_mass"] = np.full(
+            n, cl["particle_mass"], dtype=np.float32)
+        return ClusterParticles.from_fields(fields)
+    for sp in ("dm", "gas", "star"):
+        pos = cl.get(f"{sp}_position")
+        if pos is None:
+            continue
+        n = pos.shape[0]
+        fields[sp, "particle_position"] = pos
+        vel = cl.get(f"{sp}_velocity")
+        fields[sp, "particle_velocity"] = (
+            vel if vel is not None
+            else np.zeros_like(pos))  # gas: HSE, no bulk motion
+        fields[sp, "particle_mass"] = np.full(
+            n, cl[f"particle_mass_{sp}"], dtype=np.float32)
+        if sp == "gas":
+            fields[sp, "thermal_energy"] = cl["gas_thermal_energy"]
+    return ClusterParticles.from_fields(fields)

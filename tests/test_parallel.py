@@ -373,3 +373,35 @@ def test_read_catalog_roundtrip(tmp_path):
 
     subset = [ix for ix, _ in read_catalog(fn, indices=[3, 1])]
     assert subset == [3, 1]
+
+
+def test_catalog_to_particles_bridge(tmp_path):
+    """catalog_to_particles turns one catalog cluster into a
+    ClusterParticles that exports to a Gadget file (the datagen -> IC
+    bridge), for both catalog forms."""
+    from cluster_generator_tpu.parallel.ensemble import (
+        catalog_to_particles,
+        ensemble_datagen,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(2), 3)
+    full_fn = str(tmp_path / "full.h5")
+    ensemble_datagen(M, c, full_fn, {"dm": 700, "gas": 500, "star": 100},
+                     batch_size=3, num_points=128)
+    p = catalog_to_particles(full_fn, 1)
+    assert sorted(p.particle_types) == ["dm", "gas", "star"]
+    assert p.num_particles == {"dm": 700, "gas": 500, "star": 100}
+    assert (np.asarray(p["gas", "particle_velocity"]) == 0).all()
+    assert (np.asarray(p["gas", "thermal_energy"]) > 0).all()
+    assert (np.asarray(p["dm", "particle_mass"]) > 0).all()
+    p.add_offsets([15000.0] * 3, [0.0] * 3)  # origin-centered -> box/2
+    out = p.write_to_gadget_file(str(tmp_path / "ic.h5"), box_size=30000.0,
+                                 overwrite=True)
+    assert out == {"dm": 700, "gas": 500, "star": 100}  # nothing clipped
+
+    dm_fn = str(tmp_path / "dm.h5")
+    ensemble_datagen(M, c, dm_fn, 900, batch_size=3, num_points=128)
+    p2 = catalog_to_particles(dm_fn, 2)
+    assert p2.particle_types == ["dm"]
+    assert p2.num_particles == {"dm": 900}

@@ -250,3 +250,35 @@ def test_f4_dtype_option(canonical_model, tmp_path):
     with pytest.raises(ValueError):
         YTHDF5.build(str(tmp_path / "bad.h5"), (32, 32, 32), bbox,
                      chunksize=16, dtype="f2")
+
+
+def test_two_model_grid_is_sum_of_singles(canonical_model, tmp_path):
+    """Accumulating two models onto one grid equals the sum of the two
+    single-model grids (momentum fields carry their own bulk velocity
+    through the scaled-copy write path), on both engines."""
+    import h5py
+
+    from cluster_generator_tpu.ops import native
+
+    bbox = np.array([[-2000.0, 2000.0]] * 3)
+    engines = ["device"] + (["native"] if native.available() else [])
+    for eng in engines:
+        names = {}
+        for tag, adds in {
+            "both": [([0, 0, 0], [0.1, 0, 0]), ([300.0, 0, 0],
+                                                [0, -0.2, 0])],
+            "a": [([0, 0, 0], [0.1, 0, 0])],
+            "b": [([300.0, 0, 0], [0, -0.2, 0])],
+        }.items():
+            fn = str(tmp_path / f"{eng}_{tag}.h5")
+            ds = YTHDF5.build(fn, (32, 32, 32), bbox, chunksize=16)
+            for ctr, vel in adds:
+                ds.add_model(canonical_model, ctr, vel, engine=eng)
+            names[tag] = fn
+        with h5py.File(names["both"]) as fb, \
+                h5py.File(names["a"]) as fa, h5py.File(names["b"]) as fc:
+            for field in fb["grid"]:
+                np.testing.assert_allclose(
+                    fb["grid"][field][()],
+                    fa["grid"][field][()] + fc["grid"][field][()],
+                    rtol=1e-12, atol=1e-300, err_msg=f"{eng}/{field}")

@@ -8,15 +8,18 @@ This module serializes the compiled executable itself
 PjRt executable directly — no tracing, no lowering, no compile — so the
 first IC of a fresh process costs deserialization + run.
 
-Artifacts are keyed on (jax version, backend platform, donated/static
-shape signature) — a stale or cross-backend artifact fails loudly at
-deserialization, so ``load_compiled`` returns ``None`` on ANY failure
-and callers fall back to the jit path.
+Artifacts are keyed on (jax version, backend platform, package source
+digest, donated/static shape signature) — a stale or cross-backend
+artifact fails loudly at deserialization, so ``load_compiled`` returns
+``None`` on ANY failure and callers fall back to the jit path.
 
-NOT keyed on source code: like any build artifact, a persisted
-executable keeps running the program it was compiled from.  Re-prime
-(``python bench.py --prime-aot``) after changing the traced code, the
-same way ``.jax_cache`` re-lowers on a program-hash change.
+The source digest (sha256 over every ``.py`` file in the package,
+:func:`source_digest`) makes staleness self-detecting: editing any
+product code changes the artifact filename, so a fresh process simply
+misses the old artifact and falls back to jit + the persistent cache
+instead of silently running the program the artifact was compiled
+from.  Re-prime (``python bench.py --prime-aot``) at the new HEAD to
+restore the AOT fast path.
 
 Measured tradeoff on the axon-tunneled v5e (r4_batch{2,3}.log): AOT
 12.8 s first-IC with a warm artifact (6.1 s deserialize + 6.7 s first
@@ -31,16 +34,45 @@ import pickle
 
 import jax
 
-__all__ = ["save_compiled", "load_compiled", "artifact_path"]
+__all__ = ["save_compiled", "load_compiled", "artifact_path",
+           "source_digest"]
 
 _MAGIC = b"CGTPU-AOT-1\n"
 
+_digest_cache = {}
+
+
+def source_digest(root=None):
+    """Short sha256 digest over every ``.py`` file under ``root``
+    (default: this package).  Any source edit changes the digest, so
+    artifacts keyed on it self-invalidate — the stale file is simply
+    never found again (vs silently executing the old program)."""
+    import hashlib
+    import pathlib
+
+    if root is None:
+        root = pathlib.Path(__file__).resolve().parents[1]
+    root = pathlib.Path(root)
+    key = str(root)
+    if key in _digest_cache:
+        return _digest_cache[key]
+    h = hashlib.sha256()
+    for p in sorted(root.rglob("*.py")):
+        h.update(p.relative_to(root).as_posix().encode())
+        h.update(b"\0")
+        h.update(p.read_bytes())
+    digest = h.hexdigest()[:10]
+    _digest_cache[key] = digest
+    return digest
+
 
 def artifact_path(directory, name):
-    """Stable artifact filename keyed on jax version + default backend."""
+    """Stable artifact filename keyed on (jax version, default backend,
+    package source digest)."""
     backend = jax.default_backend()
-    return os.path.join(directory,
-                        f"{name}-{jax.__version__}-{backend}.aotx")
+    return os.path.join(
+        directory,
+        f"{name}-{jax.__version__}-{backend}-{source_digest()}.aotx")
 
 
 def save_compiled(jitted_fn, args, path):

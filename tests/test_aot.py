@@ -12,7 +12,37 @@ from cluster_generator_tpu.core.aot import (
     artifact_path,
     load_compiled,
     save_compiled,
+    source_digest,
 )
+
+
+def test_source_digest_keys_artifacts(tmp_path):
+    """Artifacts are keyed on a digest of the package source: editing
+    any .py file changes the digest (so a stale artifact is simply
+    never found and the caller falls back to jit), while non-source
+    files are ignored.  STATUS r4 flagged the un-keyed artifact as a
+    silent-staleness wart; this pins the fix."""
+    pkg = tmp_path / "fakepkg"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "a.py").write_text("x = 1\n")
+    (pkg / "sub" / "b.py").write_text("y = 2\n")
+    d0 = source_digest(pkg)
+    assert len(d0) == 10
+    # stable across calls (memoized)
+    assert source_digest(pkg) == d0
+    # non-.py files don't participate
+    (pkg / "notes.md").write_text("irrelevant\n")
+    from cluster_generator_tpu.core import aot as _aot
+    _aot._digest_cache.clear()
+    assert source_digest(pkg) == d0
+    # editing source changes the digest
+    (pkg / "a.py").write_text("x = 999\n")
+    _aot._digest_cache.clear()
+    d1 = source_digest(pkg)
+    assert d1 != d0
+    # and the artifact filename carries the package digest
+    assert source_digest() in os.path.basename(
+        artifact_path(str(tmp_path), "toy"))
 
 
 def test_multi_device_guard_and_corrupt_artifacts(tmp_path):

@@ -33,6 +33,39 @@ _H5T = {"f8": h5py.h5t.IEEE_F64LE, "f4": h5py.h5t.IEEE_F32LE}
 _RAW_DTYPES = (np.dtype("<f8"), np.dtype("<f4"))
 
 
+def _pwrite_all(fd, buf, offset):
+    """pwrite the whole buffer, looping over short writes (a single
+    os.pwrite is capped ~2 GB on Linux and can return short on
+    disk-full — ignoring the count would silently corrupt the file)."""
+    view = memoryview(buf).cast("B")
+    done = 0
+    while done < len(view):
+        n = os.pwrite(fd, view[done:], offset + done)
+        if n <= 0:
+            raise OSError(f"pwrite returned {n} at offset {offset + done}"
+                          f" ({done}/{len(view)} bytes written)")
+        done += n
+
+
+def _pread_all(fd, nbytes, offset):
+    """pread exactly ``nbytes``; raises on EOF-short reads (an
+    early-allocated dataset whose extent was never written sits beyond
+    the physical EOF — reading it is a caller bug, and a loud error
+    beats np.frombuffer's obscure size mismatch)."""
+    chunks = []
+    done = 0
+    while done < nbytes:
+        b = os.pread(fd, nbytes - done, offset + done)
+        if not b:
+            raise OSError(
+                f"pread hit EOF at offset {offset + done} "
+                f"({done}/{nbytes} bytes): dataset extent not on disk "
+                "(unwritten early-alloc dataset?)")
+        chunks.append(b)
+        done += len(b)
+    return chunks[0] if len(chunks) == 1 else b"".join(chunks)
+
+
 def create_early_alloc(group, name, shape, dtype="f8"):
     """Create a contiguous float dataset whose file extent is allocated
     at creation (no fill written), so writers can stream straight to its
@@ -78,13 +111,12 @@ class RawSlabIO:
 
     def write(self, i0, blocks):
         blocks = np.ascontiguousarray(blocks, dtype=self.dtype)
-        os.pwrite(self.fd, memoryview(blocks).cast("B"),
-                  self.offset + i0 * self.row_bytes)
+        _pwrite_all(self.fd, blocks, self.offset + i0 * self.row_bytes)
 
     def accumulate(self, i0, blocks):
         nb = len(blocks) * self.row_bytes
         cur = np.frombuffer(
-            os.pread(self.fd, nb, self.offset + i0 * self.row_bytes),
+            _pread_all(self.fd, nb, self.offset + i0 * self.row_bytes),
             dtype=self.dtype).reshape(blocks.shape)
         self.write(i0, cur + blocks)
 
@@ -134,8 +166,7 @@ class RawWriter:
         fd = os.open(self.fileio.filename, os.O_WRONLY)
         try:
             for ds, arr in self.pairs:
-                os.pwrite(fd, memoryview(arr).cast("B"),
-                          ds.id.get_offset())
+                _pwrite_all(fd, arr, ds.id.get_offset())
         finally:
             os.close(fd)
         self.pairs = []
@@ -155,7 +186,7 @@ class RawReader:
         if not _raw_eligible(dset):
             return dset[()]
         nbytes = dset.size * dset.dtype.itemsize
-        buf = os.pread(self.fd, nbytes, dset.id.get_offset())
+        buf = _pread_all(self.fd, nbytes, dset.id.get_offset())
         return np.frombuffer(buf, dtype=dset.dtype).reshape(dset.shape)
 
     def close(self):
@@ -179,7 +210,8 @@ def read_slab(dset, lo, hi):
     row = int(np.prod(dset.shape[1:])) * dset.dtype.itemsize
     fd = os.open(dset.file.filename, os.O_RDONLY)
     try:
-        buf = os.pread(fd, (hi - lo) * row, dset.id.get_offset() + lo * row)
+        buf = _pread_all(fd, (hi - lo) * row,
+                         dset.id.get_offset() + lo * row)
     finally:
         os.close(fd)
     return np.frombuffer(buf, dset.dtype).reshape((hi - lo,)

@@ -135,9 +135,11 @@ void cg_paint_radial_chunks(const double* xs, const double* a,
                             const double left[3], double* out) {
   // Interleave the per-interval data (knot, a, b, c, d) so each cell's
   // coefficient fetch is one cache line instead of five scattered
-  // streams (measured ~1.5x on the 512^3 paint).
-  std::vector<double> packed(5 * n);
-  for (int64_t i = 0; i < n; ++i) {
+  // streams (measured ~1.5x on the 512^3 paint).  There are n knots but
+  // only n-1 intervals — the coefficient arrays stop at n-2 (and only
+  // intervals 0..n-2 are ever looked up below).
+  std::vector<double> packed(5 * (n - 1));
+  for (int64_t i = 0; i < n - 1; ++i) {
     packed[5 * i + 0] = xs[i];
     packed[5 * i + 1] = a[i];
     packed[5 * i + 2] = b[i];

@@ -88,6 +88,31 @@ def test_rawwriter_matches_h5py_bytes(tmp_path):
             assert a["g"][k].dtype == b["g"][k].dtype, k
 
 
+def test_pread_pwrite_all_loop_and_eof(tmp_path):
+    """_pread_all/_pwrite_all loop to the full length (a single pwrite is
+    capped ~2 GB on Linux and either syscall can return short), and a
+    read past EOF raises a clear OSError instead of np.frombuffer's
+    obscure size mismatch.  (HDF5 itself refuses to open a truncated
+    file, so the raw helpers are the only layer that can hit this.)"""
+    import os
+
+    from cluster_generator_tpu.core.h5raw import _pread_all, _pwrite_all
+
+    fn = str(tmp_path / "plain.bin")
+    a = np.arange(5000, dtype=np.float64)
+    fd = os.open(fn, os.O_RDWR | os.O_CREAT)
+    try:
+        _pwrite_all(fd, a, 128)
+        got = np.frombuffer(_pread_all(fd, a.nbytes, 128), dtype=a.dtype)
+        np.testing.assert_array_equal(got, a)
+        with pytest.raises(OSError, match="EOF"):
+            _pread_all(fd, a.nbytes + 1, 128)  # one byte past EOF
+        with pytest.raises(OSError, match="EOF"):
+            _pread_all(fd, 8, 128 + a.nbytes)  # entirely past EOF
+    finally:
+        os.close(fd)
+
+
 def test_rawwriter_empty_flush(tmp_path):
     fn = str(tmp_path / "e.h5")
     with h5py.File(fn, "w") as f:

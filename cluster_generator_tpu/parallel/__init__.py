@@ -1,8 +1,12 @@
 """Multi-chip scaling layer: device meshes, ensemble vmap/shard_map."""
 
 from .mesh import make_mesh
-from .ensemble import (build_ensemble, ensemble_datagen, read_catalog,
+from .ensemble import (build_ensemble, catalog_batches,
+                       catalog_to_particles, ensemble_datagen,
+                       prorate_species_counts, read_catalog,
                        sample_ensemble_params)
 
-__all__ = ["make_mesh", "build_ensemble", "ensemble_datagen",
-           "read_catalog", "sample_ensemble_params"]
+__all__ = ["make_mesh", "build_ensemble", "catalog_batches",
+           "catalog_to_particles", "ensemble_datagen",
+           "prorate_species_counts", "read_catalog",
+           "sample_ensemble_params"]

@@ -35,7 +35,7 @@ from ..virial import compute_df
 __all__ = ["build_one_cluster", "build_ensemble",
            "sample_ensemble_params", "ensemble_datagen",
            "prorate_species_counts", "read_catalog",
-           "catalog_to_particles"]
+           "catalog_batches", "catalog_to_particles"]
 
 
 def build_one_cluster(M200, conc, z=0.1, f_g=None, rmin=0.1, rmax=10000.0,
@@ -465,6 +465,70 @@ def read_catalog(filename, indices=None):
                 out = {k: raw.read(g[k]) for k in g}
                 out.update(g.attrs)
                 yield int(i), out
+
+
+def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
+                    prefetch=True):
+    """Iterate an :func:`ensemble_datagen` catalog in stacked batches —
+    the training-loop consumption form of the datagen product.
+
+    Yields one dict per batch: every per-cluster dataset stacked on a
+    leading batch axis (e.g. ``dm_position`` -> ``(B, n_dm, 3)``) and
+    every group attr stacked to ``(B,)`` (``M200``, ``conc``, the
+    per-species particle masses).  All clusters in a catalog share
+    per-dataset shapes (``ensemble_datagen`` draws fixed per-cluster
+    counts), so the stack is well-defined; arrays are host numpy —
+    feed them to ``jnp.asarray``/``device_put`` in the consumer.
+
+    ``key``: optional ``jax.random`` key — shuffles the cluster order
+    (a new permutation per epoch = a new fold of the key).  ``None``
+    iterates in catalog order.
+
+    ``drop_remainder``: drop the final short batch (default True) so
+    every yielded batch has the same shape — one jit compilation in the
+    consumer.
+
+    ``prefetch``: read batch k+1 on a background thread while batch k
+    is being consumed (reads go through the raw pread path at page-cache
+    speed, ~1.5 GB/s measured; overlap hides even that behind device
+    compute).
+
+    The reference has no counterpart — its per-cluster product ends at
+    simulation-code files; batched catalog consumption is the rebuild's
+    ensemble-scale product (SURVEY §2.3 / BASELINE ensemble-datagen row).
+    """
+    import h5py
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    with h5py.File(filename, "r") as f:
+        n_cl = int(f.attrs["n_clusters"])
+    order = np.arange(n_cl)
+    if key is not None:
+        order = np.asarray(jax.random.permutation(key, n_cl))
+    limit = n_cl - (n_cl % batch_size) if drop_remainder else n_cl
+    batches = [order[i:i + batch_size] for i in range(0, limit, batch_size)]
+
+    def _read(idx):
+        clusters = [cl for _, cl in read_catalog(filename, indices=idx)]
+        return {k: np.stack([cl[k] for cl in clusters])
+                for k in clusters[0]}
+
+    if not prefetch:
+        for b in batches:
+            yield _read(b)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = None
+        for b in batches:
+            nxt = ex.submit(_read, b)
+            if fut is not None:
+                yield fut.result()
+            fut = nxt
+        if fut is not None:
+            yield fut.result()
 
 
 def catalog_to_particles(filename, index):

@@ -67,3 +67,10 @@ with tempfile.TemporaryDirectory() as td:
               f"dm={cl['dm_position'].shape}, "
               f"e_gas range=({cl['gas_thermal_energy'].min():.3g}, "
               f"{cl['gas_thermal_energy'].max():.3g})")
+
+    # training-loop form: shuffled stacked batches with prefetch
+    from cluster_generator_tpu.parallel import catalog_batches
+
+    for batch in catalog_batches(fn2, 2, key=jax.random.key(3)):
+        x = jnp.asarray(batch["dm_position"])   # (2, 10000, 3)
+        print(f"train batch: dm {x.shape}, M200 {batch['M200']}")

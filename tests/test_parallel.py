@@ -375,6 +375,60 @@ def test_read_catalog_roundtrip(tmp_path):
     assert subset == [3, 1]
 
 
+def test_catalog_batches_training_loop_form(tmp_path):
+    """catalog_batches stacks clusters on a leading batch axis (datasets
+    AND attrs), shuffles deterministically by key, drops/keeps the
+    remainder as asked, and matches read_catalog's contents exactly —
+    with and without the prefetch thread."""
+    from cluster_generator_tpu.parallel import (
+        catalog_batches,
+        ensemble_datagen,
+        read_catalog,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(9), 7)
+    fn = str(tmp_path / "cat.h5")
+    ensemble_datagen(M, c, fn, {"dm": 400, "gas": 300, "star": 100},
+                     batch_size=4, num_points=128)
+    singles = dict(read_catalog(fn))
+
+    # catalog order, drop_remainder: 7 clusters -> 2 batches of 3
+    got = list(catalog_batches(fn, 3))
+    assert len(got) == 2
+    assert got[0]["dm_position"].shape == (3, 400, 3)
+    assert got[0]["gas_thermal_energy"].shape == (3, 300)
+    assert got[0]["M200"].shape == (3,)
+    np.testing.assert_array_equal(got[0]["star_velocity"][1],
+                                  singles[1]["star_velocity"])
+    np.testing.assert_array_equal(got[1]["particle_mass_gas"],
+                                  [singles[i]["particle_mass_gas"]
+                                   for i in (3, 4, 5)])
+
+    # keep the remainder -> a final short batch
+    tails = list(catalog_batches(fn, 3, drop_remainder=False))
+    assert [b["M200"].shape[0] for b in tails] == [3, 3, 1]
+    np.testing.assert_array_equal(tails[2]["dm_velocity"][0],
+                                  singles[6]["dm_velocity"])
+
+    # keyed shuffle: deterministic, a permutation, key-dependent
+    key = jax.random.key(3)
+    perm = np.asarray(jax.random.permutation(key, 7))
+    sh1 = list(catalog_batches(fn, 3, key=key))
+    sh2 = list(catalog_batches(fn, 3, key=key, prefetch=False))
+    for b1, b2 in zip(sh1, sh2):
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+    np.testing.assert_array_equal(
+        np.concatenate([b["M200"] for b in sh1]),
+        [singles[i]["M200"] for i in perm[:6]])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_size"):
+        next(catalog_batches(fn, 0))
+
+
 def test_catalog_to_particles_bridge(tmp_path):
     """catalog_to_particles turns one catalog cluster into a
     ClusterParticles that exports to a Gadget file (the datagen -> IC

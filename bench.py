@@ -96,12 +96,15 @@ def main() -> None:
                              f"merger_ic_{'smoke' if _SMOKE else 'full'}")
     call = None
     if "--prime-aot" in sys.argv:
-        from cluster_generator_tpu.core.aot import save_compiled
+        from cluster_generator_tpu.core.aot import prune_stale, save_compiled
 
         t0 = time.time()
         call = save_compiled(jitted, (jax.random.key(0),), aot_file)
         print(f"# AOT prime (lower+compile+serialize): "
               f"{time.time() - t0:.1f}s -> {aot_file}", file=sys.stderr)
+        for p in prune_stale("/root/repo/.aot",
+                             f"merger_ic_{'smoke' if _SMOKE else 'full'}"):
+            print(f"# pruned stale artifact: {p}", file=sys.stderr)
     else:
         t0 = time.time()
         call = load_compiled(aot_file)

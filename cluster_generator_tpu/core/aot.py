@@ -35,7 +35,7 @@ import pickle
 import jax
 
 __all__ = ["save_compiled", "load_compiled", "artifact_path",
-           "source_digest"]
+           "source_digest", "prune_stale"]
 
 _MAGIC = b"CGTPU-AOT-1\n"
 
@@ -73,6 +73,23 @@ def artifact_path(directory, name):
     return os.path.join(
         directory,
         f"{name}-{jax.__version__}-{backend}-{source_digest()}.aotx")
+
+
+def prune_stale(directory, name):
+    """Delete ``name``'s artifacts whose key no longer matches
+    :func:`artifact_path` (old digest / jax version / backend).  Stale
+    files can never load again — the lookup is by filename — so they are
+    pure dead weight (the headline artifact is ~244 MB).  Returns the
+    removed paths."""
+    import glob
+
+    keep = os.path.abspath(artifact_path(directory, name))
+    removed = []
+    for p in glob.glob(os.path.join(directory, f"{name}-*.aotx")):
+        if os.path.abspath(p) != keep:
+            os.remove(p)
+            removed.append(p)
+    return removed
 
 
 def save_compiled(jitted_fn, args, path):

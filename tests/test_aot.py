@@ -45,6 +45,24 @@ def test_source_digest_keys_artifacts(tmp_path):
         artifact_path(str(tmp_path), "toy"))
 
 
+def test_prune_stale_removes_only_mismatched_keys(tmp_path):
+    """prune_stale deletes artifacts whose filename key (digest/jax
+    version/backend) no longer matches, keeps the current one, and
+    leaves other names alone."""
+    from cluster_generator_tpu.core.aot import prune_stale
+
+    cur = artifact_path(str(tmp_path), "toy")
+    stale = str(tmp_path / "toy-0.0.1-cpu-0123456789.aotx")
+    other = str(tmp_path / "other-0.0.1-cpu-0123456789.aotx")
+    for p in (cur, stale, other):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    removed = prune_stale(str(tmp_path), "toy")
+    assert removed == [stale]
+    assert os.path.exists(cur) and os.path.exists(other)
+    assert not os.path.exists(stale)
+
+
 def test_multi_device_guard_and_corrupt_artifacts(tmp_path):
     """deserialize_and_load binds the executable to the client's FULL
     local device set, so under the 8-device test mesh the loader must

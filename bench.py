@@ -38,11 +38,34 @@ def main() -> None:
     # measurements_r4/r4_batch7.log) lands in the graceful path below
     # and the driver still gets one parseable JSON line. This is also
     # the measured per-process axon warm-up split (25-404 s,
-    # environmental — scripts/diag_compile_r3.py).
+    # environmental — scripts/diag_compile_r3.py).  The outage has a
+    # second mode — init HANGS instead of erroring, stuck inside a C
+    # call that neither returns nor raises (so signals/alarms never run)
+    # — a watchdog THREAD emits the same JSON error line and exits.
+    import threading
+
+    warmed = threading.Event()
+
+    def _watchdog():
+        limit = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+        if not warmed.wait(limit):
+            print(json.dumps({
+                "metric": "binary_merger_ic_1e7_particles_wall_time",
+                "value": None, "unit": "s", "vs_baseline": None,
+                "error": f"TPU backend init hang (> {limit:.0f}s; "
+                         "max healthy warm-up measured 404s)",
+                "last_measured_warm_s": 0.141,
+                "last_measured_ref": "benchmarks/measurements_r4/",
+            }), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     t0 = time.time()
     try:
         float(jnp.sum(jax.jit(lambda x: x + 1)(jnp.float32(1.0))))
+        warmed.set()
     except Exception as e:
+        warmed.set()
         # BENCH_RETRY_S>0 polls a subprocess probe (backend-init failures
         # are cached per process) and re-execs fresh if it comes back.
         deadline = time.time() + float(os.environ.get("BENCH_RETRY_S", "0"))

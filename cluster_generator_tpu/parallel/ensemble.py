@@ -314,7 +314,7 @@ def prorate_species_counts(n_total, M200=1.5e15, conc=4.0, num_points=512):
 
 def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                      batch_size=256, num_points=512, key=None,
-                     overwrite=False):
+                     overwrite=False, resume=False):
     """Stream an ensemble's particle draws to ONE HDF5 file.
 
     ``n_particles_per_cluster`` selects the product:
@@ -339,6 +339,19 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     tunnel-attached host here is D2H-bound (benchmarks/measurements_r4/
     r4_e2e.log) — on a co-located host the batch rate dominates.
 
+    ``resume=True`` restarts an interrupted run: completed batches
+    (every cluster group present with all expected datasets) are kept
+    verbatim, the partially-written batch is deleted and recomputed
+    (keys fold on the batch offset, so recomputed draws are identical
+    to what an uninterrupted run would have produced), and only the
+    remaining batches run.  The run configuration must match the
+    file's recorded one (counts, batch_size, num_points, PRNG key) —
+    a mismatch would splice incompatible draws and raises instead.
+    Deleted partial groups leave their (at most one batch of) file
+    extent unreferenced — HDF5 does not reclaim it — which is the
+    price of never rewriting completed data.  An already-complete
+    catalog returns immediately.
+
     Returns the filename.
     """
     import pathlib
@@ -348,8 +361,14 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     from ..core.logging import mylog
 
     path = pathlib.Path(filename)
-    if path.exists() and not overwrite:
-        raise IOError(f"{path} exists (pass overwrite=True)")
+    if resume and overwrite:
+        raise ValueError("resume=True and overwrite=True are mutually "
+                         "exclusive (resume keeps completed batches; "
+                         "overwrite discards the file)")
+    resuming = resume and path.exists()
+    if path.exists() and not overwrite and not resuming:
+        raise IOError(f"{path} exists (pass overwrite=True, or "
+                      "resume=True to continue an interrupted run)")
     M200 = jnp.asarray(M200, jnp.float64)
     conc = jnp.asarray(conc, jnp.float64)
     n_cl = int(M200.shape[0])
@@ -418,22 +437,71 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
         raw.flush()
 
     write = _write_full if full else _write_dm
-    with h5py.File(path, "w") as f:
-        f.attrs["n_clusters"] = n_cl
-        if full:
-            for s, n in counts.items():
-                f.attrs[f"n_{s}_per_cluster"] = n
+    # per-group dataset names a complete cluster must carry (gas carries
+    # energies, not velocities; zero-count species are absent)
+    if full:
+        expected = []
+        for sp in ("dm", "star"):
+            if counts[sp]:
+                expected += [f"{sp}_position", f"{sp}_velocity"]
+        if counts["gas"]:
+            expected += ["gas_position", "gas_thermal_energy"]
+    else:
+        expected = ["particle_position", "particle_velocity"]
+    # the resume splice is only sound when the recomputed batches match
+    # what the interrupted run would have produced — everything that
+    # shapes the draws is recorded and must agree
+    config = {"n_clusters": n_cl, "batch_size": int(batch_size),
+              "num_points": int(num_points),
+              "key_data": np.asarray(jax.random.key_data(key)).ravel()}
+    if full:
+        for s, n in counts.items():
+            config[f"n_{s}_per_cluster"] = n
+    else:
+        config["n_particles_per_cluster"] = int(n_particles_per_cluster)
+
+    with h5py.File(path, "a" if resuming else "w") as f:
+        if resuming:
+            if bool(f.attrs.get("complete", False)):
+                mylog.info("Catalog %s is already complete.", path)
+                return str(path)
+            for k, v in config.items():
+                have = f.attrs.get(k)
+                if have is None or not np.array_equal(have, v):
+                    raise ValueError(
+                        f"resume config mismatch on {k!r}: file has "
+                        f"{have!r}, this run asks {v!r} — resuming "
+                        "would splice incompatible draws")
         else:
-            f.attrs["n_particles_per_cluster"] = n_particles_per_cluster
-        f.attrs["units"] = "kpc, kpc/Myr, Msun (galactic)"
-        pending = None
+            for k, v in config.items():
+                f.attrs[k] = v
+            f.attrs["units"] = "kpc, kpc/Myr, Msun (galactic)"
+        todo = []
         for b0 in range(0, n_cl, batch_size):
+            names = [f"cluster_{i:06d}"
+                     for i in range(b0, min(b0 + batch_size, n_cl))]
+            if resuming and all(nm in f and all(ds in f[nm]
+                                                for ds in expected)
+                                for nm in names):
+                continue
+            if resuming:
+                for nm in names:  # drop the partial batch, recompute it
+                    if nm in f:
+                        del f[nm]
+            todo.append(b0)
+        if resuming:
+            mylog.info("Resuming %s: %d/%d batches already complete.",
+                       path, (n_cl + batch_size - 1) // batch_size
+                       - len(todo), (n_cl + batch_size - 1) // batch_size)
+        pending = None
+        for b0 in todo:
             nxt = (b0, *_dispatch(b0))  # async dispatch BEFORE the write
             if pending is not None:
                 write(f, *pending)
             pending = nxt
         if pending is not None:
             write(f, *pending)
+        f.attrs["complete"] = True
     return str(path)
 
 

@@ -375,6 +375,66 @@ def test_read_catalog_roundtrip(tmp_path):
     assert subset == [3, 1]
 
 
+def test_ensemble_datagen_resume_is_bit_identical(tmp_path):
+    """resume=True recomputes only missing/partial batches, and the
+    spliced catalog is bit-identical to an uninterrupted run (keys fold
+    on the batch offset, so per-batch draws are position-independent).
+    Config mismatches refuse to splice; a complete catalog returns
+    immediately; resume+overwrite is rejected."""
+    import h5py
+    import pytest
+
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        read_catalog,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(4), 7)
+    kw = dict(n_particles_per_cluster={"dm": 300, "gas": 200, "star": 80},
+              batch_size=2, num_points=128, key=jax.random.key(11))
+    ref_fn = str(tmp_path / "ref.h5")
+    ensemble_datagen(M, c, ref_fn, **kw)
+    ref = dict(read_catalog(ref_fn))
+
+    # simulate a crash: drop the last two batches entirely and one
+    # dataset of a mid-file cluster (a partially-written batch)
+    cut_fn = str(tmp_path / "cut.h5")
+    ensemble_datagen(M, c, cut_fn, **kw)
+    with h5py.File(cut_fn, "a") as f:
+        del f.attrs["complete"]
+        for i in (4, 5, 6):
+            del f[f"cluster_{i:06d}"]
+        del f["cluster_000003"]["star_velocity"]
+
+    with pytest.raises(IOError, match="resume=True"):
+        ensemble_datagen(M, c, cut_fn, **kw)  # overwrite-refusal hint
+    ensemble_datagen(M, c, cut_fn, resume=True, **kw)
+    got = dict(read_catalog(cut_fn))
+    assert sorted(got) == sorted(ref)
+    for i in ref:
+        for k in ref[i]:
+            np.testing.assert_array_equal(got[i][k], ref[i][k],
+                                          err_msg=f"cluster {i} {k}")
+
+    # complete catalog: immediate return, content untouched
+    ensemble_datagen(M, c, cut_fn, resume=True, **kw)
+
+    # config mismatch refuses to splice (an incomplete file — complete
+    # catalogs return before validation)
+    with h5py.File(cut_fn, "a") as f:
+        del f.attrs["complete"]
+    bad = dict(kw, key=jax.random.key(99))
+    with pytest.raises(ValueError, match="key_data"):
+        ensemble_datagen(M, c, cut_fn, resume=True, **bad)
+    bad = dict(kw, batch_size=3)
+    with pytest.raises(ValueError, match="batch_size"):
+        ensemble_datagen(M, c, cut_fn, resume=True, **bad)
+
+    with pytest.raises(ValueError, match="mutually"):
+        ensemble_datagen(M, c, cut_fn, resume=True, overwrite=True, **kw)
+
+
 def test_catalog_batches_training_loop_form(tmp_path):
     """catalog_batches stacks clusters on a leading batch axis (datasets
     AND attrs), shuffles deterministically by key, drops/keeps the

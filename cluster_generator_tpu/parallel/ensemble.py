@@ -314,7 +314,7 @@ def prorate_species_counts(n_total, M200=1.5e15, conc=4.0, num_points=512):
 
 def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                      batch_size=256, num_points=512, key=None,
-                     overwrite=False, resume=False):
+                     overwrite=False, resume=False, mesh=None):
     """Stream an ensemble's particle draws to ONE HDF5 file.
 
     ``n_particles_per_cluster`` selects the product:
@@ -338,6 +338,16 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     (full-species) at 1e5 particles each; end-to-end with writes the
     tunnel-attached host here is D2H-bound (benchmarks/measurements_r4/
     r4_e2e.log) — on a co-located host the batch rate dominates.
+
+    ``mesh``: an (ens, part) device mesh (:func:`~.mesh.make_mesh`) —
+    each batch's parameters are placed sharded over the ``ens`` axis so
+    every device draws its shard of the clusters with zero
+    communication.  The partitioned program's f32 rounding differs from
+    the single-device one by ~1 ulp (XLA fuses differently; pinned by
+    test at rtol 5e-7), so the mesh's ens size is part of the resume
+    config.  Batches whose length does not divide the ``ens`` axis (the
+    final short batch) fall back to default placement.  ``None``
+    (default) runs single-device.
 
     ``resume=True`` restarts an interrupted run: completed batches
     (every cluster group present with all expected datasets) are kept
@@ -398,6 +408,16 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     def _dispatch(b0):
         Mb = M200[b0:b0 + batch_size]
         cb = conc[b0:b0 + batch_size]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if Mb.shape[0] % mesh.shape["ens"] == 0:
+                sh = NamedSharding(mesh, PartitionSpec("ens"))
+                Mb = jax.device_put(Mb, sh)
+                cb = jax.device_put(cb, sh)
+            with mesh:
+                return Mb, cb, batch_fn(Mb, cb,
+                                        jax.random.fold_in(key, b0))
         return Mb, cb, batch_fn(Mb, cb, jax.random.fold_in(key, b0))
 
     # catalog data goes through the raw pwrite-at-offset path: H5Dwrite
@@ -453,6 +473,10 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     # shapes the draws is recorded and must agree
     config = {"n_clusters": n_cl, "batch_size": int(batch_size),
               "num_points": int(num_points),
+              # the partitioned program rounds ~1 ulp differently, so a
+              # resume must re-run under the same ens-axis layout for
+              # the splice to be bit-faithful
+              "mesh_ens": 0 if mesh is None else int(mesh.shape["ens"]),
               "key_data": np.asarray(jax.random.key_data(key)).ravel()}
     if full:
         for s, n in counts.items():

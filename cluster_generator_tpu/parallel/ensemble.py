@@ -529,7 +529,7 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     return str(path)
 
 
-def read_catalog(filename, indices=None):
+def read_catalog(filename, indices=None, fields=None):
     """Iterate ``(index, cluster_dict)`` over an :func:`ensemble_datagen`
     catalog.
 
@@ -542,7 +542,12 @@ def read_catalog(filename, indices=None):
     sweep the catalog repeatedly care.
 
     ``indices``: optional iterable of cluster indices (default: all, in
-    order)."""
+    order).
+
+    ``fields``: optional iterable of dataset names to read (default:
+    all) — a consumer training on positions alone shouldn't pay the
+    bandwidth for velocities.  Attrs are always included; unknown names
+    raise (a typo would otherwise silently yield partial clusters)."""
     import h5py
 
     from ..core.h5raw import RawReader
@@ -551,16 +556,25 @@ def read_catalog(filename, indices=None):
         n_cl = int(f.attrs["n_clusters"])
         if indices is None:
             indices = range(n_cl)
+        if fields is not None:
+            fields = list(fields)
         with RawReader(f) as raw:
             for i in indices:
                 g = f[f"cluster_{int(i):06d}"]
-                out = {k: raw.read(g[k]) for k in g}
+                if fields is not None:
+                    missing = [k for k in fields if k not in g]
+                    if missing:
+                        raise KeyError(
+                            f"fields {missing} not in cluster group "
+                            f"(has {sorted(g)})")
+                out = {k: raw.read(g[k])
+                       for k in (g if fields is None else fields)}
                 out.update(g.attrs)
                 yield int(i), out
 
 
 def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
-                    prefetch=True):
+                    prefetch=True, fields=None):
     """Iterate an :func:`ensemble_datagen` catalog in stacked batches —
     the training-loop consumption form of the datagen product.
 
@@ -585,6 +599,9 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
     speed, ~1.5 GB/s measured; overlap hides even that behind device
     compute).
 
+    ``fields``: optional dataset-name subset to read (attrs always
+    included) — see :func:`read_catalog`.
+
     The reference has no counterpart — its per-cluster product ends at
     simulation-code files; batched catalog consumption is the rebuild's
     ensemble-scale product (SURVEY §2.3 / BASELINE ensemble-datagen row).
@@ -602,7 +619,8 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
     batches = [order[i:i + batch_size] for i in range(0, limit, batch_size)]
 
     def _read(idx):
-        clusters = [cl for _, cl in read_catalog(filename, indices=idx)]
+        clusters = [cl for _, cl in read_catalog(filename, indices=idx,
+                                                 fields=fields)]
         return {k: np.stack([cl[k] for cl in clusters])
                 for k in clusters[0]}
 

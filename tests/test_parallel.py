@@ -520,8 +520,17 @@ def test_catalog_batches_training_loop_form(tmp_path):
         np.concatenate([b["M200"] for b in sh1]),
         [singles[i]["M200"] for i in perm[:6]])
 
+    # field-subset reads: only the asked datasets (attrs always ride)
+    sel = list(catalog_batches(fn, 3, fields=["dm_position"]))
+    assert "dm_position" in sel[0] and "dm_velocity" not in sel[0]
+    assert "M200" in sel[0]
+    np.testing.assert_array_equal(sel[0]["dm_position"],
+                                  got[0]["dm_position"])
+
     import pytest
 
+    with pytest.raises(KeyError, match="not in cluster group"):
+        next(read_catalog(fn, fields=["dm_positoin"]))  # typo -> loud
     with pytest.raises(ValueError, match="batch_size"):
         next(catalog_batches(fn, 0))
 

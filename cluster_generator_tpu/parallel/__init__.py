@@ -2,11 +2,11 @@
 
 from .mesh import make_mesh
 from .ensemble import (build_ensemble, catalog_batches,
-                       catalog_to_particles, ensemble_datagen,
-                       prorate_species_counts, read_catalog,
-                       sample_ensemble_params)
+                       catalog_to_particles, datagen_batches,
+                       ensemble_datagen, prorate_species_counts,
+                       read_catalog, sample_ensemble_params)
 
 __all__ = ["make_mesh", "build_ensemble", "catalog_batches",
-           "catalog_to_particles", "ensemble_datagen",
+           "catalog_to_particles", "datagen_batches", "ensemble_datagen",
            "prorate_species_counts", "read_catalog",
            "sample_ensemble_params"]

@@ -34,7 +34,7 @@ from ..virial import compute_df
 
 __all__ = ["build_one_cluster", "build_ensemble",
            "sample_ensemble_params", "ensemble_datagen",
-           "prorate_species_counts", "read_catalog",
+           "datagen_batches", "prorate_species_counts", "read_catalog",
            "catalog_batches", "catalog_to_particles"]
 
 
@@ -312,6 +312,54 @@ def prorate_species_counts(n_total, M200=1.5e15, conc=4.0, num_points=512):
     return {"dm": n_dm, "gas": n_gas, "star": n_star}
 
 
+def _resolve_batch_fn(n_particles_per_cluster, num_points):
+    """(full?, per-species counts, jitted batch program) for a datagen
+    product selector (int = DM phase space, dict = full-species).  One
+    jitted program per config; jit's shape-keyed cache handles the
+    short final batch (it retraces once for the tail shape)."""
+    full = isinstance(n_particles_per_cluster, dict)
+    if full:
+        unknown = set(n_particles_per_cluster) - {"dm", "gas", "star"}
+        if unknown:
+            raise ValueError(
+                f"unknown species {sorted(unknown)} in "
+                "n_particles_per_cluster; expected keys from "
+                "{'dm', 'gas', 'star'} (a typo here would otherwise "
+                "silently drop the species from the catalog)")
+        counts = {s: int(n_particles_per_cluster.get(s, 0))
+                  for s in ("dm", "gas", "star")}
+        batch_fn = _datagen_full_batch_fn(num_points, counts["dm"],
+                                          counts["gas"], counts["star"])
+    else:
+        counts = None
+        batch_fn = _datagen_batch_fn(num_points,
+                                     int(n_particles_per_cluster))
+    return full, counts, batch_fn
+
+
+def _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh):
+    """Batch dispatcher: slices the parameter arrays, folds the PRNG key
+    on the batch offset (so draws are position-independent — the resume
+    splice and the streaming form rely on it), and places the slices
+    sharded over the mesh's ens axis when one is given."""
+    def _dispatch(b0):
+        Mb = M200[b0:b0 + batch_size]
+        cb = conc[b0:b0 + batch_size]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if Mb.shape[0] % mesh.shape["ens"] == 0:
+                sh = NamedSharding(mesh, PartitionSpec("ens"))
+                Mb = jax.device_put(Mb, sh)
+                cb = jax.device_put(cb, sh)
+            with mesh:
+                return Mb, cb, batch_fn(Mb, cb,
+                                        jax.random.fold_in(key, b0))
+        return Mb, cb, batch_fn(Mb, cb, jax.random.fold_in(key, b0))
+
+    return _dispatch
+
+
 def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                      batch_size=256, num_points=512, key=None,
                      overwrite=False, resume=False, mesh=None):
@@ -384,41 +432,11 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     n_cl = int(M200.shape[0])
     if key is None:
         key = jax.random.key(0)
-    full = isinstance(n_particles_per_cluster, dict)
-    # one jitted program; jit's shape-keyed cache handles the short final
-    # batch (it retraces once for the tail shape, nothing to rebuild here)
-    if full:
-        unknown = set(n_particles_per_cluster) - {"dm", "gas", "star"}
-        if unknown:
-            raise ValueError(
-                f"unknown species {sorted(unknown)} in "
-                "n_particles_per_cluster; expected keys from "
-                "{'dm', 'gas', 'star'} (a typo here would otherwise "
-                "silently drop the species from the catalog)")
-        counts = {s: int(n_particles_per_cluster.get(s, 0))
-                  for s in ("dm", "gas", "star")}
-        batch_fn = _datagen_full_batch_fn(num_points, counts["dm"],
-                                          counts["gas"], counts["star"])
-    else:
-        batch_fn = _datagen_batch_fn(num_points,
-                                     int(n_particles_per_cluster))
+    full, counts, batch_fn = _resolve_batch_fn(n_particles_per_cluster,
+                                               num_points)
     mylog.info("Ensemble datagen: %d clusters x %s particles -> %s",
                n_cl, n_particles_per_cluster, path)
-
-    def _dispatch(b0):
-        Mb = M200[b0:b0 + batch_size]
-        cb = conc[b0:b0 + batch_size]
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            if Mb.shape[0] % mesh.shape["ens"] == 0:
-                sh = NamedSharding(mesh, PartitionSpec("ens"))
-                Mb = jax.device_put(Mb, sh)
-                cb = jax.device_put(cb, sh)
-            with mesh:
-                return Mb, cb, batch_fn(Mb, cb,
-                                        jax.random.fold_in(key, b0))
-        return Mb, cb, batch_fn(Mb, cb, jax.random.fold_in(key, b0))
+    _dispatch = _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh)
 
     # catalog data goes through the raw pwrite-at-offset path: H5Dwrite
     # is ~115-250 MB/s on these hosts (a 1024 x 1e5 full-species catalog
@@ -529,6 +547,41 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     return str(path)
 
 
+def datagen_batches(M200, conc, n_particles_per_cluster, batch_size=256,
+                    num_points=512, key=None, mesh=None):
+    """Yield ``(b0, batch_out)`` draws directly as device arrays — the
+    no-disk streaming form of :func:`ensemble_datagen` for consumers
+    that train on the draws immediately (catalog write + read-back
+    skipped entirely).
+
+    ``batch_out`` is exactly the batch program's output: for an int
+    count, ``(positions, velocities, particle_masses)`` with leading
+    batch axis; for a species dict, ``{"dm": (pos, vel, pmass),
+    "star": (pos, vel, pmass), "gas": (pos, energy, pmass)}``.  Batch
+    k+1 is dispatched asynchronously before batch k is yielded, so
+    host-side consumption overlaps device compute — the same overlap
+    :func:`ensemble_datagen` uses for its writes.
+
+    Draws are identical to what :func:`ensemble_datagen` writes for the
+    same (key, batch_size, num_points): keys fold on the batch offset.
+    """
+    M200 = jnp.asarray(M200, jnp.float64)
+    conc = jnp.asarray(conc, jnp.float64)
+    n_cl = int(M200.shape[0])
+    if key is None:
+        key = jax.random.key(0)
+    _, _, batch_fn = _resolve_batch_fn(n_particles_per_cluster, num_points)
+    _dispatch = _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh)
+    pending = None
+    for b0 in range(0, n_cl, batch_size):
+        nxt = (b0, _dispatch(b0)[2])  # async dispatch before the yield
+        if pending is not None:
+            yield pending
+        pending = nxt
+    if pending is not None:
+        yield pending
+
+
 def read_catalog(filename, indices=None, fields=None):
     """Iterate ``(index, cluster_dict)`` over an :func:`ensemble_datagen`
     catalog.
@@ -560,7 +613,13 @@ def read_catalog(filename, indices=None, fields=None):
             fields = list(fields)
         with RawReader(f) as raw:
             for i in indices:
-                g = f[f"cluster_{int(i):06d}"]
+                name = f"cluster_{int(i):06d}"
+                if name not in f:
+                    raise KeyError(
+                        f"{name} missing from {filename}: incomplete "
+                        "catalog (interrupted run?) — finish it with "
+                        "ensemble_datagen(..., resume=True)")
+                g = f[name]
                 if fields is not None:
                     missing = [k for k in fields if k not in g]
                     if missing:

@@ -375,6 +375,54 @@ def test_read_catalog_roundtrip(tmp_path):
     assert subset == [3, 1]
 
 
+def test_datagen_batches_streams_identical_draws(tmp_path):
+    """datagen_batches (the no-disk streaming form) yields exactly the
+    draws ensemble_datagen writes for the same config — both the DM-only
+    and the full-species product — and an incomplete catalog read names
+    resume=True in its error."""
+    import h5py
+    import pytest
+
+    from cluster_generator_tpu.parallel import (
+        datagen_batches,
+        ensemble_datagen,
+        read_catalog,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(14), 5)
+    kw = dict(batch_size=2, num_points=128, key=jax.random.key(8))
+    fn = str(tmp_path / "cat.h5")
+    ensemble_datagen(M, c, fn, {"dm": 300, "gas": 200, "star": 80}, **kw)
+    singles = dict(read_catalog(fn))
+    seen = 0
+    for b0, out in datagen_batches(M, c, {"dm": 300, "gas": 200,
+                                          "star": 80}, **kw):
+        for j in range(out["dm"][0].shape[0]):
+            i = b0 + j
+            np.testing.assert_array_equal(np.asarray(out["dm"][0][j]),
+                                          singles[i]["dm_position"])
+            np.testing.assert_array_equal(np.asarray(out["gas"][1][j]),
+                                          singles[i]["gas_thermal_energy"])
+            seen += 1
+    assert seen == 5
+
+    # DM-only product streams too
+    fn2 = str(tmp_path / "dm.h5")
+    ensemble_datagen(M, c, fn2, 400, **kw)
+    singles2 = dict(read_catalog(fn2))
+    for b0, (pos, vel, pm) in datagen_batches(M, c, 400, **kw):
+        for j in range(pos.shape[0]):
+            np.testing.assert_array_equal(
+                np.asarray(vel[j]), singles2[b0 + j]["particle_velocity"])
+
+    # incomplete catalog: loud, actionable error
+    with h5py.File(fn, "a") as f:
+        del f["cluster_000004"]
+    with pytest.raises(KeyError, match="resume=True"):
+        dict(read_catalog(fn))
+
+
 def test_ensemble_datagen_mesh_sharded_matches_single_device(tmp_path):
     """ensemble_datagen(mesh=...) shards each batch over the 'ens' axis
     (8 virtual devices here); the catalog must match the single-device

@@ -42,7 +42,7 @@ def write_amr_particles(particles, output_filename, ptypes, ptype_num,
         from .core.h5raw import RawWriter
 
         with h5py.File(output_filename, "w") as f:
-            raw = RawWriter(f)  # pwrite-at-offset (H5Dwrite ~0.25 GB/s)
+            raw = RawWriter(f)  # pwrite-at-offset (see core/h5raw.py)
             for field in ["particle_position", "particle_velocity",
                           "particle_mass"]:
                 fd = np.concatenate([particles[ptype, field]

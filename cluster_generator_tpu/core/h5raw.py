@@ -1,10 +1,15 @@
 """Raw-I/O fast paths for contiguous HDF5 datasets.
 
-H5Dwrite through h5py tops out ~115-250 MB/s on this class of host
-regardless of sieve-buffer tuning, while plain ``os.pwrite`` of the same
-bytes into the dataset's allocated file extent runs at page-cache/disk
-speed (16x measured on the 512^3 grid build, benchmarks/bench_ythdf5.py).
-The bytes on disk are identical — every HDF5 reader (h5py, yt, the
+Plain ``os.pwrite``/``os.pread`` of the dataset bytes at its allocated
+file extent runs at page-cache/disk speed with no HDF5 selection or
+sieve-buffer machinery in the path.  The measured advantage over
+H5Dwrite/H5Dread is HOST-STATE-DEPENDENT on this shared-VM class of
+machine: during the round-4 outage window H5Dwrite ran 0.1-0.25 GB/s
+(raw = 3-16x); re-measured on the same host healthy, H5Dwrite runs
+1.3 GB/s (raw pwrite 2.3 GB/s = 1.8x page-cache, 1.3x durable) and
+reads are at parity (benchmarks/measurements_r4/r4ext2_host_io.log,
+benchmarks/bench_catalog_io.py).  The raw path is the guaranteed
+floor; bytes on disk are identical — every HDF5 reader (h5py, yt, the
 reference package) sees the same dataset.
 
 Eligibility is checked per dataset: contiguous (not chunked), no
@@ -86,9 +91,13 @@ def create_early_alloc(group, name, shape, dtype="f8"):
 
 
 def _raw_eligible(dset):
-    return (dset.chunks is None and dset.compression is None
-            and dset.dtype in _RAW_DTYPES
-            and dset.id.get_offset() is not None)
+    # get_offset() returns None for any non-contiguous storage (chunked,
+    # and thus also filtered/compressed — filters require chunking), so
+    # one low-level call subsumes the layout checks; the high-level
+    # .chunks/.compression properties cost ~0.1 ms each and dominated
+    # read_catalog sweeps of many-small-dataset files
+    return (dset.id.get_offset() is not None
+            and dset.dtype in _RAW_DTYPES)
 
 
 class RawSlabIO:
@@ -173,10 +182,10 @@ class RawWriter:
 
 
 class RawReader:
-    """Whole-dataset pread companion to :class:`RawWriter` (H5Dread runs
-    ~0.26 GB/s even from page cache; pread of the same extent is
-    memcpy-speed).  Datasets the raw path cannot take fall back to
-    h5py transparently."""
+    """Whole-dataset pread companion to :class:`RawWriter` (parity with
+    H5Dread on a healthy host, up to ~6x when HDF5's read path degrades
+    — see the module docstring).  Datasets the raw path cannot take
+    fall back to h5py transparently."""
 
     def __init__(self, fileio):
         self.fileio = fileio

@@ -30,9 +30,9 @@ def _iter_hyperslabs(dataset, grids):
 def _emit(dataset, run):
     lo = run[0].id - run[0]._id_offset
     hi = run[-1].id - run[-1]._id_offset + 1
-    # raw pread of the slab when the dataset is contiguous float
-    # (H5Dread runs ~0.26 GB/s even page-cache-hot; pread is
-    # memcpy-speed — yt consumption sweeps whole grids)
+    # raw pread of the slab when the dataset is contiguous float (no
+    # HDF5 selection machinery; parity-to-6x vs H5Dread depending on
+    # host state — yt consumption sweeps whole grids)
     from cluster_generator_tpu.core.h5raw import read_slab
 
     block = read_slab(dataset, lo, hi)

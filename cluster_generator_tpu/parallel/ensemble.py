@@ -438,10 +438,9 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                n_cl, n_particles_per_cluster, path)
     _dispatch = _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh)
 
-    # catalog data goes through the raw pwrite-at-offset path: H5Dwrite
-    # is ~115-250 MB/s on these hosts (a 1024 x 1e5 full-species catalog
-    # is 20.8 s of H5Dwrite vs 4.7 s of device compute), while the raw
-    # path writes the identical bytes at page-cache speed (core/h5raw.py)
+    # catalog data goes through the raw pwrite-at-offset path — the
+    # identical bytes with no HDF5 write machinery; 1.8-3x over H5Dwrite
+    # depending on host state (core/h5raw.py docstring has the numbers)
     def _write_full(f, b0, Mb, cb, out):
         out = jax.tree_util.tree_map(np.asarray, out)  # blocks this batch
         raw = RawWriter(f)
@@ -590,9 +589,9 @@ def read_catalog(filename, indices=None, fields=None):
     (``dm_position`` / ``particle_velocity`` / ... depending on the
     product form) to its array, plus the group attrs (``M200``, ``conc``,
     per-species particle masses).  Reads go through the raw
-    pread-at-offset path (core/h5raw.RawReader): H5Dread runs ~0.26 GB/s
-    even from page cache, pread is memcpy-speed — training loops that
-    sweep the catalog repeatedly care.
+    pread-at-offset path (core/h5raw.RawReader) — parity with H5Dread
+    on a healthy host, up to ~6x when HDF5's read path degrades
+    (benchmarks/bench_catalog_io.py measures both).
 
     ``indices``: optional iterable of cluster indices (default: all, in
     order).

@@ -335,7 +335,7 @@ class ClusterParticles:
         with h5py.File(output_filename, "w") as f:
             for ptype in self.particle_types:
                 f.create_group(ptype)
-            raw = RawWriter(f)  # pwrite-at-offset: H5Dwrite is ~0.25 GB/s
+            raw = RawWriter(f)  # pwrite-at-offset (see core/h5raw.py)
             for (ptype, name), arr in self.fields.items():
                 ds = raw.add(f[ptype], name, np.asarray(arr))
                 if name != "particle_index":
@@ -438,7 +438,7 @@ class ClusterParticles:
         from .core.h5raw import RawWriter
 
         with h5py.File(ic_filename, "w") as f:
-            raw = RawWriter(f)  # pwrite-at-offset: H5Dwrite is ~0.25 GB/s
+            raw = RawWriter(f)  # pwrite-at-offset (see core/h5raw.py)
             for ptype in self.particle_types:
                 gptype = rptype_map[ptype]
                 idxs = self._clip_to_box(ptype, box_size)

@@ -3,10 +3,11 @@
 from .mesh import make_mesh
 from .ensemble import (build_ensemble, catalog_batches,
                        catalog_to_particles, datagen_batches,
-                       ensemble_datagen, prorate_species_counts,
-                       read_catalog, sample_ensemble_params)
+                       ensemble_datagen, ensemble_datagen_multihost,
+                       prorate_species_counts, read_catalog,
+                       sample_ensemble_params)
 
 __all__ = ["make_mesh", "build_ensemble", "catalog_batches",
            "catalog_to_particles", "datagen_batches", "ensemble_datagen",
-           "prorate_species_counts", "read_catalog",
-           "sample_ensemble_params"]
+           "ensemble_datagen_multihost", "prorate_species_counts",
+           "read_catalog", "sample_ensemble_params"]

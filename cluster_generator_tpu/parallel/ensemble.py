@@ -9,6 +9,7 @@ inserting the collectives.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -34,7 +35,8 @@ from ..virial import compute_df
 
 __all__ = ["build_one_cluster", "build_ensemble",
            "sample_ensemble_params", "ensemble_datagen",
-           "datagen_batches", "prorate_species_counts", "read_catalog",
+           "ensemble_datagen_multihost", "datagen_batches",
+           "prorate_species_counts", "read_catalog",
            "catalog_batches", "catalog_to_particles"]
 
 
@@ -362,7 +364,8 @@ def _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh):
 
 def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                      batch_size=256, num_points=512, key=None,
-                     overwrite=False, resume=False, mesh=None):
+                     overwrite=False, resume=False, mesh=None,
+                     _only_batches=None, _extra_attrs=None):
     """Stream an ensemble's particle draws to ONE HDF5 file.
 
     ``n_particles_per_cluster`` selects the product:
@@ -516,9 +519,13 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
         else:
             for k, v in config.items():
                 f.attrs[k] = v
+            for k, v in (_extra_attrs or {}).items():
+                f.attrs[k] = v
             f.attrs["units"] = "kpc, kpc/Myr, Msun (galactic)"
         todo = []
-        for b0 in range(0, n_cl, batch_size):
+        mine = (range(0, n_cl, batch_size) if _only_batches is None
+                else sorted(_only_batches))
+        for b0 in mine:
             names = [f"cluster_{i:06d}"
                      for i in range(b0, min(b0 + batch_size, n_cl))]
             if resuming and all(nm in f and all(ds in f[nm]
@@ -532,8 +539,7 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
             todo.append(b0)
         if resuming:
             mylog.info("Resuming %s: %d/%d batches already complete.",
-                       path, (n_cl + batch_size - 1) // batch_size
-                       - len(todo), (n_cl + batch_size - 1) // batch_size)
+                       path, len(mine) - len(todo), len(mine))
         pending = None
         for b0 in todo:
             nxt = (b0, *_dispatch(b0))  # async dispatch BEFORE the write
@@ -544,6 +550,50 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
             write(f, *pending)
         f.attrs["complete"] = True
     return str(path)
+
+
+def ensemble_datagen_multihost(M200, conc, filename,
+                               n_particles_per_cluster, batch_size=256,
+                               num_points=512, key=None, overwrite=False,
+                               resume=False, mesh=None, rank=None,
+                               nproc=None):
+    """Multi-process :func:`ensemble_datagen`: process ``rank`` of
+    ``nproc`` computes batches ``rank, rank+nproc, ...`` (strided, so
+    the tail balances) and writes its cluster groups — GLOBAL indices —
+    to ``<stem>.<rank>of<nproc><suffix>``.
+
+    Datagen has no cross-cluster coupling and keys fold on the global
+    batch offset, so the shard set is **bit-identical** to what one
+    process would have written: no coordinator, no collectives — every
+    process just needs its rank (defaults to
+    ``jax.process_index()``/``jax.process_count()`` under
+    ``jax.distributed``; pass them explicitly otherwise, e.g. from a
+    job scheduler).  Feed the shard list straight to
+    :func:`read_catalog` / :func:`catalog_batches`, which accept a
+    sequence of filenames and reassemble the global index space.
+
+    ``resume=True`` resumes this process's shard independently.
+    Returns this process's shard filename.
+    """
+    import pathlib
+
+    if rank is None:
+        rank = jax.process_index()
+    if nproc is None:
+        nproc = jax.process_count()
+    if not 0 <= rank < nproc:
+        raise ValueError(f"rank {rank} outside [0, {nproc})")
+    path = pathlib.Path(filename)
+    shard = path.with_name(f"{path.stem}.{rank}of{nproc}{path.suffix}")
+    n_cl = int(jnp.asarray(M200).shape[0])
+    mine = [b0 for i, b0 in enumerate(range(0, n_cl, batch_size))
+            if i % nproc == rank]
+    return ensemble_datagen(
+        M200, conc, str(shard), n_particles_per_cluster,
+        batch_size=batch_size, num_points=num_points, key=key,
+        overwrite=overwrite, resume=resume, mesh=mesh,
+        _only_batches=mine,
+        _extra_attrs={"shard_rank": rank, "shard_count": nproc})
 
 
 def datagen_batches(M200, conc, n_particles_per_cluster, batch_size=256,
@@ -599,36 +649,50 @@ def read_catalog(filename, indices=None, fields=None):
     ``fields``: optional iterable of dataset names to read (default:
     all) — a consumer training on positions alone shouldn't pay the
     bandwidth for velocities.  Attrs are always included; unknown names
-    raise (a typo would otherwise silently yield partial clusters)."""
+    raise (a typo would otherwise silently yield partial clusters).
+
+    ``filename`` may be a sequence of filenames — the shard set of an
+    :func:`ensemble_datagen_multihost` run; cluster indices are global
+    across the set (each group name appears in exactly one shard)."""
+    import contextlib
+
     import h5py
 
     from ..core.h5raw import RawReader
 
-    with h5py.File(filename, "r") as f:
-        n_cl = int(f.attrs["n_clusters"])
+    filenames = ([filename] if isinstance(filename, (str, os.PathLike))
+                 else list(filename))
+    with contextlib.ExitStack() as stack:
+        files = [stack.enter_context(h5py.File(fn, "r"))
+                 for fn in filenames]
+        readers = [stack.enter_context(RawReader(f)) for f in files]
+        n_cl = int(files[0].attrs["n_clusters"])
+        # each cluster group lives in exactly one shard
+        where = {name: j for j, f in enumerate(files) for name in f
+                 if name.startswith("cluster_")}
         if indices is None:
             indices = range(n_cl)
         if fields is not None:
             fields = list(fields)
-        with RawReader(f) as raw:
-            for i in indices:
-                name = f"cluster_{int(i):06d}"
-                if name not in f:
+        for i in indices:
+            name = f"cluster_{int(i):06d}"
+            j = where.get(name)
+            if j is None:
+                raise KeyError(
+                    f"{name} missing from {filenames}: incomplete "
+                    "catalog (interrupted run?) — finish it with "
+                    "ensemble_datagen(..., resume=True)")
+            g = files[j][name]
+            if fields is not None:
+                missing = [k for k in fields if k not in g]
+                if missing:
                     raise KeyError(
-                        f"{name} missing from {filename}: incomplete "
-                        "catalog (interrupted run?) — finish it with "
-                        "ensemble_datagen(..., resume=True)")
-                g = f[name]
-                if fields is not None:
-                    missing = [k for k in fields if k not in g]
-                    if missing:
-                        raise KeyError(
-                            f"fields {missing} not in cluster group "
-                            f"(has {sorted(g)})")
-                out = {k: raw.read(g[k])
-                       for k in (g if fields is None else fields)}
-                out.update(g.attrs)
-                yield int(i), out
+                        f"fields {missing} not in cluster group "
+                        f"(has {sorted(g)})")
+            out = {k: readers[j].read(g[k])
+                   for k in (g if fields is None else fields)}
+            out.update(g.attrs)
+            yield int(i), out
 
 
 def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
@@ -658,7 +722,8 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
     compute).
 
     ``fields``: optional dataset-name subset to read (attrs always
-    included) — see :func:`read_catalog`.
+    included) — see :func:`read_catalog`.  Like there, ``filename``
+    may be an :func:`ensemble_datagen_multihost` shard list.
 
     The reference has no counterpart — its per-cluster product ends at
     simulation-code files; batched catalog consumption is the rebuild's
@@ -668,7 +733,9 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
 
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-    with h5py.File(filename, "r") as f:
+    first = (filename if isinstance(filename, (str, os.PathLike))
+             else list(filename)[0])
+    with h5py.File(first, "r") as f:
         n_cl = int(f.attrs["n_clusters"])
     order = np.arange(n_cl)
     if key is not None:

@@ -375,6 +375,129 @@ def test_read_catalog_roundtrip(tmp_path):
     assert subset == [3, 1]
 
 
+def test_multihost_datagen_shards_reassemble_bit_identical(tmp_path):
+    """ensemble_datagen_multihost: N processes write strided batch
+    shards with GLOBAL cluster indices; the shard set reassembles
+    bit-identical to the single-process catalog through read_catalog /
+    catalog_batches (keys fold on the global batch offset — no
+    coordinator or collectives needed).  Shards resume independently."""
+    import h5py
+    import pytest
+
+    from cluster_generator_tpu.parallel import (
+        catalog_batches,
+        ensemble_datagen,
+        ensemble_datagen_multihost,
+        read_catalog,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(31), 10)
+    kw = dict(n_particles_per_cluster={"dm": 300, "gas": 200, "star": 80},
+              batch_size=2, num_points=128, key=jax.random.key(17))
+    single = str(tmp_path / "cat.h5")
+    ensemble_datagen(M, c, single, **kw)
+    ref = dict(read_catalog(single))
+
+    # 3 "processes" (ranks run sequentially here; the math has no
+    # cross-process coupling, so this is exactly the multihost run)
+    shards = [ensemble_datagen_multihost(M, c, str(tmp_path / "cat.h5"),
+                                         rank=r, nproc=3, **kw)
+              for r in range(3)]
+    assert sorted(shards) == sorted(
+        str(tmp_path / f"cat.{r}of3.h5") for r in range(3))
+    got = dict(read_catalog(shards))
+    assert sorted(got) == sorted(ref)
+    for i in ref:
+        for k in ref[i]:
+            np.testing.assert_array_equal(got[i][k], ref[i][k],
+                                          err_msg=f"cluster {i} {k}")
+    # strided assignment: shard 0 carries batches 0 and 6 -> clusters
+    # 0,1,6,7 (global names)
+    with h5py.File(shards[0]) as f:
+        assert sorted(k for k in f if k.startswith("cluster_")) == [
+            "cluster_000000", "cluster_000001",
+            "cluster_000006", "cluster_000007"]
+        assert f.attrs["shard_rank"] == 0 and f.attrs["shard_count"] == 3
+
+    # batched consumption over the shard set matches the single file
+    b_single = list(catalog_batches(single, 5))
+    b_shards = list(catalog_batches(shards, 5))
+    for b1, b2 in zip(b_single, b_shards):
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+
+    # a shard resumes independently (drop rank 1's last batch)
+    with h5py.File(shards[1], "a") as f:
+        del f.attrs["complete"]
+        del f["cluster_000008"]
+        del f["cluster_000009"]
+    ensemble_datagen_multihost(M, c, str(tmp_path / "cat.h5"),
+                               rank=1, nproc=3, resume=True, **kw)
+    got2 = dict(read_catalog(shards))
+    for k in ref[8]:
+        np.testing.assert_array_equal(got2[8][k], ref[8][k], err_msg=k)
+
+    with pytest.raises(ValueError, match="rank"):
+        ensemble_datagen_multihost(M, c, str(tmp_path / "x.h5"),
+                                   rank=3, nproc=3, **kw)
+
+
+def test_multihost_datagen_two_real_processes(tmp_path):
+    """Two actual OS processes each write their shard concurrently (no
+    jax.distributed needed — datagen is embarrassingly parallel); the
+    shard set must reassemble the full ensemble."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        read_catalog,
+        sample_ensemble_params,
+    )
+
+    code = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from cluster_generator_tpu.parallel import (ensemble_datagen_multihost,
+                                            sample_ensemble_params)
+M, c = sample_ensemble_params(jax.random.key(31), 6)
+ensemble_datagen_multihost(M, c, {fn!r}, 500, batch_size=2,
+                           num_points=128, key=jax.random.key(2),
+                           rank=int(sys.argv[1]), nproc=2)
+"""
+    import os as _os
+    fn = str(tmp_path / "mh.h5")
+    env = dict(_os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PYTHONPATH", None)
+    root = str(Path(__file__).resolve().parents[1])
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", code.format(root=root, fn=fn), str(r)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for r in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    shards = [str(tmp_path / f"mh.{r}of2.h5") for r in range(2)]
+    M, c = sample_ensemble_params(jax.random.key(31), 6)
+    single = str(tmp_path / "single.h5")
+    ensemble_datagen(M, c, single, 500, batch_size=2, num_points=128,
+                     key=jax.random.key(2))
+    ref = dict(read_catalog(single))
+    got = dict(read_catalog(shards))
+    assert sorted(got) == list(range(6))
+    for i in ref:
+        np.testing.assert_array_equal(got[i]["particle_velocity"],
+                                      ref[i]["particle_velocity"], err_msg=str(i))
+
+
 def test_datagen_batches_streams_identical_draws(tmp_path):
     """datagen_batches (the no-disk streaming form) yields exactly the
     draws ensemble_datagen writes for the same config — both the DM-only

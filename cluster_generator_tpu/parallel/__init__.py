@@ -5,9 +5,9 @@ from .ensemble import (build_ensemble, catalog_batches,
                        catalog_to_particles, datagen_batches,
                        ensemble_datagen, ensemble_datagen_multihost,
                        prorate_species_counts, read_catalog,
-                       sample_ensemble_params)
+                       sample_ensemble_params, verify_catalog)
 
 __all__ = ["make_mesh", "build_ensemble", "catalog_batches",
            "catalog_to_particles", "datagen_batches", "ensemble_datagen",
            "ensemble_datagen_multihost", "prorate_species_counts",
-           "read_catalog", "sample_ensemble_params"]
+           "read_catalog", "sample_ensemble_params", "verify_catalog"]

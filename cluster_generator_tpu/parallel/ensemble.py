@@ -37,7 +37,7 @@ __all__ = ["build_one_cluster", "build_ensemble",
            "sample_ensemble_params", "ensemble_datagen",
            "ensemble_datagen_multihost", "datagen_batches",
            "prorate_species_counts", "read_catalog",
-           "catalog_batches", "catalog_to_particles"]
+           "catalog_batches", "catalog_to_particles", "verify_catalog"]
 
 
 def build_one_cluster(M200, conc, z=0.1, f_g=None, rmin=0.1, rmax=10000.0,
@@ -764,6 +764,124 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
             fut = nxt
         if fut is not None:
             yield fut.result()
+
+
+def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
+                   energy_rtol=2e-2, radius_tol=1e-6, mass_rtol=1e-5):
+    """Physics QA gate for datagen catalogs — the check a training
+    pipeline runs before trusting a dataset.
+
+    For each checked cluster the equilibrium model is REBUILT from the
+    recorded ``(M200, conc, num_points)`` attrs and the stored draws are
+    checked against it:
+
+    * every dataset is finite;
+    * particle radii lie inside the model's radial grid (± radius_tol);
+    * collisionless speeds do not exceed the local escape speed
+      ``sqrt(2 psi(r))`` by more than ``speed_tol`` (the draws use f32
+      node-lerped tables, so exact-psi comparisons carry lerp error);
+    * gas thermal energies match ``1.5 P / rho`` interpolated at the
+      particle radius within ``energy_rtol``;
+    * per-species particle masses reproduce the species' total grid mass
+      (``n_part * pmass == M_sp(r_max)``) within ``mass_rtol``.
+
+    Returns a report dict (max observed deviations + a ``violations``
+    list); ``strict=True`` additionally raises ``ValueError`` when any
+    check fails.  ``filename`` may be a shard list.  The reference has
+    no analogous data-QA tool; the closest is its ``check_virial``
+    (reference virial.py:78-106), which validates the DF, not drawn
+    catalogs."""
+    import h5py
+
+    first = (filename if isinstance(filename, (str, os.PathLike))
+             else list(filename)[0])
+    with h5py.File(first, "r") as f:
+        num_points = int(f.attrs["num_points"])
+        n_cl = int(f.attrs["n_clusters"])
+    if indices is None:
+        indices = range(n_cl)
+    indices = list(indices)
+
+    report = {"n_clusters_checked": 0, "n_particles_checked": 0,
+              "max_speed_frac": 0.0, "max_energy_rel_err": 0.0,
+              "max_radius_frac": 0.0, "max_mass_rel_err": 0.0,
+              "violations": []}
+    species_mass = {"dm": "dark_matter_mass", "star": "stellar_mass",
+                    "gas": "gas_mass"}
+
+    def _check(cond, msg):
+        if not cond:
+            report["violations"].append(msg)
+
+    # one jitted rebuild program reused across the loop (traces once)
+    build_fn = jax.jit(lambda m, c: build_one_cluster(
+        m, c, num_points=num_points, with_df=False))
+
+    for i, cl in read_catalog(filename, indices=indices):
+        f = build_fn(cl["M200"], cl["conc"])
+        rr = np.asarray(f["radius"])
+        psi = -np.asarray(f["gravitational_potential"])
+        e_grid = 1.5 * np.asarray(f["pressure"]) / np.asarray(f["density"])
+        if "particle_position" in cl:  # DM-only product
+            triples = [("dm", cl["particle_position"],
+                        cl["particle_velocity"], cl["particle_mass"])]
+            gas = None
+        else:
+            triples = [(sp, cl[f"{sp}_position"], cl[f"{sp}_velocity"],
+                        cl[f"particle_mass_{sp}"])
+                       for sp in ("dm", "star") if f"{sp}_position" in cl]
+            gas = (cl["gas_position"], cl["gas_thermal_energy"],
+                   cl["particle_mass_gas"]) if "gas_position" in cl \
+                else None
+        for sp, pos, vel, pmass in triples:
+            _check(np.isfinite(pos).all() and np.isfinite(vel).all(),
+                   f"cluster {i} {sp}: non-finite values")
+            r = np.sqrt((np.asarray(pos, np.float64) ** 2).sum(axis=1))
+            rfrac = float(r.max() / rr[-1])
+            report["max_radius_frac"] = max(report["max_radius_frac"],
+                                            rfrac)
+            _check(rfrac <= 1.0 + radius_tol,
+                   f"cluster {i} {sp}: radius {rfrac:.6f} of r_max")
+            v = np.sqrt((np.asarray(vel, np.float64) ** 2).sum(axis=1))
+            v_esc = np.sqrt(2.0 * np.interp(r, rr, psi))
+            frac = float((v / v_esc).max())
+            report["max_speed_frac"] = max(report["max_speed_frac"], frac)
+            _check(frac <= 1.0 + speed_tol,
+                   f"cluster {i} {sp}: speed {frac:.6f} of local v_esc")
+            m_tot = float(np.asarray(f[species_mass[sp]])[-1])
+            merr = abs(float(pmass) * len(r) - m_tot) / m_tot
+            report["max_mass_rel_err"] = max(report["max_mass_rel_err"],
+                                             merr)
+            _check(merr <= mass_rtol,
+                   f"cluster {i} {sp}: mass budget off by {merr:.2e}")
+            report["n_particles_checked"] += len(r)
+        if gas is not None:
+            pos, energy, pmass = gas
+            _check(np.isfinite(pos).all() and np.isfinite(energy).all(),
+                   f"cluster {i} gas: non-finite values")
+            r = np.sqrt((np.asarray(pos, np.float64) ** 2).sum(axis=1))
+            e_ref = np.interp(r, rr, e_grid)
+            rel = float((np.abs(np.asarray(energy, np.float64) - e_ref)
+                         / e_ref).max())
+            report["max_energy_rel_err"] = max(
+                report["max_energy_rel_err"], rel)
+            _check(rel <= energy_rtol,
+                   f"cluster {i} gas: thermal energy off by {rel:.3e}")
+            _check((np.asarray(energy) > 0).all(),
+                   f"cluster {i} gas: non-positive thermal energy")
+            m_tot = float(np.asarray(f["gas_mass"])[-1])
+            merr = abs(float(pmass) * len(r) - m_tot) / m_tot
+            report["max_mass_rel_err"] = max(report["max_mass_rel_err"],
+                                             merr)
+            _check(merr <= mass_rtol,
+                   f"cluster {i} gas: mass budget off by {merr:.2e}")
+            report["n_particles_checked"] += len(r)
+        report["n_clusters_checked"] += 1
+
+    if strict and report["violations"]:
+        raise ValueError("catalog failed physics QA:\n  "
+                         + "\n  ".join(report["violations"][:20]))
+    return report
 
 
 def catalog_to_particles(filename, index):

@@ -375,6 +375,62 @@ def test_read_catalog_roundtrip(tmp_path):
     assert subset == [3, 1]
 
 
+def test_verify_catalog_qa_gate(tmp_path):
+    """verify_catalog passes a clean catalog (both product forms, incl.
+    a shard list) and catches injected corruption: superluminal speeds,
+    wrong thermal energies, out-of-grid radii, a broken mass budget."""
+    import h5py
+
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        ensemble_datagen_multihost,
+        sample_ensemble_params,
+        verify_catalog,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(41), 4)
+    kw = dict(batch_size=2, num_points=128, key=jax.random.key(3))
+    full = str(tmp_path / "full.h5")
+    ensemble_datagen(M, c, full, {"dm": 400, "gas": 300, "star": 100},
+                     **kw)
+    rep = verify_catalog(full)
+    assert rep["violations"] == []
+    assert rep["n_clusters_checked"] == 4
+    assert rep["n_particles_checked"] == 4 * 800
+    assert rep["max_speed_frac"] <= 1.0 + 5e-3
+    assert 0 < rep["max_energy_rel_err"] <= 2e-2
+    assert abs(rep["max_mass_rel_err"]) <= 1e-5
+
+    dm = str(tmp_path / "dm.h5")
+    ensemble_datagen(M, c, dm, 500, **kw)
+    assert verify_catalog(dm)["violations"] == []
+
+    shards = [ensemble_datagen_multihost(M, c, str(tmp_path / "s.h5"),
+                                         500, rank=r, nproc=2, **kw)
+              for r in range(2)]
+    assert verify_catalog(shards)["violations"] == []
+
+    # inject corruption: each must be caught and named
+    with h5py.File(full, "r+") as f:
+        g = f["cluster_000001"]
+        v = g["dm_velocity"][()]
+        v[7] *= 50.0  # way past escape speed
+        g["dm_velocity"][...] = v
+        e = g["gas_thermal_energy"][()]
+        e[3] *= 2.0
+        g["gas_thermal_energy"][...] = e
+        p = g["star_position"][()]
+        p[0] = [50000.0, 0.0, 0.0]  # outside the radial grid
+        g["star_position"][...] = p
+        g.attrs["particle_mass_dm"] = g.attrs["particle_mass_dm"] * 1.1
+    with pytest.raises(ValueError, match="physics QA"):
+        verify_catalog(full)
+    rep = verify_catalog(full, strict=False)
+    text = "\n".join(rep["violations"])
+    assert "speed" in text and "thermal energy" in text
+    assert "radius" in text and "mass budget" in text
+
+
 def test_multihost_datagen_shards_reassemble_bit_identical(tmp_path):
     """ensemble_datagen_multihost: N processes write strided batch
     shards with GLOBAL cluster indices; the shard set reassembles

@@ -82,8 +82,23 @@ def main():
         t0 = time.time()
         paint_all()
         paint_s = time.time() - t0
-        print(f"# paint-only (1 field, {starts.shape[0]} chunks): "
-              f"{paint_s:.2f}s", file=sys.stderr)
+        print(f"# paint-only (1 field, {starts.shape[0]} chunks, device "
+              f"engine): {paint_s:.2f}s", file=sys.stderr)
+
+        if engine == "native":
+            # the native path's own paint split (hint-walked C++ painter)
+            from cluster_generator_tpu.ops import native
+
+            istarts = starts.astype(np.int64)
+            buf = np.empty((batch, cs, cs, cs), dtype=np.float64)
+            t0 = time.time()
+            for i0 in range(0, istarts.shape[0], batch):
+                sb = istarts[i0:i0 + batch]
+                b = buf if sb.shape[0] == batch else None
+                native.paint_radial_chunks(sp, sb, cs, deltas, left, out=b)
+            paint_s = time.time() - t0
+            print(f"# paint-only (1 field, native engine): "
+                  f"{paint_s:.2f}s", file=sys.stderr)
 
         # --- write-only: stream one cached batch's worth repeatedly
         blk = np.asarray(paint(jnp.asarray(starts[:batch])))

@@ -204,13 +204,24 @@ class YTHDF5:
             pass
 
     # -------------------------------------------------------------- adding
-    def add_model(self, model, center, velocity, engine: str = "device"):
+    def add_model(self, model, center, velocity, engine: str = "device",
+                  resume: bool = False):
         """Paint a ClusterModel onto the grid (data_structures.py:298-362).
 
         engine: "device" evaluates chunks on the accelerator (default);
         "native" uses the multithreaded C++ painter
         (ops/native.cg_paint_radial_chunks) — useful when the accelerator
-        is busy or absent."""
+        is busy or absent.
+
+        resume: restart an interrupted FIRST add_model on this grid —
+        fields recorded as complete are skipped, the in-flight one is
+        repainted whole (field writes are idempotent on a fresh grid).
+        Only valid while ``model_count == 0``: later models ACCUMULATE
+        into the datasets, and a partially-accumulated field cannot be
+        told apart from a finished one, so resuming there would
+        double-count — it raises instead.  Multi-GB builds are
+        sustained-disk-bound (~1-10 min; docs/performance.md), which is
+        exactly when a crash would otherwise cost the whole build."""
         center = np.asarray(center, dtype=np.float64)
         velocity = np.asarray(velocity, dtype=np.float64)
         bbox = np.asarray(self.bbox)
@@ -224,10 +235,26 @@ class YTHDF5:
         left = relative_bbox[:, 0]
 
         with h5py.File(self.filename, "a") as fo:
+            if resume:
+                if int(fo.attrs["model_count"]) != 0:
+                    raise ValueError(
+                        "resume=True is only valid for the FIRST model "
+                        "on a grid: later models accumulate into the "
+                        "datasets and a partially-accumulated field "
+                        "cannot be detected — rebuild instead")
+                done = set(fo.attrs.get("_fields_done", ()))
+                if done:
+                    mylog.info("Resuming: %d field(s) already painted.",
+                               len(done))
+            else:
+                done = set()
+                fo.attrs["_fields_done"] = []
             for field, unit in self._yt_fields.items():
                 extra_scaled = []
-                if "momentum_density" in field:
-                    # written as scaled copies of the density paint below
+                if field in done or "momentum_density" in field:
+                    # momenta are written as scaled copies of the
+                    # density paint below; done fields were painted by
+                    # the interrupted run
                     continue
                 elif field == "density":
                     if field in model.fields:
@@ -268,6 +295,13 @@ class YTHDF5:
                                 cs, engine=engine,
                                 accumulate=int(fo.attrs["model_count"]) > 0,
                                 extra_scaled=extra_scaled)
+                # completion marker AFTER the field (and its scaled
+                # momentum copies) hit the file — a crash mid-field
+                # leaves it unlisted and a resume repaints it whole
+                done.add(field)
+                done.update(fn for fn, _ in extra_scaled)
+                fo.attrs["_fields_done"] = sorted(done)
+                fo.flush()
             mylog.info("Core fields of %s were written to %s.", model, self)
             fo.attrs["model_count"] += 1
 

@@ -282,3 +282,46 @@ def test_two_model_grid_is_sum_of_singles(canonical_model, tmp_path):
                     fb["grid"][field][()],
                     fa["grid"][field][()] + fc["grid"][field][()],
                     rtol=1e-12, atol=1e-300, err_msg=f"{eng}/{field}")
+
+
+def test_add_model_resume_repaints_unfinished_fields(canonical_model,
+                                                     tmp_path):
+    """add_model(resume=True) on an interrupted FIRST paint skips the
+    fields recorded complete and repaints the rest whole — final grid
+    identical to an uninterrupted build.  Resume on an accumulated grid
+    (model_count > 0) refuses."""
+    import h5py
+
+    bbox = np.array([[-2000.0, 2000.0]] * 3)
+    ref_fn = str(tmp_path / "ref.h5")
+    ds = YTHDF5.build(ref_fn, (32, 32, 32), bbox, chunksize=16)
+    ds.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0])
+
+    cut_fn = str(tmp_path / "cut.h5")
+    ds2 = YTHDF5.build(cut_fn, (32, 32, 32), bbox, chunksize=16)
+    ds2.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0])
+    # simulate a crash mid-build: pretend only density (+ its scaled
+    # momentum copies) finished; garbage the "unfinished" datasets and
+    # roll back the completion markers
+    with h5py.File(cut_fn, "a") as f:
+        keep = {"density", "momentum_density_x", "momentum_density_y",
+                "momentum_density_z"}
+        f.attrs["_fields_done"] = sorted(keep)
+        f.attrs["model_count"] = 0
+        for field in f["grid"]:
+            if field not in keep:
+                f["grid"][field][...] = np.nan
+
+    ds2 = YTHDF5.load(cut_fn)
+    ds2.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0], resume=True)
+    with h5py.File(ref_fn) as a, h5py.File(cut_fn) as b:
+        assert int(b.attrs["model_count"]) == 1
+        for field in a["grid"]:
+            np.testing.assert_array_equal(a["grid"][field][()],
+                                          b["grid"][field][()],
+                                          err_msg=field)
+
+    # second model accumulates -> resume must refuse
+    with pytest.raises(ValueError, match="FIRST model"):
+        ds2.add_model(canonical_model, [0, 0, 0], [0.0, 0, 0],
+                      resume=True)

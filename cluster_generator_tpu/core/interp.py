@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["CubicSpline", "cubic_spline", "spline_eval", "interp",
-           "adjacent_pairs"]
+           "adjacent_pairs", "loguniform_lerp", "is_loguniform",
+           "spline_eval_loguniform"]
 
 
 def adjacent_pairs(t):
@@ -234,6 +235,27 @@ def spline_eval_uniform(sp: CubicSpline, lo, step, n: int):
     return r[:, 1] + t * (r[:, 2] + t * (r[:, 3] + t * r[:, 4]))
 
 
+def spline_eval_loguniform(sp: CubicSpline, xq):
+    """Evaluate a spline whose knots are EXACTLY log-uniform at arbitrary
+    in-range queries — the bracketing interval is COMPUTED from
+    ``log(xq)`` (no search), then one row-of-5 coefficient gather per
+    query.  Cubic-exact like :func:`spline_eval` (pinned by test) at the
+    per-particle lookup cost of the paired-gather idiom.  Queries are
+    clamped to the knot range (boundary value, no extrapolation)."""
+    x = sp.x
+    n = x.shape[0]
+    dt = x.dtype
+    lg0 = jnp.log(x[0]).astype(dt)
+    dlg = ((jnp.log(x[-1]) - lg0) / (n - 1)).astype(dt)
+    t = (jnp.log(xq).astype(dt) - lg0) / dlg
+    t = jnp.clip(t, 0.0, n - 1 - 1e-6)
+    j = jnp.minimum(t.astype(jnp.int32), n - 2)  # f32 ulp guard
+    rows = jnp.stack([x[:-1], sp.a, sp.b, sp.c, sp.d], axis=1)
+    r = rows[j]
+    u = jnp.clip(xq, x[0], x[-1]) - r[:, 0]
+    return r[:, 1] + u * (r[:, 2] + u * (r[:, 3] + u * r[:, 4]))
+
+
 def interp(xq, x, y, left=None, right=None):
     """jnp.interp passthrough (reference's np.interp, utils.py:165)."""
     return jnp.interp(xq, x, y, left=left, right=right)
@@ -255,6 +277,53 @@ def bracket_indices(grid, queries):
     j = jnp.sum((grid[None, :] <= queries[:, None]).astype(jnp.int32),
                 axis=1) - 1
     return jnp.clip(j, 0, grid.shape[0] - 2)
+
+
+def loguniform_lerp(xq, x, y):
+    """``y`` interpolated at ``xq`` on an EXACTLY log-uniform ascending
+    grid ``x``: the bracketing interval is COMPUTED from ``log(xq)`` (no
+    search) and both endpoints come back as one row-of-4 gather
+    (x0,y0,x1,y1) — the per-particle lookup idiom (see
+    pipeline._log_grid_locate; row width 4 is the measured gather knee).
+
+    This is how particle field values should be evaluated at DRAWN radii:
+    lerping field values between radius-quantile nodes instead (the
+    radius draw's own (kq, wq)) is exact for the radius but NOT for a
+    curved field — the innermost mass-quantile bin spans a huge radius
+    range, and 1.5 P/rho across it is off by up to ~60% (caught by
+    verify_catalog on a deep gas draw).  On the model's log grid the
+    curvature error is ~1e-4.
+
+    Queries are clamped to the grid (boundary value, no extrapolation).
+    The lerp weight is linear IN x (np.interp semantics) — only the
+    interval index comes from log space; a log-space weight would differ
+    from np.interp by the exp curvature over one interval (~1e-4 at
+    512-pt grids).
+    """
+    n = x.shape[0]
+    dt = y.dtype
+    x = x.astype(dt)
+    lg0 = jnp.log(x[0])
+    dlg = (jnp.log(x[-1]) - lg0) / (n - 1)
+    t = (jnp.log(xq).astype(dt) - lg0) / dlg
+    t = jnp.clip(t, 0.0, n - 1 - 1e-6)
+    # integer clamp too: the 1e-6 margin is below the f32 ulp at n - 1
+    j = jnp.minimum(t.astype(jnp.int32), n - 2)
+    xy = jnp.stack([x, y], axis=1)
+    row = jnp.concatenate([xy[:-1], xy[1:]], axis=1)[j]  # x0 y0 x1 y1
+    w = jnp.clip((xq.astype(dt) - row[:, 0])
+                 / (row[:, 2] - row[:, 0]), 0.0, 1.0)
+    return (1.0 - w) * row[:, 1] + w * row[:, 3]
+
+
+def is_loguniform(x, rtol=1e-8):
+    """True when the (concrete, host-side) grid is log-uniform — the
+    gate for :func:`loguniform_lerp`'s computed-index path."""
+    import numpy as np
+
+    lx = np.log(np.asarray(x))
+    d = np.diff(lx)
+    return bool(np.allclose(d, d[0], rtol=rtol, atol=1e-12))
 
 
 def interp_monotone(xq, x, y):

@@ -184,7 +184,11 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
     is the measured gather knee, docs/performance.md E4) or the thermal
     energy (gas — the energy lookup rides the same gather).
     """
-    from ..core.interp import adjacent_pairs, interp_monotone
+    from ..core.interp import (
+        adjacent_pairs,
+        interp_monotone,
+        loguniform_lerp,
+    )
     from ..virial import (
         build_joint_speed_pairs,
         sample_speeds_joint,
@@ -255,13 +259,18 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
     def _gas(f, n_part, key):
         rr, mm = f["radius"], f["gas_mass"]
         r_q = _quantile_nodes(rr, mm)
-        e_grid = 1.5 * f["pressure"] / f["density"]
-        table4 = _pack4(r_q, interp_monotone(r_q, rr, e_grid))
+        rp = adjacent_pairs(r_q).astype(jnp.float32)
         k_r, k_u = jax.random.split(key)
         kq, wq = _draw_quantiles(k_r, n_part)
-        row = table4[kq]
+        row = rp[kq]
         radius = (1.0 - wq) * row[:, 0] + wq * row[:, 1]
-        energy = (1.0 - wq) * row[:, 2] + wq * row[:, 3]
+        # thermal energy at the DRAWN radius on the log-uniform model
+        # grid (computed index, one row-of-2 gather) — lerping e between
+        # the radius-quantile nodes was off by up to ~60% across the
+        # wide innermost mass bin (loguniform_lerp docstring; caught by
+        # verify_catalog on a deep gas draw)
+        e_grid = (1.5 * f["pressure"] / f["density"]).astype(jnp.float32)
+        energy = loguniform_lerp(radius, rr, e_grid)
         pos = radius[:, None] * _isotropic(k_u, n_part)
         pmass = (mm[-1] / n_part).astype(jnp.float32)
         return pos, energy, pmass
@@ -767,7 +776,7 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
 
 
 def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
-                   energy_rtol=2e-2, radius_tol=1e-6, mass_rtol=1e-5):
+                   energy_rtol=5e-3, radius_tol=1e-6, mass_rtol=1e-5):
     """Physics QA gate for datagen catalogs — the check a training
     pipeline runs before trusting a dataset.
 

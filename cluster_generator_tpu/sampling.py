@@ -216,21 +216,27 @@ def generate_gas_particles(model, num_particles, r_max=None, sub_sample=1,
     radius = _tile(radius_sub, sub_sample, num_particles)
     pos = radius[:, None] * _isotropic_units(k_ang, num_particles)
 
-    # field values: exact cubic-spline evaluation ONCE at the quantile
-    # nodes, then a per-particle pair lerp sharing the radius draw's
-    # (kq, wq) — no per-particle spline search
-    from .core.interp import adjacent_pairs
+    # field values at the DRAWN radii (the reference splines at each
+    # particle radius, model.py:908-916).  Lerping field values between
+    # the radius-quantile nodes instead (sharing the draw's (kq, wq))
+    # is exact for the radius but NOT for a curved field: the innermost
+    # mass-quantile bin spans a huge radius range and 1.5 P/rho across
+    # it is off by up to ~60% (core/interp.loguniform_lerp docstring).
+    # Log-uniform grids (every built model) take the computed-index
+    # row-gather path (cubic-exact, no search); arbitrary grids fall
+    # back to searched spline evaluation.
+    from .core.interp import is_loguniform, spline_eval_loguniform
 
     rgrid = jnp.asarray(model["radius"])
-    r_nodes = jnp.concatenate([r_pair[:, 0], r_pair[-1:, 1]])
+    if is_loguniform(model["radius"]):
+        field_at = lambda arr: spline_eval_loguniform(
+            cubic_spline(rgrid, jnp.asarray(arr)), radius_sub)
+    else:
+        field_at = lambda arr: spline_eval(cubic_spline(
+            rgrid, jnp.asarray(arr)), radius_sub)
     e_arr = 1.5 * jnp.asarray(model["pressure"]) / jnp.asarray(model["density"])
-    e_pairs = adjacent_pairs(spline_eval(cubic_spline(rgrid, e_arr), r_nodes))
-    e_sub = _node_value_lerp(e_pairs, kq, wq)
-    energy = _tile(e_sub, sub_sample, num_particles)
-    d_pairs = adjacent_pairs(spline_eval(
-        cubic_spline(rgrid, jnp.asarray(model["density"])), r_nodes))
-    density = _tile(_node_value_lerp(d_pairs, kq, wq), sub_sample,
-                    num_particles)
+    energy = _tile(field_at(e_arr), sub_sample, num_particles)
+    density = _tile(field_at(model["density"]), sub_sample, num_particles)
 
     fields = OrderedDict()
     fields["gas", "particle_position"] = np.asarray(pos)
@@ -240,11 +246,9 @@ def generate_gas_particles(model, num_particles, r_max=None, sub_sample=1,
     fields["gas", "density"] = np.asarray(density)
     fields["gas", "particle_velocity"] = np.zeros((num_particles, 3))
     if compute_potential:
-        psi_pairs = adjacent_pairs(spline_eval(cubic_spline(
-            rgrid, -jnp.asarray(model["gravitational_potential"])), r_nodes))
-        phi_sub = -_node_value_lerp(psi_pairs, kq, wq)
-        fields["gas", "particle_potential"] = np.asarray(
-            _tile(phi_sub, sub_sample, num_particles))
+        fields["gas", "particle_potential"] = np.asarray(_tile(
+            field_at(model["gravitational_potential"]), sub_sample,
+            num_particles))
     return ClusterParticles("gas", fields)
 
 
@@ -310,6 +314,17 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
     fields[short, "particle_mass"] = np.full(num_particles,
                                              mtot / num_particles)
     if compute_potential:
-        phi = -_tile(psi_p, sub_sample, num_particles)
+        # exact-radius evaluation for the OUTPUT potential (the lerped
+        # psi_p above only bounds the escape-speed cap); reference
+        # splines at each radius, virial.py:224-234
+        from .core.interp import is_loguniform, spline_eval_loguniform
+
+        if is_loguniform(model["radius"]):
+            psi_sub = spline_eval_loguniform(
+                cubic_spline(rgrid, psi_grid), radius_sub)
+        else:
+            psi_sub = spline_eval(cubic_spline(rgrid, psi_grid),
+                                  radius_sub)
+        phi = -_tile(psi_sub, sub_sample, num_particles)
         fields[short, "particle_potential"] = np.asarray(phi)
     return ClusterParticles(short, fields)

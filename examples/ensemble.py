@@ -74,3 +74,12 @@ with tempfile.TemporaryDirectory() as td:
     for batch in catalog_batches(fn2, 2, key=jax.random.key(3)):
         x = jnp.asarray(batch["dm_position"])   # (2, 10000, 3)
         print(f"train batch: dm {x.shape}, M200 {batch['M200']}")
+
+    # physics QA gate before training on a catalog: rebuild each model
+    # and check the draws (finite, r in grid, v < v_esc, e = 1.5 P/rho)
+    from cluster_generator_tpu.parallel import verify_catalog
+
+    rep = verify_catalog(fn2, indices=[0, 1])
+    print(f"QA: {rep['n_particles_checked']} particles, "
+          f"max v/v_esc {rep['max_speed_frac']:.4f}, "
+          f"violations: {len(rep['violations'])}")

@@ -164,3 +164,46 @@ def test_bracket_indices_and_interp_monotone_match_searchsorted():
     y = jnp.asarray([0.0, 10.0, 20.0, 30.0])
     out = np.asarray(interp_monotone(jnp.asarray([1.0]), x, y))
     assert np.isfinite(out).all()
+
+
+def test_loguniform_computed_index_paths():
+    """loguniform_lerp matches np.interp and spline_eval_loguniform
+    matches the searched spline_eval on a log-uniform grid (in-range and
+    clamped-boundary queries); is_loguniform gates correctly."""
+    import numpy as np
+
+    from cluster_generator_tpu.core.interp import (
+        cubic_spline,
+        is_loguniform,
+        loguniform_lerp,
+        spline_eval,
+        spline_eval_loguniform,
+    )
+
+    rng = np.random.default_rng(11)
+    x = np.geomspace(0.1, 1e4, 513)
+    y = np.log1p(x) / (1.0 + (x / 50.0) ** 1.7)
+    assert is_loguniform(x)
+    assert not is_loguniform(np.linspace(1.0, 2.0, 64))
+    assert not is_loguniform(np.concatenate([x[:100], x[100:] * 1.01]))
+
+    q = rng.uniform(0.1, 1e4, 20000)
+    q[:3] = [0.1, 1e4, 0.1000001]  # boundary + near-boundary
+    got = np.asarray(loguniform_lerp(jnp.asarray(q), jnp.asarray(x),
+                                     jnp.asarray(y)))
+    np.testing.assert_allclose(got, np.interp(q, x, y), rtol=5e-13,
+                               atol=1e-15)
+
+    sp = cubic_spline(jnp.asarray(x), jnp.asarray(y))
+    got = np.asarray(spline_eval_loguniform(sp, jnp.asarray(q)))
+    want = np.asarray(spline_eval(sp, jnp.asarray(q)))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15)
+
+    # out-of-range queries clamp to the boundary value (no extrapolation)
+    qq = jnp.asarray([0.01, 2e4])
+    np.testing.assert_allclose(
+        np.asarray(loguniform_lerp(qq, jnp.asarray(x), jnp.asarray(y))),
+        [y[0], y[-1]], rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(spline_eval_loguniform(sp, qq)), [y[0], y[-1]],
+        rtol=1e-12)

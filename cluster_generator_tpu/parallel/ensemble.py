@@ -726,9 +726,9 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
     consumer.
 
     ``prefetch``: read batch k+1 on a background thread while batch k
-    is being consumed (reads go through the raw pread path at page-cache
-    speed, ~1.5 GB/s measured; overlap hides even that behind device
-    compute).
+    is being consumed (reads run ~1 GB/s warm on this host,
+    benchmarks/bench_catalog_io.py; the overlap hides them behind
+    device compute).
 
     ``fields``: optional dataset-name subset to read (attrs always
     included) — see :func:`read_catalog`.  Like there, ``filename``

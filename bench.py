@@ -57,7 +57,10 @@ def main() -> None:
                 "last_measured_warm_s": 0.141,
                 "last_measured_ref": "benchmarks/measurements_r4/",
             }), flush=True)
-            os._exit(0)
+            # nonzero so wrappers keying on the exit status (e.g. the
+            # round-final supervisor's stage markers) see the failure;
+            # the driver parses the JSON line either way
+            os._exit(2)
 
     threading.Thread(target=_watchdog, daemon=True).start()
     t0 = time.time()
@@ -87,7 +90,7 @@ def main() -> None:
             "last_measured_warm_s": 0.141,
             "last_measured_ref": "benchmarks/measurements_r4/",
         }))
-        return
+        sys.exit(2)  # see the watchdog's exit-status comment
     warmup_s = time.time() - t0
 
     from cluster_generator_tpu.core.aot import artifact_path, load_compiled

@@ -80,7 +80,10 @@ def main():
 
         def sweep_batches(prefetch):
             n = 0
-            for b in catalog_batches(fn, min(16, n_cl), prefetch=prefetch):
+            # drop_remainder=False so a BENCH_N_CLUSTERS that isn't a
+            # multiple of the batch size still sweeps every cluster
+            for b in catalog_batches(fn, min(16, n_cl), prefetch=prefetch,
+                                     drop_remainder=False):
                 n += b["M200"].shape[0]
             assert n == n_cl
 

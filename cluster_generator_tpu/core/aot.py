@@ -76,19 +76,30 @@ def artifact_path(directory, name):
 
 
 def prune_stale(directory, name):
-    """Delete ``name``'s artifacts whose key no longer matches
-    :func:`artifact_path` (old digest / jax version / backend).  Stale
-    files can never load again — the lookup is by filename — so they are
-    pure dead weight (the headline artifact is ~244 MB).  Returns the
-    removed paths."""
+    """Delete ``name``'s artifacts whose key can never match
+    :func:`artifact_path` again (old digest or old jax version).  Stale
+    files can never load — the lookup is by filename — so they are
+    pure dead weight (the headline artifact is ~244 MB).  Artifacts for
+    a DIFFERENT backend under the current jax version are kept: during
+    a TPU outage jax initializes on the CPU fallback, and pruning then
+    must not delete the still-loadable (and ~1.5 h to rebuild) TPU
+    artifact.  Returns the removed paths."""
     import glob
 
     keep = os.path.abspath(artifact_path(directory, name))
     removed = []
     for p in glob.glob(os.path.join(directory, f"{name}-*.aotx")):
-        if os.path.abspath(p) != keep:
-            os.remove(p)
-            removed.append(p)
+        if os.path.abspath(p) == keep:
+            continue
+        # filename layout: {name}-{ver}-{backend}-{digest}.aotx; rsplit
+        # keeps a dashed version string intact
+        rest = os.path.basename(p)[len(name) + 1:-len(".aotx")]
+        parts = rest.rsplit("-", 2)
+        if (len(parts) == 3 and parts[0] == jax.__version__
+                and parts[1] != jax.default_backend()):
+            continue  # other backend, current jax: still loadable
+        os.remove(p)
+        removed.append(p)
     return removed
 
 

@@ -206,6 +206,24 @@ def spline_eval(sp: CubicSpline, xq, nu: int = 0):
     raise ValueError("nu must be 0, 1 or 2")
 
 
+def bracket_for_spline(x, xq):
+    """One searchsorted bracketing pass over knots ``x`` for queries
+    ``xq``, reusable across several SAME-KNOT splines via
+    :func:`spline_eval_at` — per-particle searches are the measured hot
+    pattern (see :func:`bracket_indices`), so when multiple fields are
+    evaluated at the same radii, pay for exactly one."""
+    return jnp.clip(jnp.searchsorted(x, jnp.asarray(xq), side="right") - 1,
+                    0, x.shape[0] - 2)
+
+
+def spline_eval_at(sp: CubicSpline, xq, idx):
+    """:func:`spline_eval` with PRECOMPUTED bracket indices (from
+    :func:`bracket_for_spline` on the same knots).  Bit-identical to
+    ``spline_eval(sp, xq)`` (pinned by test)."""
+    t = jnp.asarray(xq) - sp.x[idx]
+    return sp.a[idx] + t * (sp.b[idx] + t * (sp.c[idx] + t * sp.d[idx]))
+
+
 def spline_eval_uniform(sp: CubicSpline, lo, step, n: int):
     """Evaluate a spline at the UNIFORM nodes ``lo + i*step, i in [0, n)``
     without any per-node binary search.

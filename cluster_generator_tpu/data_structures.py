@@ -80,6 +80,26 @@ def _paint_chunk(sp, start, deltas, left_edge, cs):
     return spline_eval(sp, rr)
 
 
+def _paint_config_digest(model, center, velocity):
+    """sha256 of everything that shapes a painted field's values —
+    recorded by the first ``add_model`` so ``resume=True`` can refuse a
+    call whose completed-field splice would mix two configurations."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.asarray(center, np.float64).tobytes())
+    h.update(np.asarray(velocity, np.float64).tobytes())
+    h.update(np.asarray(model["radius"], np.float64).tobytes())
+    for name in sorted(model.fields):
+        h.update(name.encode())
+        h.update(np.ascontiguousarray(
+            np.asarray(model[name], np.float64)).tobytes())
+    # the convention changes the painted magnetic_pressure values
+    h.update(b"gaussian" if getattr(model, "magnetic_gaussian", True)
+             else b"lorentz-heaviside")
+    return h.hexdigest()
+
+
 class YTHDF5:
     """Wrapper for the chunked-grid HDF5 files yt reads back
     (data_structures.py:62-401)."""
@@ -219,7 +239,12 @@ class YTHDF5:
         Only valid while ``model_count == 0``: later models ACCUMULATE
         into the datasets, and a partially-accumulated field cannot be
         told apart from a finished one, so resuming there would
-        double-count — it raises instead.  Multi-GB builds are
+        double-count — it raises instead.  The (model, center,
+        velocity) configuration is digested into the file on the first
+        call and must match on resume: completed fields are kept
+        verbatim, so resuming with, say, a corrected bulk velocity
+        would silently mix momenta scaled by the OLD velocity with
+        fields from the new call.  Multi-GB builds are
         sustained-disk-bound (~1-10 min; docs/performance.md), which is
         exactly when a crash would otherwise cost the whole build."""
         center = np.asarray(center, dtype=np.float64)
@@ -234,6 +259,7 @@ class YTHDF5:
         deltas = (bbox[:, 1] - bbox[:, 0]) / np.asarray(self.domain_dimensions)
         left = relative_bbox[:, 0]
 
+        digest = _paint_config_digest(model, center, velocity)
         with h5py.File(self.filename, "a") as fo:
             if resume:
                 if int(fo.attrs["model_count"]) != 0:
@@ -242,6 +268,18 @@ class YTHDF5:
                         "on a grid: later models accumulate into the "
                         "datasets and a partially-accumulated field "
                         "cannot be detected — rebuild instead")
+                have = fo.attrs.get("_paint_config")
+                if have is None:
+                    mylog.warning(
+                        "%s predates the paint-config digest; resume "
+                        "cannot verify this call matches the "
+                        "interrupted one", self.filename)
+                elif have != digest:
+                    raise ValueError(
+                        "resume=True with a different (model, center, "
+                        "velocity) than the interrupted add_model: "
+                        "completed fields would keep the OLD "
+                        "configuration — rebuild instead")
                 done = set(fo.attrs.get("_fields_done", ()))
                 if done:
                     mylog.info("Resuming: %d field(s) already painted.",
@@ -249,6 +287,7 @@ class YTHDF5:
             else:
                 done = set()
                 fo.attrs["_fields_done"] = []
+                fo.attrs["_paint_config"] = digest
             for field, unit in self._yt_fields.items():
                 extra_scaled = []
                 if field in done or "momentum_density" in field:

@@ -409,13 +409,20 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     final short batch) fall back to default placement.  ``None``
     (default) runs single-device.
 
-    ``resume=True`` restarts an interrupted run: completed batches
-    (every cluster group present with all expected datasets) are kept
-    verbatim, the partially-written batch is deleted and recomputed
+    ``resume=True`` restarts an interrupted run: completed batches are
+    kept verbatim, the partially-written batch is deleted and recomputed
     (keys fold on the batch offset, so recomputed draws are identical
     to what an uninterrupted run would have produced), and only the
-    remaining batches run.  The run configuration must match the
-    file's recorded one (counts, batch_size, num_points, PRNG key) —
+    remaining batches run.  A batch counts as complete only when the
+    ``_batches_done`` marker attr — updated AFTER its raw data bytes
+    hit the file — records it: dataset PRESENCE alone is not enough,
+    because the raw write path materializes every dataset of a batch
+    (metadata flush) before pwriting their extents, so a crash in that
+    window leaves structurally-complete groups full of zeros.  Files
+    from before this marker existed fall back to the presence check
+    (with a warning).  The run configuration must match the
+    file's recorded one (counts, batch_size, num_points, PRNG key,
+    shard identity) —
     a mismatch would splice incompatible draws and raises instead.
     Deleted partial groups leave their (at most one batch of) file
     extent unreferenced — HDF5 does not reclaim it — which is the
@@ -506,6 +513,12 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
               # resume must re-run under the same ens-axis layout for
               # the splice to be bit-faithful
               "mesh_ens": 0 if mesh is None else int(mesh.shape["ens"]),
+              # shard identity: resuming a multihost shard through a
+              # plain (or wrong-rank) call would silently compute every
+              # other rank's batches into this shard
+              "shard_rank": int((_extra_attrs or {}).get("shard_rank", 0)),
+              "shard_count": int((_extra_attrs or {}).get("shard_count",
+                                                          1)),
               "key_data": np.asarray(jax.random.key_data(key)).ravel()}
     if full:
         for s, n in counts.items():
@@ -518,8 +531,11 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
             if bool(f.attrs.get("complete", False)):
                 mylog.info("Catalog %s is already complete.", path)
                 return str(path)
+            # shard identity defaults for files written before it was
+            # recorded: a plain run's values
+            defaults = {"shard_rank": 0, "shard_count": 1}
             for k, v in config.items():
-                have = f.attrs.get(k)
+                have = f.attrs.get(k, defaults.get(k))
                 if have is None or not np.array_equal(have, v):
                     raise ValueError(
                         f"resume config mismatch on {k!r}: file has "
@@ -531,15 +547,35 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
             for k, v in (_extra_attrs or {}).items():
                 f.attrs[k] = v
             f.attrs["units"] = "kpc, kpc/Myr, Msun (galactic)"
+            f.attrs["_batches_done"] = np.zeros((0,), np.int64)
+        if resuming and "_batches_done" in f.attrs:
+            done = set(np.asarray(f.attrs["_batches_done"]).tolist())
+        elif resuming:  # pre-marker file: presence is the best we have
+            mylog.warning(
+                "%s predates the _batches_done marker; falling back to "
+                "dataset-presence completion checks (cannot detect a "
+                "crash inside a batch's raw write window)", path)
+            done = None
+        else:
+            done = set()
+
+        def _mark(b0_done):
+            # AFTER raw.flush() returned: the batch's bytes are in the
+            # file.  The marker write is what makes it count on resume.
+            if done is not None:
+                done.add(int(b0_done))
+                f.attrs["_batches_done"] = np.asarray(sorted(done),
+                                                      np.int64)
+
         todo = []
         mine = (range(0, n_cl, batch_size) if _only_batches is None
                 else sorted(_only_batches))
         for b0 in mine:
             names = [f"cluster_{i:06d}"
                      for i in range(b0, min(b0 + batch_size, n_cl))]
-            if resuming and all(nm in f and all(ds in f[nm]
-                                                for ds in expected)
-                                for nm in names):
+            have_all = all(nm in f and all(ds in f[nm] for ds in expected)
+                           for nm in names)
+            if resuming and have_all and (done is None or b0 in done):
                 continue
             if resuming:
                 for nm in names:  # drop the partial batch, recompute it
@@ -554,9 +590,11 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
             nxt = (b0, *_dispatch(b0))  # async dispatch BEFORE the write
             if pending is not None:
                 write(f, *pending)
+                _mark(pending[0])
             pending = nxt
         if pending is not None:
             write(f, *pending)
+            _mark(pending[0])
         f.attrs["complete"] = True
     return str(path)
 
@@ -665,43 +703,63 @@ def read_catalog(filename, indices=None, fields=None):
     across the set (each group name appears in exactly one shard)."""
     import contextlib
 
-    import h5py
-
-    from ..core.h5raw import RawReader
-
-    filenames = ([filename] if isinstance(filename, (str, os.PathLike))
-                 else list(filename))
+    filenames = _catalog_filenames(filename)
     with contextlib.ExitStack() as stack:
-        files = [stack.enter_context(h5py.File(fn, "r"))
-                 for fn in filenames]
-        readers = [stack.enter_context(RawReader(f)) for f in files]
-        n_cl = int(files[0].attrs["n_clusters"])
-        # each cluster group lives in exactly one shard
-        where = {name: j for j, f in enumerate(files) for name in f
-                 if name.startswith("cluster_")}
+        files, readers, n_cl, where = _open_catalog(stack, filenames)
         if indices is None:
             indices = range(n_cl)
         if fields is not None:
             fields = list(fields)
         for i in indices:
-            name = f"cluster_{int(i):06d}"
-            j = where.get(name)
-            if j is None:
-                raise KeyError(
-                    f"{name} missing from {filenames}: incomplete "
-                    "catalog (interrupted run?) — finish it with "
-                    "ensemble_datagen(..., resume=True)")
-            g = files[j][name]
-            if fields is not None:
-                missing = [k for k in fields if k not in g]
-                if missing:
-                    raise KeyError(
-                        f"fields {missing} not in cluster group "
-                        f"(has {sorted(g)})")
-            out = {k: readers[j].read(g[k])
-                   for k in (g if fields is None else fields)}
-            out.update(g.attrs)
-            yield int(i), out
+            yield int(i), _read_cluster(files, readers, where, int(i),
+                                        fields, filenames)
+
+
+def _catalog_filenames(filename):
+    """Normalize the filename-or-shard-sequence argument ONCE — a
+    one-shot iterable (e.g. ``glob.iglob``) consumed twice would leave
+    the second consumer an empty list."""
+    if isinstance(filename, (str, os.PathLike)):
+        return [str(filename)]
+    return [str(fn) for fn in filename]
+
+
+def _open_catalog(stack, filenames):
+    """Open a catalog's shard files + raw readers on ``stack`` and build
+    the cluster-group -> shard map (each group lives in exactly one
+    shard).  The map walk is O(total groups) — do it once per consumer
+    call, not once per batch."""
+    import h5py
+
+    from ..core.h5raw import RawReader
+
+    files = [stack.enter_context(h5py.File(fn, "r")) for fn in filenames]
+    readers = [stack.enter_context(RawReader(f)) for f in files]
+    n_cl = int(files[0].attrs["n_clusters"])
+    where = {name: j for j, f in enumerate(files) for name in f
+             if name.startswith("cluster_")}
+    return files, readers, n_cl, where
+
+
+def _read_cluster(files, readers, where, i, fields, filenames):
+    name = f"cluster_{int(i):06d}"
+    j = where.get(name)
+    if j is None:
+        raise KeyError(
+            f"{name} missing from {filenames}: incomplete "
+            "catalog (interrupted run?) — finish it with "
+            "ensemble_datagen(..., resume=True)")
+    g = files[j][name]
+    if fields is not None:
+        missing = [k for k in fields if k not in g]
+        if missing:
+            raise KeyError(
+                f"fields {missing} not in cluster group "
+                f"(has {sorted(g)})")
+    out = {k: readers[j].read(g[k])
+           for k in (g if fields is None else fields)}
+    out.update(g.attrs)
+    return out
 
 
 def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
@@ -738,45 +796,52 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
     simulation-code files; batched catalog consumption is the rebuild's
     ensemble-scale product (SURVEY §2.3 / BASELINE ensemble-datagen row).
     """
-    import h5py
+    import contextlib
 
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-    first = (filename if isinstance(filename, (str, os.PathLike))
-             else list(filename)[0])
-    with h5py.File(first, "r") as f:
-        n_cl = int(f.attrs["n_clusters"])
-    order = np.arange(n_cl)
-    if key is not None:
-        order = np.asarray(jax.random.permutation(key, n_cl))
-    limit = n_cl - (n_cl % batch_size) if drop_remainder else n_cl
-    batches = [order[i:i + batch_size] for i in range(0, limit, batch_size)]
+    filenames = _catalog_filenames(filename)
+    # files and the group->shard map live for the whole iteration: one
+    # open + one O(n_cl) map walk per call, not one per batch
+    with contextlib.ExitStack() as stack:
+        files, readers, n_cl, where = _open_catalog(stack, filenames)
+        fieldlist = None if fields is None else list(fields)
+        order = np.arange(n_cl)
+        if key is not None:
+            order = np.asarray(jax.random.permutation(key, n_cl))
+        limit = n_cl - (n_cl % batch_size) if drop_remainder else n_cl
+        batches = [order[i:i + batch_size]
+                   for i in range(0, limit, batch_size)]
 
-    def _read(idx):
-        clusters = [cl for _, cl in read_catalog(filename, indices=idx,
-                                                 fields=fields)]
-        return {k: np.stack([cl[k] for cl in clusters])
-                for k in clusters[0]}
+        def _read(idx):
+            clusters = [_read_cluster(files, readers, where, int(i),
+                                      fieldlist, filenames) for i in idx]
+            return {k: np.stack([cl[k] for cl in clusters])
+                    for k in clusters[0]}
 
-    if not prefetch:
-        for b in batches:
-            yield _read(b)
-        return
-    from concurrent.futures import ThreadPoolExecutor
+        if not prefetch:
+            for b in batches:
+                yield _read(b)
+            return
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = None
-        for b in batches:
-            nxt = ex.submit(_read, b)
+        # single worker: reads are serialized (h5py objects are used by
+        # at most one thread at a time), batch k+1 reads while the
+        # consumer works on batch k
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = None
+            for b in batches:
+                nxt = ex.submit(_read, b)
+                if fut is not None:
+                    yield fut.result()
+                fut = nxt
             if fut is not None:
                 yield fut.result()
-            fut = nxt
-        if fut is not None:
-            yield fut.result()
 
 
 def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
-                   energy_rtol=5e-3, radius_tol=1e-6, mass_rtol=1e-5):
+                   energy_rtol=5e-3, radius_tol=1e-6, mass_rtol=1e-5,
+                   zero_row_tol=1e-4):
     """Physics QA gate for datagen catalogs — the check a training
     pipeline runs before trusting a dataset.
 
@@ -785,6 +850,16 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
     checked against it:
 
     * every dataset is finite;
+    * datasets are not zero-filled: more than ``zero_row_tol`` of a
+      species' radii exactly zero, or an all-zero collisionless
+      velocity block, means unwritten file extents (a crash inside the
+      raw write window materializes every dataset of a batch before
+      its bytes land; :func:`ensemble_datagen`'s ``_batches_done``
+      marker prevents *resume* from keeping such batches, and this
+      check catches them in any file regardless of provenance).  A
+      legitimate draw CAN yield r = 0 exactly (the sampling CDF starts
+      at r = 0 and an f32 uniform hits 0 with p ~ 6e-8), so single
+      zero rows are tolerated;
     * particle radii lie inside the model's radial grid (± radius_tol);
     * collisionless speeds do not exceed the local escape speed
       ``sqrt(2 psi(r))`` by more than ``speed_tol`` (the draws use f32
@@ -802,9 +877,8 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
     catalogs."""
     import h5py
 
-    first = (filename if isinstance(filename, (str, os.PathLike))
-             else list(filename)[0])
-    with h5py.File(first, "r") as f:
+    filenames = _catalog_filenames(filename)
+    with h5py.File(filenames[0], "r") as f:
         num_points = int(f.attrs["num_points"])
         n_cl = int(f.attrs["n_clusters"])
     if indices is None:
@@ -813,7 +887,8 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
 
     report = {"n_clusters_checked": 0, "n_particles_checked": 0,
               "max_speed_frac": 0.0, "max_energy_rel_err": 0.0,
-              "max_radius_frac": 0.0, "max_mass_rel_err": 0.0,
+              "max_radius_frac": 0.0, "min_radius_frac": np.inf,
+              "max_mass_rel_err": 0.0,
               "violations": []}
     species_mass = {"dm": "dark_matter_mass", "star": "stellar_mass",
                     "gas": "gas_mass"}
@@ -826,7 +901,7 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
     build_fn = jax.jit(lambda m, c: build_one_cluster(
         m, c, num_points=num_points, with_df=False))
 
-    for i, cl in read_catalog(filename, indices=indices):
+    for i, cl in read_catalog(filenames, indices=indices):
         f = build_fn(cl["M200"], cl["conc"])
         rr = np.asarray(f["radius"])
         psi = -np.asarray(f["gravitational_potential"])
@@ -846,6 +921,15 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
             _check(np.isfinite(pos).all() and np.isfinite(vel).all(),
                    f"cluster {i} {sp}: non-finite values")
             r = np.sqrt((np.asarray(pos, np.float64) ** 2).sum(axis=1))
+            zfrac = float((r == 0.0).mean())
+            _check(zfrac <= zero_row_tol,
+                   f"cluster {i} {sp}: {zfrac:.2%} zero-radius rows "
+                   "(unwritten file extents?)")
+            _check(np.count_nonzero(vel) > 0,
+                   f"cluster {i} {sp}: all-zero velocities "
+                   "(unwritten file extents?)")
+            report["min_radius_frac"] = min(report["min_radius_frac"],
+                                            float(r.min() / rr[-1]))
             rfrac = float(r.max() / rr[-1])
             report["max_radius_frac"] = max(report["max_radius_frac"],
                                             rfrac)
@@ -869,6 +953,12 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
             _check(np.isfinite(pos).all() and np.isfinite(energy).all(),
                    f"cluster {i} gas: non-finite values")
             r = np.sqrt((np.asarray(pos, np.float64) ** 2).sum(axis=1))
+            zfrac = float((r == 0.0).mean())
+            _check(zfrac <= zero_row_tol,
+                   f"cluster {i} gas: {zfrac:.2%} zero-radius rows "
+                   "(unwritten file extents?)")
+            report["min_radius_frac"] = min(report["min_radius_frac"],
+                                            float(r.min() / rr[-1]))
             e_ref = np.interp(r, rr, e_grid)
             rel = float((np.abs(np.asarray(energy, np.float64) - e_ref)
                          / e_ref).max())

@@ -225,15 +225,25 @@ def generate_gas_particles(model, num_particles, r_max=None, sub_sample=1,
     # Log-uniform grids (every built model) take the computed-index
     # row-gather path (cubic-exact, no search); arbitrary grids fall
     # back to searched spline evaluation.
-    from .core.interp import is_loguniform, spline_eval_loguniform
+    from .core.interp import (bracket_for_spline, is_loguniform,
+                              spline_eval_at, spline_eval_loguniform)
 
     rgrid = jnp.asarray(model["radius"])
     if is_loguniform(model["radius"]):
         field_at = lambda arr: spline_eval_loguniform(
             cubic_spline(rgrid, jnp.asarray(arr)), radius_sub)
     else:
-        field_at = lambda arr: spline_eval(cubic_spline(
-            rgrid, jnp.asarray(arr)), radius_sub)
+        # arbitrary grids: ONE per-particle bracketing search shared by
+        # every field (the knots are the same), then row gathers — not
+        # a fresh searchsorted per field.  Queries are clamped to the
+        # knot range like the log-uniform path: the sampling CDF starts
+        # at r = 0, so inner-bin draws land BELOW rr[0], where the
+        # boundary-polynomial extrapolation can turn 1.5 P/rho negative
+        # (observed: e = -21 at r = 0.56 rr[0]).
+        r_clamped = jnp.clip(radius_sub, rgrid[0], rgrid[-1])
+        idx = bracket_for_spline(rgrid, r_clamped)
+        field_at = lambda arr: spline_eval_at(
+            cubic_spline(rgrid, jnp.asarray(arr)), r_clamped, idx)
     e_arr = 1.5 * jnp.asarray(model["pressure"]) / jnp.asarray(model["density"])
     energy = _tile(field_at(e_arr), sub_sample, num_particles)
     density = _tile(field_at(model["density"]), sub_sample, num_particles)
@@ -323,8 +333,11 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
             psi_sub = spline_eval_loguniform(
                 cubic_spline(rgrid, psi_grid), radius_sub)
         else:
-            psi_sub = spline_eval(cubic_spline(rgrid, psi_grid),
-                                  radius_sub)
+            # clamp like the log-uniform path (below-grid draws exist:
+            # the sampling CDF starts at r = 0)
+            psi_sub = spline_eval(
+                cubic_spline(rgrid, psi_grid),
+                jnp.clip(radius_sub, rgrid[0], rgrid[-1]))
         phi = -_tile(psi_sub, sub_sample, num_particles)
         fields[short, "particle_potential"] = np.asarray(phi)
     return ClusterParticles(short, fields)

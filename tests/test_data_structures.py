@@ -312,6 +312,12 @@ def test_add_model_resume_repaints_unfinished_fields(canonical_model,
             if field not in keep:
                 f["grid"][field][...] = np.nan
 
+    # resume with a different configuration must refuse — the completed
+    # momentum fields were scaled by the OLD bulk velocity
+    with pytest.raises(ValueError, match="different"):
+        YTHDF5.load(cut_fn).add_model(canonical_model, [0, 0, 0],
+                                      [0.2, 0, 0], resume=True)
+
     ds2 = YTHDF5.load(cut_fn)
     ds2.add_model(canonical_model, [0, 0, 0], [0.1, 0, 0], resume=True)
     with h5py.File(ref_fn) as a, h5py.File(cut_fn) as b:

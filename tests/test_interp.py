@@ -129,6 +129,32 @@ def test_spline_eval_uniform_matches_searchsorted_route():
                                           np.asarray(got))
 
 
+def test_spline_eval_at_shares_one_bracketing_pass():
+    """spline_eval_at with bracket_for_spline indices is bit-identical
+    to spline_eval — several same-knot splines (multiple fields at the
+    same particle radii) can share ONE searchsorted pass."""
+    from cluster_generator_tpu.core.interp import (
+        bracket_for_spline,
+        cubic_spline,
+        spline_eval,
+        spline_eval_at,
+    )
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(np.sort(rng.uniform(0.1, 10.0, 64)))
+    xq = jnp.asarray(np.concatenate([
+        rng.uniform(0.0, 11.0, 300),     # below, inside, above range
+        np.asarray(x)[[0, 5, 63]],       # exactly on knots
+    ]))
+    idx = bracket_for_spline(x, xq)
+    for seed in range(3):  # three "fields" on the same knots
+        y = jnp.asarray(np.random.default_rng(seed).standard_normal(64))
+        sp = cubic_spline(x, y)
+        np.testing.assert_array_equal(np.asarray(spline_eval(sp, xq)),
+                                      np.asarray(spline_eval_at(sp, xq,
+                                                                idx)))
+
+
 def test_bracket_indices_and_interp_monotone_match_searchsorted():
     """bracket_indices (compare-matrix bracketing — vmapped searchsorted
     was a dominant TPU table-build stage, r4_cfg5b_stages.log) matches

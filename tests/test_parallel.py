@@ -792,3 +792,114 @@ def test_catalog_to_particles_bridge(tmp_path):
     p2 = catalog_to_particles(dm_fn, 2)
     assert p2.particle_types == ["dm"]
     assert p2.num_particles == {"dm": 900}
+
+
+def test_datagen_resume_detects_unwritten_extents(tmp_path):
+    """A crash inside the raw write window leaves every dataset of a
+    batch PRESENT (RawWriter flushes the batch's metadata before
+    pwriting its bytes) but zero-filled.  The ``_batches_done`` marker
+    — updated only after the bytes land — makes resume recompute such
+    batches; verify_catalog flags them in any file regardless of
+    provenance; pre-marker files fall back to the presence check."""
+    import h5py
+
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        read_catalog,
+        sample_ensemble_params,
+        verify_catalog,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(4), 7)
+    kw = dict(n_particles_per_cluster={"dm": 300, "gas": 200, "star": 80},
+              batch_size=2, num_points=128, key=jax.random.key(11))
+    ref_fn = str(tmp_path / "ref.h5")
+    ensemble_datagen(M, c, ref_fn, **kw)
+    ref = dict(read_catalog(ref_fn))
+
+    fn = str(tmp_path / "crash.h5")
+    ensemble_datagen(M, c, fn, **kw)
+    # simulate the window for the batch at b0=2 (clusters 2 and 3):
+    # datasets present, extents never written, marker not yet recorded
+    with h5py.File(fn, "a") as f:
+        assert sorted(f.attrs["_batches_done"]) == [0, 2, 4, 6]
+        del f.attrs["complete"]
+        f.attrs["_batches_done"] = np.asarray(
+            [b for b in f.attrs["_batches_done"] if b != 2], np.int64)
+        for i in (2, 3):
+            g = f[f"cluster_{i:06d}"]
+            for k in g:
+                g[k][...] = 0.0
+
+    with pytest.raises(ValueError, match="zero"):
+        verify_catalog(fn)
+
+    ensemble_datagen(M, c, fn, resume=True, **kw)
+    got = dict(read_catalog(fn))
+    assert sorted(got) == sorted(ref)
+    for i in ref:
+        for k in ref[i]:
+            np.testing.assert_array_equal(got[i][k], ref[i][k],
+                                          err_msg=f"cluster {i} {k}")
+    assert verify_catalog(fn)["violations"] == []
+
+    # pre-marker files (no _batches_done attr) fall back to the
+    # dataset-presence check
+    with h5py.File(fn, "a") as f:
+        del f.attrs["complete"]
+        del f.attrs["_batches_done"]
+        del f["cluster_000004"]
+    ensemble_datagen(M, c, fn, resume=True, **kw)
+    got = dict(read_catalog(fn))
+    np.testing.assert_array_equal(got[4]["dm_position"],
+                                  ref[4]["dm_position"])
+
+
+def test_multihost_shard_resume_requires_matching_rank(tmp_path):
+    """Resuming a multihost shard through a plain ensemble_datagen call
+    (or the wrong rank) refuses — it would silently compute every other
+    rank's batches into this shard."""
+    import h5py
+
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        ensemble_datagen_multihost,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(2), 6)
+    kw = dict(n_particles_per_cluster=400, batch_size=2, num_points=128,
+              key=jax.random.key(1))
+    shard = ensemble_datagen_multihost(M, c, str(tmp_path / "s.h5"),
+                                       rank=1, nproc=3, **kw)
+    with h5py.File(shard, "a") as f:
+        del f.attrs["complete"]
+    with pytest.raises(ValueError, match="shard_rank"):
+        ensemble_datagen(M, c, shard, resume=True, **kw)
+    # (a WRONG rank through the multihost API lands on a different
+    # filename — the rank is embedded in the shard name — so the only
+    # collision path is the plain-call one above)
+    # the matching rank resumes fine
+    ensemble_datagen_multihost(M, c, str(tmp_path / "s.h5"),
+                               rank=1, nproc=3, resume=True, **kw)
+
+
+def test_catalog_consumers_accept_one_shot_iterables(tmp_path):
+    """catalog_batches / verify_catalog normalize the filename-sequence
+    argument ONCE — a generator (e.g. glob.iglob over shards) must not
+    be silently exhausted by a metadata peek."""
+    from cluster_generator_tpu.parallel import (
+        catalog_batches,
+        ensemble_datagen,
+        sample_ensemble_params,
+        verify_catalog,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(8), 5)
+    fn = str(tmp_path / "c.h5")
+    ensemble_datagen(M, c, fn, 400, batch_size=2, num_points=128,
+                     key=jax.random.key(1))
+    n = sum(b["M200"].shape[0]
+            for b in catalog_batches(iter([fn]), 2, drop_remainder=False))
+    assert n == 5
+    assert verify_catalog(iter([fn]))["violations"] == []

@@ -123,6 +123,36 @@ def test_gas_particles(canonical_model):
     assert (np.asarray(p["gas", "particle_potential"]) < 0).all()
 
 
+def test_gas_particles_arbitrary_grid_clamps_below_grid_draws(
+        canonical_model):
+    """The non-log-uniform fallback shares ONE bracketing search across
+    fields and CLAMPS queries to the knot range like the log-uniform
+    path: the sampling CDF starts at r = 0, so inner-bin draws land
+    below rr[0], where boundary-polynomial extrapolation turned
+    1.5 P/rho negative (observed e = -21 at r = 0.56 rr[0])."""
+    import cluster_generator_tpu as cg
+
+    rr = np.asarray(canonical_model["radius"])
+    warped = np.sort(rr * (1.0 + 0.01 * np.sin(np.arange(rr.size))))
+    fields = dict(canonical_model.fields)
+    fields["radius"] = warped
+    m2 = cg.ClusterModel(len(warped), fields)
+
+    p = m2.generate_gas_particles(50_000, prng=2, compute_potential=True)
+    e = np.asarray(p["gas", "thermal_energy"])
+    assert np.isfinite(e).all() and (e > 0).all()
+    r = np.linalg.norm(np.asarray(p["gas", "particle_position"]), axis=1)
+    e_arr = 1.5 * np.asarray(m2["pressure"]) / np.asarray(m2["density"])
+    e_ref = IUS(warped, e_arr)(np.clip(r, warped[0], warped[-1]))
+    assert np.max(np.abs(e - e_ref) / e_ref) < 1e-12  # cubic-exact
+    assert (np.asarray(p["gas", "particle_potential"]) < 0).all()
+
+    dm = cg.VirialEquilibrium(m2, "dark_matter").generate_particles(
+        20_000, compute_potential=True, prng=3)
+    phi = np.asarray(dm["dm", "particle_potential"])
+    assert np.isfinite(phi).all() and (phi < 0).all()
+
+
 def test_tracer_particles(canonical_model):
     p = canonical_model.generate_tracer_particles(10_000, prng=3)
     assert (np.asarray(p["tracer", "particle_mass"]) == 0).all()

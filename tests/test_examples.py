@@ -47,6 +47,13 @@ def test_ensemble_example(tmp_path):
     assert "built" in res.stdout and "clusters" in res.stdout
 
 
+def test_train_on_catalog_example(tmp_path):
+    """The datagen-consumption loop: catalog -> shuffled prefetched
+    batches -> jitted optax training step; the loss must improve."""
+    res = _run("train_on_catalog.py", tmp_path)
+    assert "improved" in res.stdout and "NOT improved" not in res.stdout
+
+
 def test_bench_smoke(tmp_path):
     """bench.py stays runnable and emits exactly one valid JSON line."""
     import json

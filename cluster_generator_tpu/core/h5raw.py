@@ -189,6 +189,8 @@ class RawReader:
 
     def __init__(self, fileio):
         self.fileio = fileio
+        if fileio.mode != "r":  # pending buffered writes must land first
+            fileio.flush()
         self.fd = os.open(fileio.filename, os.O_RDONLY)
 
     def read(self, dset):
@@ -213,9 +215,26 @@ class RawReader:
 def read_slab(dset, lo, hi):
     """``dset[lo:hi]`` (outer-dimension slab) via pread when eligible,
     h5py otherwise.  The returned array may be read-only (zero-copy from
-    the pread buffer)."""
+    the pread buffer).
+
+    ``hi`` is clamped to the extent exactly like the h5py slice the
+    fallback takes — an un-clamped raw pread past the dataset's extent
+    would silently return bytes belonging to whatever object follows it
+    in the file.  Negative ``lo`` raises: h5py would wrap it to the end
+    while the raw path would read a neighboring object's bytes, so
+    neither silent meaning is safe."""
+    if lo < 0:
+        raise ValueError(f"read_slab lo must be >= 0, got {lo}")
+    n = dset.shape[0]
+    lo = int(lo)
+    hi = min(int(hi), n)
     if not _raw_eligible(dset):
         return dset[lo:hi]
+    if hi <= lo:
+        return np.empty((0,) + dset.shape[1:], dset.dtype)
+    # pending h5py-buffered writes must land before raw access (the
+    # module-docstring contract)
+    dset.file.flush()
     row = int(np.prod(dset.shape[1:])) * dset.dtype.itemsize
     fd = os.open(dset.file.filename, os.O_RDONLY)
     try:

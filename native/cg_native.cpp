@@ -9,6 +9,7 @@
 //
 // Build: `make -C native` -> cluster_generator_tpu/ops/libcg_native.so
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -44,32 +45,9 @@ int64_t cg_construct_chunks(const uint32_t dd[3], uint32_t chunksize,
 }
 
 // ---------------------------------------------------------------------------
-// Cubic-spline evaluation with the same per-interval representation as
-// core/interp.py (y = a + b t + c t^2 + d t^3, t = x - knot[i]);
-// out-of-range queries extrapolate with the boundary polynomial.
-static inline double spline_one(const double* xs, const double* a,
-                                const double* b, const double* cc,
-                                const double* d, int64_t n, double q) {
-  // binary search for interval
-  int64_t lo = 0, hi = n - 2;
-  if (q <= xs[0]) {
-    lo = 0;
-  } else if (q >= xs[n - 1]) {
-    lo = n - 2;
-  } else {
-    while (lo < hi) {
-      int64_t mid = (lo + hi + 1) >> 1;
-      if (xs[mid] <= q)
-        lo = mid;
-      else
-        hi = mid - 1;
-    }
-  }
-  const double t = q - xs[lo];
-  return a[lo] + t * (b[lo] + t * (cc[lo] + t * d[lo]));
-}
-
-// Binary-search interval locate (same bracket convention as spline_one).
+// Binary-search interval locate — THE bracket convention for every spline
+// path in this file (evaluators must call this, never re-implement it, so
+// a convention change cannot diverge the paths).
 static inline int64_t spline_locate(const double* xs, int64_t n, double q) {
   if (q <= xs[0]) return 0;
   if (q >= xs[n - 1]) return n - 2;
@@ -82,6 +60,17 @@ static inline int64_t spline_locate(const double* xs, int64_t n, double q) {
       hi = mid - 1;
   }
   return lo;
+}
+
+// Cubic-spline evaluation with the same per-interval representation as
+// core/interp.py (y = a + b t + c t^2 + d t^3, t = x - knot[i]);
+// out-of-range queries extrapolate with the boundary polynomial.
+static inline double spline_one(const double* xs, const double* a,
+                                const double* b, const double* cc,
+                                const double* d, int64_t n, double q) {
+  const int64_t lo = spline_locate(xs, n, q);
+  const double t = q - xs[lo];
+  return a[lo] + t * (b[lo] + t * (cc[lo] + t * d[lo]));
 }
 
 // Hint-based interval search: r varies smoothly between adjacent grid
@@ -214,7 +203,9 @@ void cg_trilinear(const double* xs, int64_t nx, const double* ys, int64_t ny,
                   const double* pts /* [np*3] */, int64_t np, double* out) {
   auto locate = [](const double* cs, int64_t n, double p, int64_t* idx,
                    double* w) -> bool {
-    if (p < cs[0] || p > cs[n - 1]) return false;
+    // n < 2: no interval exists — treat the whole axis as "outside"
+    // (reading cs[1] / field[(ix+1)...] would be out of bounds)
+    if (n < 2 || p < cs[0] || p > cs[n - 1]) return false;
     int64_t lo = 0, hi = n - 2;
     while (lo < hi) {
       int64_t mid = (lo + hi + 1) >> 1;

@@ -136,3 +136,32 @@ def test_read_slab_matches_h5py(tmp_path):
         # chunked dataset takes the h5py fallback
         np.testing.assert_array_equal(read_slab(f["ch"], 1, 4),
                                       a[1:4].astype(np.float64))
+        # hi past the extent clamps like the h5py slice (an un-clamped
+        # pread would return the NEXT file object's bytes); negative lo
+        # raises (h5py would wrap, raw would read a neighbor — neither
+        # silent meaning is safe); empty ranges are empty
+        np.testing.assert_array_equal(read_slab(f["x"], 8, 14), a[8:])
+        np.testing.assert_array_equal(read_slab(f["ch"], 8, 14),
+                                      a[8:].astype(np.float64))
+        assert read_slab(f["x"], 7, 7).shape == (0, 4, 3)
+        with pytest.raises(ValueError, match="lo"):
+            read_slab(f["x"], -1, 2)
+
+
+def test_read_slab_sees_buffered_h5py_writes(tmp_path):
+    """Raw reads must observe writes still sitting in h5py/HDF5 buffers
+    (the module docstring's flush contract)."""
+    from cluster_generator_tpu.core.h5raw import RawReader, read_slab
+
+    fn = str(tmp_path / "b.h5")
+    a = np.arange(40, dtype=np.float64).reshape(10, 4)
+    with h5py.File(fn, "w") as f:
+        w = RawWriter(f)
+        d = w.add(f, "x", a)
+        w.flush()
+        d[3:5] = -a[3:5]  # through h5py, possibly buffered
+        got = read_slab(d, 2, 6)
+        np.testing.assert_array_equal(got[1:3], -a[3:5])
+        r = RawReader(f)
+        np.testing.assert_array_equal(r.read(d)[3:5], -a[3:5])
+        r.close()

@@ -66,3 +66,59 @@ def test_trilinear_matches_scipy():
     ref = RegularGridInterpolator((xs, xs, xs), field, bounds_error=False,
                                   fill_value=0.0)(pts)
     assert np.abs(v_nat - ref).max() < 1e-13
+
+
+def test_input_validation_guards():
+    """Undersized/ill-shaped inputs raise real exceptions BEFORE the C++
+    kernels see them (a bad buffer handed to ctypes is heap corruption,
+    and asserts vanish under python -O)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="3 values"):
+        native.construct_chunks((128, 128), 32)
+    xs = np.linspace(0, 1, 8)
+    field = np.zeros((8, 8, 8))
+    with pytest.raises(ValueError, match="field shape"):
+        native.trilinear(xs, xs, xs, np.zeros((8, 8, 7)),
+                         np.zeros((4, 3)))
+    with pytest.raises(ValueError, match=">= 2 coordinates"):
+        native.trilinear(np.zeros(1), xs, xs, np.zeros((1, 8, 8)),
+                         np.zeros((4, 3)))
+    from cluster_generator_tpu.core.interp import cubic_spline
+
+    sp = cubic_spline(np.linspace(1.0, 2.0, 16), np.ones(16))
+    starts = np.zeros((2, 3), dtype=np.int64)
+    if native.available():
+        with pytest.raises(ValueError, match="out buffer"):
+            native.paint_radial_chunks(sp, starts, 4, np.ones(3),
+                                       np.zeros(3),
+                                       out=np.empty((2, 4, 4, 3)))
+
+
+def test_stale_library_is_rebuilt_not_dlopened(tmp_path):
+    """A libcg_native.so older than cg_native.cpp is rebuilt on first
+    load (make's mtime rule runs every time) — dlopening stale native
+    code is how missing-symbol AttributeErrors and silently-divergent
+    kernels happen."""
+    import os
+    import subprocess
+    import sys
+
+    so = os.path.join(os.path.dirname(native.__file__),
+                      "libcg_native.so")
+    if not os.path.exists(so):
+        pytest.skip("native library not built")
+    cpp = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(native.__file__))), "native", "cg_native.cpp")
+    old = os.path.getmtime(cpp) - 100.0
+    os.utime(so, (old, old))
+    code = (
+        "from cluster_generator_tpu.ops import native\n"
+        "import os\n"
+        "assert native.available()\n"
+        f"assert os.path.getmtime({so!r}) > {old!r}, 'not rebuilt'\n"
+        "print('REBUILT OK')\n")
+    res = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert "REBUILT OK" in res.stdout

@@ -68,10 +68,17 @@ _REGISTRY: dict[str, tuple[float, tuple[float, float, float, float]]] = {
     "erg/g": (1.0e-4 * (C.MYR_S / C.KPC_M) ** 2, (0, 2, -2, 0)),
     # temperature-as-energy (keV) — stored natively for the temperature field
     "keV": (1.0, (0, 0, 0, 0)),  # opaque: temperature fields carry keV natively
-    # magnetic field — stored natively in gauss
-    "gauss": (1.0, (0, 0, 0, 0)),
-    "G": (1.0, (0, 0, 0, 0)),
-    "uG": (1.0e-6, (0, 0, 0, 0)),
+    # magnetic field — stored natively in gauss; dimensions are the true
+    # Gaussian-cgs ones (B ~ g^1/2 cm^-1/2 s^-1) so dimension checks can
+    # tell a field strength from a velocity or a plain scalar
+    "gauss": (1.0, (0.5, -0.5, -1, 0)),
+    "G": (1.0, (0.5, -0.5, -1, 0)),
+    "uG": (1.0e-6, (0.5, -0.5, -1, 0)),
+    # magnetic vector potential (B x length; ClusterField.units for
+    # vector_potential=True fields — particles.py:89)
+    "gauss*kpc": (1.0, (0.5, 0.5, -1, 0)),
+    "G*kpc": (1.0, (0.5, 0.5, -1, 0)),
+    "uG*kpc": (1.0e-6, (0.5, 0.5, -1, 0)),
     # distribution function (model.py "Msun*Myr**3/kpc**6")
     "Msun*Myr**3/kpc**6": (1.0, (1, -6, 3, 0)),
     # potential gradient
@@ -90,6 +97,27 @@ def unit_factor(unit: str) -> float:
         return _REGISTRY[unit][0]
     except KeyError:
         raise KeyError(f"Unknown unit {unit!r}; register it in core/units.py")
+
+
+def conversion_factor(from_unit: str, to_unit: str) -> float:
+    """Factor converting values in ``from_unit`` to ``to_unit``,
+    REFUSING dimensionally-incompatible pairs (``unit_factor`` ratios
+    alone would happily convert gauss to kpc/Myr)."""
+    try:
+        f_f, d_f = _REGISTRY[from_unit]
+    except KeyError:
+        raise KeyError(f"Unknown unit {from_unit!r}; register it in "
+                       "core/units.py")
+    try:
+        f_t, d_t = _REGISTRY[to_unit]
+    except KeyError:
+        raise KeyError(f"Unknown unit {to_unit!r}; register it in "
+                       "core/units.py")
+    if d_f != d_t:
+        raise ValueError(
+            f"Unit {to_unit!r} (dimensions {d_t}) is not convertible "
+            f"from {from_unit!r} (dimensions {d_f}).")
+    return f_f / f_t
 
 
 def to_galactic(x, unit: str):

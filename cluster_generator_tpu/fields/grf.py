@@ -233,7 +233,10 @@ class ClusterField:
         if units is None:
             cluster_particles.set_field(ptype, self._name, out)
         else:
-            factor = U.unit_factor(self.units) / U.unit_factor(units)
+            # dimension-checked: converting gauss to kpc/Myr (or a
+            # vector potential's gauss*kpc to uG) raises instead of
+            # silently relabelling the values
+            factor = U.conversion_factor(self.units, units)
             cluster_particles.set_field(ptype, self._name, out * factor,
                                         units=units)
 
@@ -293,26 +296,30 @@ class GaussianRandomField(ClusterField):
                          divergence_clean=divergence_clean, dtype=dtype)
 
         nx, ny, nz = self.ddims
-        num_halos = sum(r is not None for r in (r1, r2, r3))
+        # halo slots bind by POSITION — validate each slot whole, so a
+        # partially-given slot raises instead of silently dropping a
+        # halo (counting r's alone made ctr3+g3-without-r3 vanish) or
+        # crashing in np.asarray(None)
         ctrs, rs, gs = [], [], []
-        if num_halos >= 1:
-            if ctr1 is None:
-                ctr1 = 0.5 * (self.left_edge + self.right_edge)
-            ctrs.append(parse_value(ctr1, "kpc"))
-            rs.append(parse_value(r1, "kpc"))
-            gs.append(parse_value(g1, self._units))
-        if num_halos >= 2:
-            if ctr2 is None:
-                raise RuntimeError("Need to specify 'ctr2' for the second halo!")
-            ctrs.append(parse_value(ctr2, "kpc"))
-            rs.append(parse_value(r2, "kpc"))
-            gs.append(parse_value(g2, self._units))
-        if num_halos == 3:
-            if ctr3 is None:
-                raise RuntimeError("Need to specify 'ctr3' for the third halo!")
-            ctrs.append(parse_value(ctr3, "kpc"))
-            rs.append(parse_value(r3, "kpc"))
-            gs.append(parse_value(g3, self._units))
+        for ctr, r, g, tag in ((ctr1, r1, g1, "1"), (ctr2, r2, g2, "2"),
+                               (ctr3, r3, g3, "3")):
+            if ctr is None and r is None and g is None:
+                continue
+            if r is None or g is None:
+                raise ValueError(
+                    f"halo {tag} is partially specified (r{tag}="
+                    f"{'set' if r is not None else None}, g{tag}="
+                    f"{'set' if g is not None else None}): each halo "
+                    f"needs both r{tag} and g{tag}")
+            if ctr is None:
+                if tag != "1":
+                    raise RuntimeError(
+                        f"Need to specify 'ctr{tag}' for halo {tag}!")
+                ctr = 0.5 * (self.left_edge + self.right_edge)
+            ctrs.append(parse_value(ctr, "kpc"))
+            rs.append(parse_value(r, "kpc"))
+            gs.append(parse_value(g, self._units))
+        num_halos = len(ctrs)
 
         k0 = 2.0 * np.pi / float(parse_value(l_min, "kpc"))
         k1 = 2.0 * np.pi / float(parse_value(l_max, "kpc"))
@@ -340,8 +347,14 @@ class GaussianRandomField(ClusterField):
                 # batch 1); f64 needs c128 FFTs the TPU lacks, so the
                 # fused route keeps the f64/CPU path
                 use_rfft = self.dtype != jnp.float64
-            core = (_grf_core_rfft_staged if use_rfft and
-                    self.dtype != jnp.float64 else _grf_core_fused)
+            elif use_rfft and self.dtype == jnp.float64:
+                mylog.warning(
+                    "use_rfft=True ignored for float64 fields (the "
+                    "half-spectrum route needs complex128 FFTs the TPU "
+                    "lacks); using the fused complex transform")
+                use_rfft = False
+            core = (_grf_core_rfft_staged if use_rfft
+                    else _grf_core_fused)
             self.gx, self.gy, self.gz = core(
                 key, (nx, ny, nz), jnp.asarray(kx), jnp.asarray(ky),
                 jnp.asarray(kz), jnp.asarray(kxd, self.dtype),
@@ -365,7 +378,7 @@ class GaussianRandomField(ClusterField):
             rr = jnp.sqrt((X - ctr[0]) ** 2 + (Y - ctr[1]) ** 2
                           + (Z - ctr[2]) ** 2)
             if r_max is not None:
-                rr = jnp.minimum(rr, r_max)
+                rr = jnp.minimum(rr, parse_value(r_max, "kpc"))
             gval = jnp.interp(rr, jnp.asarray(rprof), jnp.asarray(gprof))
             g2sum = g2sum + gval.astype(self.dtype) ** 2
         scale = jnp.sqrt(g2sum)
@@ -394,6 +407,17 @@ class GaussianRandomField(ClusterField):
         mylog.info("Field generation complete.")
 
 
+def _spectrum_sigma(kk, k0, k1, alpha, dtype):
+    """THE spectrum shaping used by every GRF path (plain, fused,
+    staged-rfft cores here and the sharded generator in
+    parallel/fields.py): Kolmogorov-like power-law with an outer-scale
+    cutoff, zero mode carries no power.  One definition so a spectrum
+    tweak cannot silently diverge the paths."""
+    sigma = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * jnp.exp(
+        -0.5 * (kk / k0) ** 2)
+    return sigma.at[(0,) * sigma.ndim].set(0.0).astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("shape", "dtype"))
 def _grf_core(key, shape, kx, ky, kz, k0, k1, alpha, dtype):
     """White noise -> spectrum-shaped unit-rms Gaussian random field."""
@@ -401,9 +425,7 @@ def _grf_core(key, shape, kx, ky, kz, k0, k1, alpha, dtype):
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     noise = jax.random.normal(key, (3, nx, ny, nz), dtype=dtype)
     kk = jnp.sqrt(kx**2 + ky**2 + kz**2)
-    sigma = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * jnp.exp(
-        -0.5 * (kk / k0) ** 2)
-    sigma = sigma.at[0, 0, 0].set(0.0).astype(dtype)
+    sigma = _spectrum_sigma(kk, k0, k1, alpha, dtype)
 
     def shape_one(w):
         W = jnp.fft.fftn(w.astype(cdtype))
@@ -435,9 +457,7 @@ def _grf_core_fused(key, shape, kx, ky, kz, kxd, kyd, kzd, k0, k1, alpha,
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     noise = jax.random.normal(key, (3, nx, ny, nz), dtype=dtype)
     kk = jnp.sqrt(kx**2 + ky**2 + kz**2)
-    sigma = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * jnp.exp(
-        -0.5 * (kk / k0) ** 2)
-    sigma = sigma.at[0, 0, 0].set(0.0).astype(dtype)
+    sigma = _spectrum_sigma(kk, k0, k1, alpha, dtype)
 
     W = [jnp.fft.fftn(noise[i].astype(cdtype)) * sigma for i in range(3)]
 
@@ -521,9 +541,7 @@ def _grf_core_rfft_staged(key, shape, kx, ky, kz, kxd, kyd, kzd, k0, k1,
     nzh = nz // 2 + 1
     kz_h, kzd_h = kz[..., :nzh], kzd[..., :nzh]
     kk = jnp.sqrt(kx**2 + ky**2 + kz_h**2)
-    sigma = (1.0 + (kk / k1) ** 2) ** (0.25 * alpha) * jnp.exp(
-        -0.5 * (kk / k0) ** 2)
-    sigma = sigma.at[0, 0, 0].set(0.0).astype(dtype)
+    sigma = _spectrum_sigma(kk, k0, k1, alpha, dtype)
     wz = np.full(nzh, 2.0, dtype=np.float32)
     wz[0] = 1.0
     if nz % 2 == 0:

@@ -196,6 +196,54 @@ def test_map_field_units_kwarg(bfield, canonical_model):
                                p2["gas", "magnetic_field"], rtol=1e-12)
     with pytest.raises(KeyError):
         bfield.map_field_to_particles(p1, ptype="gas", units="furlongs")
+    # dimensionally wrong units raise instead of silently converting
+    # with a factor ratio of known-but-incompatible units
+    with pytest.raises(ValueError, match="not convertible"):
+        bfield.map_field_to_particles(p1, ptype="gas", units="kpc/Myr")
+
+
+def test_vector_potential_map_field_units(canonical_model):
+    """Mapping a vector potential with units= works ('gauss*kpc' is a
+    real registry unit — it used to KeyError) and a bare field-strength
+    target for a potential raises on dimensions."""
+    p = canonical_model.generate_gas_particles(400, r_max=400.0, prng=3)
+    p2 = canonical_model.generate_gas_particles(400, r_max=400.0, prng=3)
+    A = cg.RandomMagneticVectorPotential(LE, RE, [16] * 3, 50.0, 500.0,
+                                         5e-6, prng=11)
+    assert A.units == "gauss*kpc"
+    A.map_field_to_particles(p, ptype="gas")
+    A.map_field_to_particles(p2, ptype="gas", units="uG*kpc")
+    np.testing.assert_allclose(p["gas", "magnetic_vector_potential"],
+                               p2["gas", "magnetic_vector_potential"],
+                               rtol=1e-12)
+    with pytest.raises(ValueError, match="not convertible"):
+        A.map_field_to_particles(p, ptype="gas", units="uG")
+
+
+def test_halo_slots_bind_by_position():
+    """Halo arguments validate per SLOT: a partially-given slot raises
+    (it used to silently drop the halo or crash in np.asarray(None)),
+    and a fully-given later slot is honored."""
+    rr = np.linspace(1.0, 800.0, 64)
+    gg = 1e-6 * np.exp(-rr / 300.0)
+    with pytest.raises(ValueError, match="partially specified"):
+        cg.GaussianRandomField(LE, RE, [16] * 3, 50.0, 500.0,
+                               ctr1=[500.0] * 3, g1=gg, prng=1)
+    with pytest.raises(ValueError, match="halo 2"):
+        cg.GaussianRandomField(LE, RE, [16] * 3, 50.0, 500.0,
+                               ctr1=[500.0] * 3, r1=rr, g1=gg,
+                               ctr2=[200.0] * 3, g2=gg, prng=1)
+    # two fully-specified slots -> both halos shape the field
+    f2 = cg.GaussianRandomField(LE, RE, [16] * 3, 50.0, 500.0,
+                                ctr1=[300.0] * 3, r1=rr, g1=gg,
+                                ctr2=[700.0] * 3, r2=rr, g2=gg, prng=5)
+    f1 = cg.GaussianRandomField(LE, RE, [16] * 3, 50.0, 500.0,
+                                ctr1=[300.0] * 3, r1=rr, g1=gg, prng=5)
+    assert not np.allclose(f2["vector_x"], f1["vector_x"])
+    # r_max accepts (value, unit) tuples like every other length arg
+    cg.GaussianRandomField(LE, RE, [16] * 3, 50.0, 500.0,
+                           ctr1=[300.0] * 3, r1=rr, g1=gg,
+                           r_max=(0.4, "Mpc"), prng=5)
 
 
 def test_tuple_unit_inputs(canonical_model):

@@ -100,3 +100,27 @@ def test_two_process_sharded_grf(tmp_path):
                                atol=1e-9)
     rms = float(np.sqrt(np.mean(sum(field[k]**2 for k in field))))
     np.testing.assert_allclose(rms, diags[0]["rms"], rtol=1e-5)
+
+
+def test_sharded_grf_builder_is_memoized_and_axis_name_plumbs():
+    """Repeated calls with fresh keys reuse ONE compiled executable (a
+    per-call @jax.jit closure re-traced the full pencil-FFT program
+    every time), and a mesh with a different axis spelling works via
+    axis_name=."""
+    from cluster_generator_tpu.parallel.fields import _build_fn
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("ens",))
+    kw = dict(ddims=(16, 16, 16), deltas=(10.0, 10.0, 10.0),
+              l_min=40.0, l_max=160.0, mesh=mesh)
+    _build_fn.cache_clear()
+    a = sharded_gaussian_random_field(jax.random.key(1), **kw)
+    b = sharded_gaussian_random_field(jax.random.key(2), **kw)
+    assert _build_fn.cache_info().hits == 1
+    assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+    other = Mesh(np.asarray(jax.devices()).reshape(8), ("grid",))
+    cx, _, _ = sharded_gaussian_random_field(
+        jax.random.key(1), axis_name="grid",
+        **{**kw, "mesh": other})
+    np.testing.assert_allclose(np.asarray(cx), np.asarray(a[0]),
+                               rtol=5e-6, atol=1e-8)

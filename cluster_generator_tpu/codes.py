@@ -3,6 +3,7 @@ RAMSES, AREPO setups plus the shared AMR particle writer."""
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -82,7 +83,7 @@ def setup_gamer_ics(ics, regenerate_particles=False, use_tracers=False):
     if use_tracers:
         gamer_ptypes.insert(0, "tracer")
     gamer_ptype_num = {"tracer": 0, "dm": 2, "star": 3}
-    hses = [ClusterModel.from_h5_file(hf) for hf in ics.profiles]
+    hses = [ics.load_model(i) for i in range(ics.num_halos)]
     parts = ics._generate_particles(regenerate_particles=regenerate_particles)
     outlines = [f"Merger_Coll_NumHalos\t\t{ics.num_halos}\t# number of halos"]
     for i in range(ics.num_halos):
@@ -93,7 +94,12 @@ def setup_gamer_ics(ics, regenerate_particles=False, use_tracers=False):
             ptypes = gamer_ptypes
         write_amr_particles(parts[i], particle_file, ptypes, gamer_ptype_num,
                             in_cgs=True, format="hdf5")
-        hse_file_gamer = ics.profiles[i].replace(".h5", "_gamer.h5")
+        # suffix-safe naming: the reference's .replace('.h5', ...) is a
+        # no-op for names like 'halo.hdf5' and then OVERWRITES the
+        # user's source profile via overwrite=True (reference
+        # codes.py:115); it also mangles a '.h5' appearing mid-path
+        root, ext = os.path.splitext(ics.profiles[i])
+        hse_file_gamer = f"{root}_gamer{ext}"
         hses[i].write_model_to_h5(hse_file_gamer, overwrite=True, in_cgs=True,
                                   r_max=ics.r_max[i])
         vel = ics.velocity[i] / units.unit_factor("km/s")
@@ -155,7 +161,7 @@ def setup_ramses_ics(ics, regenerate_particles=False):
     Merger_Config.txt (codes.py:200-246)."""
     names = ["Main", "Sub", "Third"]
     config_lines = ["# Merger Dynamics Setting, do not change the general format"]
-    hses = [ClusterModel.from_h5_file(hf) for hf in ics.profiles]
+    hses = [ics.load_model(i) for i in range(ics.num_halos)]
     parts = ics._generate_particles(regenerate_particles=regenerate_particles)
     fields_to_write = ["radius", "density", "pressure"]
     for i in range(ics.num_halos):

@@ -183,7 +183,13 @@ class YTHDF5:
             buf.attrs["bbox"] = bbox
             buf.attrs["chunksize"] = chunksize
             buf.attrs["model_count"] = 0
-            buf.attrs["mu"] = C.mue
+            # the MEAN molecular weight: the yt frontend derives
+            # T = (P/rho) mu m_p / k_B from this attr, and the models'
+            # own temperature uses C.mu (builders.py:125).  The
+            # reference writes mu_e here (data_structures.py:232), so
+            # its yt temperatures come out mue/mu ~ 1.93x hotter than
+            # its models' — an inherited inconsistency, fixed.
+            buf.attrs["mu"] = C.mu
             grid = buf.create_group("grid")
             chunks = buf.create_group("chunks")
             chunkmap = construct_chunks(domain_dimensions, chunksize)

@@ -12,6 +12,7 @@ import numpy as np
 from .model import ClusterModel
 from .particles import (
     ClusterParticles,
+    _ensure_list,
     combine_three_clusters,
     combine_two_clusters,
     resample_one_cluster,
@@ -32,12 +33,6 @@ def compute_centers_for_binary(center, d, b, a=0.0):
     center1 = center - 0.5 * diff
     center2 = center + 0.5 * diff
     return center1, center2
-
-
-def _ensure_list(x):
-    if isinstance(x, (list, tuple)):
-        return list(x)
-    return [x]
 
 
 class ClusterICs:
@@ -65,17 +60,36 @@ class ClusterICs:
             self.tot_np = {"dm": 0, "gas": 0, "star": 0, "tracer": 0}
         else:
             self.tot_np = num_particles
+        self._models: dict[int, ClusterModel] = {}
         self._determine_num_particles()
         self.particle_files = [None] * 3
         if particle_files is not None:
-            self.particle_files[:num_halos] = particle_files[:]
+            given = _ensure_list(particle_files)
+            if len(given) > num_halos:
+                raise ValueError(
+                    f"{len(given)} particle_files for {num_halos} halos")
+            # explicit per-slot assignment: a length-changing slice
+            # (particle_files[:num_halos] = given) SHRINKS the 3-slot
+            # list when fewer entries than halos are passed, turning
+            # the missing-slot None into an IndexError downstream
+            for i, pf in enumerate(given):
+                self.particle_files[i] = pf
+
+    def load_model(self, i):
+        """The i-th profile as a :class:`ClusterModel`, loaded once and
+        cached — the setup paths (counts, particle generation, combines,
+        exporter tables) otherwise re-read the same HDF5 profile three
+        to four times per halo."""
+        if i not in self._models:
+            self._models[i] = ClusterModel.from_h5_file(self.profiles[i])
+        return self._models[i]
 
     def _determine_num_particles(self):
         """Pro-rate total particle counts by per-halo masses
         (ics.py:100-160)."""
         dm_masses, gas_masses, star_masses, tracer_masses = [], [], [], []
-        for i, pf in enumerate(self.profiles):
-            p = ClusterModel.from_h5_file(pf)
+        for i in range(len(self.profiles)):
+            p = self.load_model(i)
             idxs = p["radius"] < self.r_max[i]
             dm_masses.append(p["dark_matter_mass"][idxs][-1])
             gmass = p["gas_mass"][idxs][-1] if "gas_mass" in p else 0.0
@@ -115,7 +129,7 @@ class ClusterICs:
         for i, pf in enumerate(self.profiles):
             if regenerate_particles or self.particle_files[i] is None:
                 key, k_dm, k_star, k_gas, k_tr = jax.random.split(key, 5)
-                m = ClusterModel.from_h5_file(pf)
+                m = self.load_model(i)
                 p = m.generate_dm_particles(
                     self.num_particles["dm"][i], r_max=self.r_max[i],
                     prng=k_dm)
@@ -224,7 +238,7 @@ class ClusterICs:
     def setup_particle_ics(self, output_directory=None,
                            regenerate_particles=False, prng=None):
         """Generate and combine all halos' particles (ics.py:323-375)."""
-        profiles = [ClusterModel.from_h5_file(hf) for hf in self.profiles]
+        profiles = [self.load_model(i) for i in range(self.num_halos)]
         parts = self._generate_particles(
             output_directory=output_directory,
             regenerate_particles=regenerate_particles, prng=prng)
@@ -244,7 +258,7 @@ class ClusterICs:
 
     def resample_particle_ics(self, parts, passive_scalars=None):
         """Resample profiles onto relaxed particles (ics.py:377-422)."""
-        profiles = [ClusterModel.from_h5_file(hf) for hf in self.profiles]
+        profiles = [self.load_model(i) for i in range(self.num_halos)]
         if self.num_halos == 1:
             return resample_one_cluster(parts, profiles[0], self.center[0],
                                         self.velocity[0])

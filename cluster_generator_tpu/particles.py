@@ -100,10 +100,19 @@ def _ensure_list(x):
 class ClusterParticles:
     """Container for multi-species particle ICs (particles.py:78-584)."""
 
+    @staticmethod
+    def _coerce(key, value):
+        # particle_index carries Gadget IDs: keep its integer dtype (a
+        # blanket f64 cast silently floated the IDs and made from_file's
+        # dtype-preserving read pointless)
+        if key[1] == "particle_index":
+            return np.asarray(value)
+        return np.asarray(value, dtype=np.float64)
+
     def __init__(self, particle_types, fields):
         self.particle_types = _ensure_list(particle_types)
         self.fields = OrderedDict(
-            (k, np.asarray(v, dtype=np.float64)) for k, v in fields.items())
+            (k, self._coerce(k, v)) for k, v in fields.items())
         self._update_num_particles()
         self._update_field_names()
         self.passive_scalars: list[str] = []
@@ -118,7 +127,7 @@ class ClusterParticles:
         return self.fields[key]
 
     def __setitem__(self, key, value):
-        self.fields[key] = np.asarray(value, dtype=np.float64)
+        self.fields[key] = self._coerce(key, value)
 
     def keys(self):
         return self.fields.keys()
@@ -155,14 +164,41 @@ class ClusterParticles:
         return keep
 
     def __add__(self, other):
-        fields = self.fields.copy()
-        for field in other.fields:
-            if field in fields:
-                fields[field] = np.concatenate([self[field], other[field]])
+        """Concatenate two containers.  For particle types BOTH operands
+        carry, only fields present in both survive — a field of one
+        operand has no values for the other's particles, so keeping it
+        (the reference's behavior, particles.py:103-110) left the array
+        shorter than the particle count and broke every masked cut and
+        writer downstream.  Dropped names are logged loudly.  Passive-
+        scalar registrations carry over for scalars that survive (they
+        were silently reset to [] before)."""
+        shared = set(self.particle_types) & set(other.particle_types)
+        fields = OrderedDict()
+        for field, arr in self.fields.items():
+            if field[0] not in shared:
+                fields[field] = arr
+            elif field in other.fields:
+                fields[field] = np.concatenate([arr, other[field]])
             else:
-                fields[field] = other[field]
+                mylog.warning(
+                    "ClusterParticles.__add__: dropping %s — present in "
+                    "only one operand (no values exist for the other's "
+                    "particles)", field)
+        for field, arr in other.fields.items():
+            if field[0] not in shared:
+                fields[field] = arr
+            elif field not in self.fields:
+                mylog.warning(
+                    "ClusterParticles.__add__: dropping %s — present in "
+                    "only one operand (no values exist for the other's "
+                    "particles)", field)
         particle_types = list(set(self.particle_types + other.particle_types))
-        return ClusterParticles(particle_types, fields)
+        out = ClusterParticles(particle_types, fields)
+        out.passive_scalars = [
+            s for s in dict.fromkeys(self.passive_scalars
+                                     + other.passive_scalars)
+            if ("gas", s) in fields]
+        return out
 
     @property
     def num_passive_scalars(self):
@@ -197,9 +233,18 @@ class ClusterParticles:
         """Append a BH particle (particles.py:170-225)."""
         mass = np.array([bh_mass], dtype=np.float64)
         if use_pot_min:
-            if ("dm", "potential_energy") not in self.fields:
-                raise KeyError("('dm', 'potential_energy') is not available!")
-            idx = np.argmin(self.fields["dm", "potential_energy"])
+            # accept either name: the generators (ours and the
+            # reference's, virial.py:234) store 'particle_potential',
+            # while the reference's add_black_hole only ever looked for
+            # 'potential_energy' — a key it never wrote
+            for key in (("dm", "potential_energy"),
+                        ("dm", "particle_potential")):
+                if key in self.fields:
+                    break
+            else:
+                raise KeyError("('dm', 'potential_energy') / ('dm', "
+                               "'particle_potential') is not available!")
+            idx = np.argmin(self.fields[key])
             pos = self.fields["dm", "particle_position"][idx].reshape(1, 3)
             vel = self.fields["dm", "particle_velocity"][idx].reshape(1, 3)
         else:
@@ -406,6 +451,13 @@ class ClusterParticles:
                     _add(h5_group, "PassiveScalars", data[idxs])
             else:
                 my_field = gadget_field_map[field]
+                if ((ptype, my_field) not in self.fields
+                        and my_field == "potential_energy"
+                        and (ptype, "particle_potential") in self.fields):
+                    # the generators store 'particle_potential' (same in
+                    # the reference, whose writer therefore silently
+                    # dropped the Potential block it advertised)
+                    my_field = "particle_potential"
                 if (ptype, my_field) in self.fields:
                     fd = self.fields[ptype, my_field]
                     data = (fd[idxs] / gadget_field_factors[field]).astype(dtype)
@@ -558,7 +610,13 @@ def _sample_clusters(particles, hses, center, velocity, radii=None,
     for i in usable:
         h = hses[i]
         rr = jnp.asarray(h["radius"])
-        r_part = halo_radius_all[i]
+        # clamp to the model grid: gas draws start below rr[0] (the
+        # sampling CDF begins at r=0) and most particles sit far beyond
+        # the OTHER halo's r_max — boundary-polynomial extrapolation at
+        # either end can turn density or 1.5 P/rho negative (the same
+        # inherited wart fixed in _paint_chunk and sampling.py; the
+        # reference extrapolates here too, particles.py:560-584)
+        r_part = jnp.clip(halo_radius_all[i], rr[0], rr[-1])
         rho_i = spline_eval(cubic_spline(rr, jnp.asarray(h["density"])),
                             r_part)
         eint_grid = 1.5 * jnp.asarray(h["pressure"]) \
@@ -584,10 +642,10 @@ def _sample_clusters(particles, hses, center, velocity, radii=None,
         mixed = 0.0
         for i, rho_i in zip(usable, rho_per_halo):
             h = hses[i]
+            rr_h = jnp.asarray(h["radius"])
             sc = spline_eval(
-                cubic_spline(jnp.asarray(h["radius"]),
-                             jnp.asarray(h[name])),
-                halo_radius_all[i])
+                cubic_spline(rr_h, jnp.asarray(h[name])),
+                jnp.clip(halo_radius_all[i], rr_h[0], rr_h[-1]))
             mixed = mixed + sc * rho_i
         particles["gas", name][in_cut] = np.asarray(mixed / rho)[in_cut]
     return particles
@@ -646,6 +704,7 @@ def resample_one_cluster(particles, hse, center, velocity):
     pos = jnp.asarray(particles["gas", "particle_position"])
     r = jnp.sqrt(((pos - jnp.asarray(center)) ** 2).sum(axis=1))
     rr = jnp.asarray(hse["radius"])
+    r = jnp.clip(r, rr[0], rr[-1])  # see _sample_clusters' clamp comment
     dens = np.asarray(spline_eval(cubic_spline(rr, jnp.asarray(hse["density"])), r))
     e_arr = 1.5 * jnp.asarray(hse["pressure"]) / jnp.asarray(hse["density"])
     energy = np.asarray(spline_eval(cubic_spline(rr, e_arr), r))

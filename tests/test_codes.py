@@ -188,3 +188,22 @@ def test_gamer_export_content_values(small_ics, tmp_path, monkeypatch):
         x_cgs = np.asarray(f[pos_key][()])
     x_gal = np.asarray(parts[0]["dm", "particle_position"])
     assert x_cgs.size >= x_gal.size  # dm (+ star) concatenated
+
+
+def test_gamer_profile_naming_never_overwrites_source(canonical_model,
+                                                      tmp_path, monkeypatch):
+    """A profile named 'halo.hdf5' must NOT be destructively rewritten:
+    the reference derives the GAMER table name with .replace('.h5', ...)
+    — a no-op for '.hdf5' — and then writes over the user's source
+    profile with overwrite=True (reference codes.py:115)."""
+    import hashlib
+
+    monkeypatch.chdir(tmp_path)
+    src = str(tmp_path / "halo.hdf5")
+    canonical_model.write_model_to_h5(src)
+    before = hashlib.sha256(open(src, "rb").read()).hexdigest()
+    ics = cg.ClusterICs("gamer_hdf5", 1, [src], [7000.0] * 3, [0.0] * 3,
+                        num_particles={"dm": 500}, r_max=3000.0)
+    cg.setup_gamer_ics(ics)
+    assert os.path.exists(str(tmp_path / "halo_gamer.hdf5"))
+    assert hashlib.sha256(open(src, "rb").read()).hexdigest() == before

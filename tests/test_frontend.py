@@ -454,3 +454,19 @@ def test_f4_grid_reads_both_frontends(yt_frontend, ref_frontend,
         np.testing.assert_allclose(out[_FLUID, "density"], sp(rr),
                                    rtol=3e-6)
         ds.close()
+
+
+def test_grid_mu_attr_matches_model_temperature_convention(yt_frontend,
+                                                           grid_file):
+    """The grid's 'mu' attr (which the yt temperature derivation
+    multiplies by) is the MEAN molecular weight the models' own
+    temperature uses (builders.py:125) — the reference writes mu_e
+    there, making its yt temperatures mue/mu ~ 1.93x hotter than its
+    models' (reference data_structures.py:232)."""
+    from cluster_generator_tpu.core import constants as C
+
+    yt, fe = yt_frontend
+    ds = yt.load(grid_file)
+    assert float(ds.mu) == pytest.approx(C.mu)
+    assert float(ds.mu) != pytest.approx(C.mue)
+    ds.close()

@@ -147,3 +147,31 @@ def test_triple_cluster_ics(profile_file, tmp_path):
     parts.write_to_gadget_file(fn, box)
     back = cg.ClusterParticles.from_gadget_file(fn)
     assert sum(back.num_particles.values()) == 18000
+
+
+def test_particle_files_shorter_than_halos(profile_file, tmp_path,
+                                           monkeypatch):
+    """Passing fewer particle_files than halos leaves the missing slots
+    None (a length-changing slice assignment used to SHRINK the 3-slot
+    list and IndexError downstream) and regenerates just those halos."""
+    monkeypatch.chdir(tmp_path)
+    ics0 = cg.ClusterICs("pf", 1, [profile_file], [[0.0] * 3], [[0.0] * 3],
+                         num_particles={"dm": 400}, r_max=3000.0)
+    ics0._generate_particles()
+    cached = ics0.particle_files[0]
+    assert cached is not None
+
+    ics = cg.ClusterICs("pf2", 2, [profile_file] * 2,
+                        [[0.0] * 3, [3000.0, 0, 0]], [[0.0] * 3] * 2,
+                        num_particles={"dm": 800}, r_max=3000.0,
+                        particle_files=[cached])
+    assert ics.particle_files == [cached, None, None]
+    parts = ics._generate_particles()
+    assert len(parts) == 2
+    assert all(p.num_particles["dm"] > 0 for p in parts)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="particle_files"):
+        cg.ClusterICs("pf3", 1, [profile_file], [[0.0] * 3], [[0.0] * 3],
+                      num_particles={"dm": 400}, r_max=3000.0,
+                      particle_files=[cached, cached])

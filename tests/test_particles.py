@@ -234,3 +234,98 @@ def test_sample_clusters_requires_a_density_field(canonical_model):
     nogas = {"radius": np.asarray(canonical_model["radius"])}
     with pytest.raises(ValueError, match="density"):
         _sample_clusters(p, [nogas], [[0.0] * 3], [[0.0] * 3])
+
+
+def test_add_black_hole_pot_min_accepts_generator_field(canonical_model):
+    """use_pot_min works directly on the 'particle_potential' field the
+    generators actually store (the reference's add_black_hole only ever
+    looked for 'potential_energy' — a key its generators never write,
+    reference particles.py:197 vs virial.py:234)."""
+    p = canonical_model.generate_dm_particles(5000, prng=9,
+                                              compute_potential=True)
+    p.add_black_hole(1e9, use_pot_min=True)
+    idx = np.argmin(p["dm", "particle_potential"])
+    assert np.allclose(p["black_hole", "particle_position"][0],
+                       p["dm", "particle_position"][idx])
+
+
+def test_gadget_writer_emits_potential_from_generator_field(canonical_model,
+                                                            tmp_path):
+    """write_to_gadget_file emits the Potential block for particles that
+    carry 'particle_potential' (the advertised Potential mapping only
+    matched 'potential_energy' and was silently dropped)."""
+    import h5py
+
+    p = canonical_model.generate_dm_particles(3000, prng=5,
+                                              compute_potential=True)
+    p.add_offsets([25000.0] * 3, [0.0] * 3)
+    fn = str(tmp_path / "snap.h5")
+    p.write_to_gadget_file(fn, 50000.0)
+    with h5py.File(fn, "r") as f:
+        pot = f["PartType1"]["Potential"][()]
+    assert pot.shape[0] == 3000
+    assert np.isfinite(pot).all() and (pot < 0).all()
+
+
+def test_add_drops_one_sided_fields_and_keeps_passive_scalars(
+        canonical_model):
+    """__add__ keeps only fields both operands carry for shared particle
+    types (a one-sided field has no values for the other's particles —
+    it used to survive SHORTER than the particle count and break every
+    masked cut downstream) and carries passive-scalar registrations
+    (they were silently reset to [])."""
+    p1 = canonical_model.generate_gas_particles(2000, prng=1)
+    p2 = canonical_model.generate_gas_particles(1500, prng=2,
+                                                compute_potential=True)
+    p1.set_field("gas", "metal", np.full(2000, 0.3), passive_scalar=True)
+    p2.set_field("gas", "metal", np.full(1500, 0.1), passive_scalar=True)
+    tot = p1 + p2
+    assert tot.num_particles["gas"] == 3500
+    assert ("gas", "particle_potential") not in tot.fields
+    for (pt, _), arr in tot.fields.items():
+        assert arr.shape[0] == tot.num_particles[pt]
+    assert tot.passive_scalars == ["metal"]
+    np.testing.assert_array_equal(tot["gas", "metal"][:2000], 0.3)
+
+    # disjoint particle types keep their one-sided fields whole
+    dm = canonical_model.generate_dm_particles(1000, prng=3,
+                                               compute_potential=True)
+    both = p1 + dm
+    assert ("dm", "particle_potential") in both.fields
+    assert both.num_particles == {"gas": 2000, "dm": 1000}
+
+
+def test_particle_index_keeps_integer_dtype(canonical_model, tmp_path):
+    """particle_index carries Gadget IDs: the container preserves its
+    integer dtype (a blanket f64 cast floated the IDs) and the native
+    HDF5 round trip keeps it integral."""
+    from cluster_generator_tpu.particles import ClusterParticles
+
+    p = canonical_model.generate_dm_particles(1000, prng=4)
+    p["dm", "particle_index"] = np.arange(1000, dtype=np.uint32)
+    assert p["dm", "particle_index"].dtype == np.uint32
+    fn = str(tmp_path / "idx.h5")
+    p.write_particles(fn)
+    q = ClusterParticles.from_file(fn)
+    assert q["dm", "particle_index"].dtype.kind in "iu"
+    np.testing.assert_array_equal(q["dm", "particle_index"],
+                                  np.arange(1000))
+
+
+def test_gas_mixing_clamps_to_model_grids(canonical_model):
+    """Combined-cluster gas energies stay positive: the mixing splines
+    clamp particle radii to each model's grid (below-grid draws exist —
+    the sampling CDF starts at r=0 — and most particles sit far beyond
+    the OTHER halo's r_max, where boundary-polynomial extrapolation can
+    go negative; same wart fixed in sampling.py and _paint_chunk)."""
+    from cluster_generator_tpu.particles import combine_two_clusters
+
+    p1 = canonical_model.generate_gas_particles(20_000, prng=11)
+    p2 = canonical_model.generate_gas_particles(20_000, prng=12)
+    parts = combine_two_clusters(p1, p2, canonical_model, canonical_model,
+                                 [-3000.0, 0, 0], [3000.0, 0, 0],
+                                 [100.0, 0, 0], [-100.0, 0, 0])
+    e = np.asarray(parts["gas", "thermal_energy"])
+    d = np.asarray(parts["gas", "density"])
+    assert np.isfinite(e).all() and (e > 0).all()
+    assert np.isfinite(d).all() and (d > 0).all()

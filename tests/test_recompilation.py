@@ -147,3 +147,57 @@ def test_speed_table_profile_values_are_runtime():
         tab = speed_inverse_cdf_table(ee, f, row_ee=ee[::8], **kw)
         jax.block_until_ready(tab)
     assert speed_inverse_cdf_table._cache_size() == 1
+
+
+M200_2 = jnp.asarray([1.5e15, 1.0e15])
+CONC_2 = jnp.asarray([4.0, 5.0])
+CENTERS_2 = jnp.asarray([[-1500.0, 0.0, 0.0], [1500.0, 0.0, 0.0]])
+VELS_2 = jnp.asarray([[0.3, 0.0, 0.0], [-0.3, 0.0, 0.0]])
+RMAX_2 = jnp.asarray([3000.0, 3000.0])
+
+
+def test_count_change_reuses_build_and_table_executables():
+    """The staged-path contract: changing n_part re-lowers ONLY the draw
+    program; model builds and table builds reuse their executables (they
+    are keyed on grid/table resolution, not particle counts)."""
+    from cluster_generator_tpu import pipeline as pl
+
+    for f in (pl.build_merger_models, pl.build_speed_tables,
+              pl.build_radius_tables, pl.sample_merger_ic):
+        f.clear_cache()
+
+    fields = pl.build_merger_models(M200_2, CONC_2, num_points=256)
+    tables = pl.build_speed_tables(fields)
+    tables["radius"] = pl.build_radius_tables(fields, RMAX_2)
+
+    for n in ((2_000, 1_000), (4_000, 2_000)):
+        pl.sample_merger_ic(fields, tables, CENTERS_2, VELS_2, RMAX_2,
+                            jax.random.key(0), n, n, n)
+    # a fresh key and a different r_max VALUE are plain array inputs:
+    # no new executable anywhere
+    tables["radius"] = pl.build_radius_tables(fields, 0.9 * RMAX_2)
+    pl.sample_merger_ic(fields, tables, CENTERS_2, VELS_2, 0.9 * RMAX_2,
+                        jax.random.key(7), (4_000, 2_000), (4_000, 2_000),
+                        (4_000, 2_000))
+
+    assert pl.build_merger_models._cache_size() == 1
+    assert pl.build_speed_tables._cache_size() == 1
+    assert pl.build_radius_tables._cache_size() == 1
+    assert pl.sample_merger_ic._cache_size() == 2
+
+
+def test_fused_program_recompiles_on_count_change_by_design():
+    """merger_ic_fused is ONE program (it exists to cut axon RPC
+    round-trips, pipeline.py:389) so a count change re-lowers the whole
+    fusion — the staged path above is the cheap-re-draw path."""
+    from cluster_generator_tpu.pipeline import merger_ic_fused
+
+    merger_ic_fused.clear_cache()
+    for n in ((2_000, 1_000), (4_000, 2_000)):
+        merger_ic_fused(M200_2, CONC_2, CENTERS_2, VELS_2, RMAX_2,
+                        jax.random.key(0), n, n, n, num_points=256)
+    # same counts, new key/values: reused
+    merger_ic_fused(M200_2, CONC_2, 1.01 * CENTERS_2, VELS_2, RMAX_2,
+                    jax.random.key(3), (4_000, 2_000), (4_000, 2_000),
+                    (4_000, 2_000), num_points=256)
+    assert merger_ic_fused._cache_size() == 2

@@ -10,13 +10,13 @@ import numpy as np
 
 from .core import units
 from .core.logging import mylog
-from .model import ClusterModel
 from .particles import ClusterParticles
 
 __all__ = ["write_amr_particles", "setup_gamer_ics", "setup_flash_ics",
            "setup_athena_ics", "setup_enzo_ics", "setup_ramses_ics",
            "setup_arepo_ics", "resample_arepo_ics", "setup_gizmo_ics",
            "setup_art_ics"]
+
 
 def _cgs_factor(field):
     import cluster_generator_tpu.core.constants as C

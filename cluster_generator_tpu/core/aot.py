@@ -80,10 +80,13 @@ def prune_stale(directory, name):
     :func:`artifact_path` again (old digest or old jax version).  Stale
     files can never load — the lookup is by filename — so they are
     pure dead weight (the headline artifact is ~244 MB).  Artifacts for
-    a DIFFERENT backend under the current jax version are kept: during
-    a TPU outage jax initializes on the CPU fallback, and pruning then
-    must not delete the still-loadable (and ~1.5 h to rebuild) TPU
-    artifact.  Returns the removed paths."""
+    a DIFFERENT backend under the current jax version AND current
+    source digest are kept: during a TPU outage jax initializes on the
+    CPU fallback, and pruning then must not delete the still-loadable
+    (and ~1.5 h to rebuild) TPU artifact.  An other-backend artifact
+    with a DEAD digest is pruned like any other — the digest is
+    backend-independent, so no backend can ever load it again.
+    Returns the removed paths."""
     import glob
 
     keep = os.path.abspath(artifact_path(directory, name))
@@ -96,8 +99,9 @@ def prune_stale(directory, name):
         rest = os.path.basename(p)[len(name) + 1:-len(".aotx")]
         parts = rest.rsplit("-", 2)
         if (len(parts) == 3 and parts[0] == jax.__version__
-                and parts[1] != jax.default_backend()):
-            continue  # other backend, current jax: still loadable
+                and parts[1] != jax.default_backend()
+                and parts[2] == source_digest()):
+            continue  # other backend, current jax + digest: loadable
         os.remove(p)
         removed.append(p)
     return removed

@@ -220,11 +220,13 @@ def read_slab(dset, lo, hi):
     ``hi`` is clamped to the extent exactly like the h5py slice the
     fallback takes — an un-clamped raw pread past the dataset's extent
     would silently return bytes belonging to whatever object follows it
-    in the file.  Negative ``lo`` raises: h5py would wrap it to the end
-    while the raw path would read a neighboring object's bytes, so
-    neither silent meaning is safe."""
-    if lo < 0:
-        raise ValueError(f"read_slab lo must be >= 0, got {lo}")
+    in the file.  Negative ``lo``/``hi`` raise: h5py would wrap them to
+    the end while the raw path would treat hi<=lo as an empty slab —
+    the two paths would return DIFFERENT results for identical
+    arguments, so neither silent meaning is safe."""
+    if lo < 0 or hi < 0:
+        raise ValueError(f"read_slab bounds must be >= 0, got "
+                         f"lo={lo}, hi={hi}")
     n = dset.shape[0]
     lo = int(lo)
     hi = min(int(hi), n)

@@ -206,17 +206,12 @@ def to_field_units(x, unit: str, field: str):
                 "temperature in Kelvin use units.K_to_keV first.")
         return np.asarray(x, np.float64) * (unit_factor(unit)
                                             / unit_factor(native))
+    # one copy of the dimension-check-then-ratio rule (conversion_factor);
+    # re-raise with the field name for context
     try:
-        f_u, d_u = _REGISTRY[unit]
-    except KeyError:
-        raise KeyError(f"Unknown unit {unit!r}; register it in "
-                       "core/units.py")
-    f_n, d_n = _REGISTRY[native]
-    if tuple(d_u) != tuple(d_n):
-        raise ValueError(
-            f"Unit {unit!r} (dimensions {d_u}) is not convertible to "
-            f"field {field!r}'s native {native!r} (dimensions {d_n}).")
-    return np.asarray(x, np.float64) * (f_u / f_n)
+        return np.asarray(x, np.float64) * conversion_factor(unit, native)
+    except ValueError as e:
+        raise ValueError(f"Field {field!r}: {e}") from None
 
 
 def keV_to_K(T_keV):

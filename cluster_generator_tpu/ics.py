@@ -79,7 +79,13 @@ class ClusterICs:
         """The i-th profile as a :class:`ClusterModel`, loaded once and
         cached — the setup paths (counts, particle generation, combines,
         exporter tables) otherwise re-read the same HDF5 profile three
-        to four times per halo."""
+        to four times per halo.
+
+        The returned instance IS the cached one (not a copy): mutating
+        its fields mutates what every subsequent setup call on this
+        ``ClusterICs`` consumes.  To experiment on a model, reload it
+        independently (``ClusterModel.from_h5_file(ics.profiles[i])``)
+        instead of editing the shared instance."""
         if i not in self._models:
             self._models[i] = ClusterModel.from_h5_file(self.profiles[i])
         return self._models[i]

@@ -96,6 +96,17 @@ def sample_ensemble_params(key, n, logM_range=(14.0, 15.3),
     return M200, conc
 
 
+# Bump whenever the MEANING of the draws changes for fixed config (a new
+# table scheme, a different field-evaluation rule, ...) — resuming a
+# catalog written under another version raises instead of silently
+# splicing two draw conventions into one file.  History: 1 = the r4
+# full-species product with gas energies lerped between radius-quantile
+# nodes; 2 = gas energies (and class-API fields) evaluated AT the drawn
+# radius (core/interp.loguniform_lerp — up to ~60% different across the
+# innermost mass bin).
+_DRAWS_VERSION = 2
+
+
 def _speed_table_key():
     """``speed_table_defaults()`` as a hashable memo key, so the cached
     factories below see config changes (``cgparams['numerical']``)."""
@@ -422,7 +433,7 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     from before this marker existed fall back to the presence check
     (with a warning).  The run configuration must match the
     file's recorded one (counts, batch_size, num_points, PRNG key,
-    shard identity) —
+    shard identity, and the library's draw-semantics version) —
     a mismatch would splice incompatible draws and raises instead.
     Deleted partial groups leave their (at most one batch of) file
     extent unreferenced — HDF5 does not reclaim it — which is the
@@ -507,7 +518,8 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     # the resume splice is only sound when the recomputed batches match
     # what the interrupted run would have produced — everything that
     # shapes the draws is recorded and must agree
-    config = {"n_clusters": n_cl, "batch_size": int(batch_size),
+    config = {"draws_version": _DRAWS_VERSION,
+              "n_clusters": n_cl, "batch_size": int(batch_size),
               "num_points": int(num_points),
               # the partitioned program rounds ~1 ulp differently, so a
               # resume must re-run under the same ens-axis layout for

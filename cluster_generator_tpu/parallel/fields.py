@@ -31,12 +31,15 @@ def _waves(n, deltas):
 
 
 @lru_cache(maxsize=None)
-def _build_fn(ddims, deltas, k0, k1, mesh, alpha, g_rms, divergence_clean,
+def _build_fn(ddims, deltas, k0, k1, mesh, alpha, divergence_clean,
               dtype, axis_name):
     """One jitted builder per configuration: a fresh ``@jax.jit`` closure
     per *call* would re-trace and re-compile the full pencil-FFT program
     every time (jit caches key on function identity) — looping over keys
-    for an ensemble of fields must reuse one executable."""
+    for an ensemble of fields must reuse one executable.  ``g_rms`` is a
+    TRACED argument of the built function, not part of this memo key: it
+    only scales the output, so a g_rms sweep must not recompile the
+    distributed FFT program."""
     nx, ny, nz = ddims
     kx, ky, kz = _waves((nx, ny, nz), deltas)
     # only THIN broadcastable 1D wavenumber arrays become device constants;
@@ -56,7 +59,7 @@ def _build_fn(ddims, deltas, k0, k1, mesh, alpha, g_rms, divergence_clean,
     slab = NamedSharding(mesh, P(axis_name, None, None))
 
     @jax.jit
-    def build(key):
+    def build(key, g_rms):
         from ..fields.grf import _spectrum_sigma
 
         kk = jnp.sqrt(kxj**2 + kyj**2 + kzj**2)
@@ -76,7 +79,7 @@ def _build_fn(ddims, deltas, k0, k1, mesh, alpha, g_rms, divergence_clean,
         gy = pencil_ifftn(gyk, mesh, axis_name).real.astype(dtype)
         gz = pencil_ifftn(gzk, mesh, axis_name).real.astype(dtype)
         g_avg = jnp.sqrt(jnp.mean(gx**2 + gy**2 + gz**2))
-        s = g_rms / g_avg
+        s = jnp.asarray(g_rms, dtype) / g_avg
         return gx * s, gy * s, gz * s
 
     return build
@@ -100,8 +103,8 @@ def sharded_gaussian_random_field(key, ddims, deltas, l_min, l_max, mesh,
     build = _build_fn(tuple(int(d) for d in ddims),
                       tuple(float(d) for d in deltas),
                       2.0 * np.pi / float(l_min), 2.0 * np.pi / float(l_max),
-                      mesh, float(alpha), float(g_rms),
+                      mesh, float(alpha),
                       bool(divergence_clean), np.dtype(dtype),
                       str(axis_name))
     with mesh:
-        return build(key)
+        return build(key, float(g_rms))

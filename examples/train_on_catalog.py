@@ -17,7 +17,13 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
+
+try:
+    import optax
+except ImportError as e:  # optional extra, not a core dependency
+    raise SystemExit(
+        "this example needs optax (pip install "
+        "cluster-generator-tpu[examples])") from e
 
 from cluster_generator_tpu.parallel import (
     catalog_batches,

@@ -51,20 +51,30 @@ def test_prune_stale_removes_only_mismatched_keys(tmp_path):
     leaves other names alone."""
     from cluster_generator_tpu.core.aot import prune_stale
 
+    from cluster_generator_tpu.core.aot import source_digest
+
     cur = artifact_path(str(tmp_path), "toy")
     stale = str(tmp_path / "toy-0.0.1-cpu-0123456789.aotx")
     other = str(tmp_path / "other-0.0.1-cpu-0123456789.aotx")
-    # same jax version, OTHER backend: still loadable once that backend
-    # is back (the TPU-outage-priming-on-CPU scenario) — must survive
-    other_backend = str(tmp_path /
-                        f"toy-{jax.__version__}-notabackend-abcdef0123.aotx")
+    # same jax version + CURRENT digest, OTHER backend: still loadable
+    # once that backend is back (the TPU-outage-priming-on-CPU
+    # scenario) — must survive
+    other_backend = str(
+        tmp_path / f"toy-{jax.__version__}-notabackend-"
+        f"{source_digest()}.aotx")
+    # other backend but a DEAD digest: the digest is backend-independent,
+    # so no backend can ever load it — pruned
+    dead_digest_other_backend = str(
+        tmp_path / f"toy-{jax.__version__}-notabackend-abcdef0123.aotx")
     # other backend but an OLD jax version: dead either way
     old_ver_other_backend = str(tmp_path / "toy-0.0.1-notabackend-ff.aotx")
-    for p in (cur, stale, other, other_backend, old_ver_other_backend):
+    for p in (cur, stale, other, other_backend,
+              dead_digest_other_backend, old_ver_other_backend):
         with open(p, "wb") as f:
             f.write(b"x")
     removed = prune_stale(str(tmp_path), "toy")
-    assert sorted(removed) == sorted([stale, old_ver_other_backend])
+    assert sorted(removed) == sorted([stale, dead_digest_other_backend,
+                                      old_ver_other_backend])
     assert os.path.exists(cur) and os.path.exists(other)
     assert os.path.exists(other_backend)
     assert not os.path.exists(stale)

@@ -50,6 +50,7 @@ def test_ensemble_example(tmp_path):
 def test_train_on_catalog_example(tmp_path):
     """The datagen-consumption loop: catalog -> shuffled prefetched
     batches -> jitted optax training step; the loss must improve."""
+    pytest.importorskip("optax")  # optional extra: pip install .[examples]
     res = _run("train_on_catalog.py", tmp_path)
     assert "improved" in res.stdout and "NOT improved" not in res.stdout
 

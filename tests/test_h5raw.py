@@ -146,6 +146,13 @@ def test_read_slab_matches_h5py(tmp_path):
         assert read_slab(f["x"], 7, 7).shape == (0, 4, 3)
         with pytest.raises(ValueError, match="lo"):
             read_slab(f["x"], -1, 2)
+        # negative hi raises on BOTH paths: the raw path would return
+        # empty where the h5py fallback wraps to dset[0:-1] — the same
+        # call must not mean different things per dataset layout
+        with pytest.raises(ValueError, match="hi"):
+            read_slab(f["x"], 0, -1)
+        with pytest.raises(ValueError, match="hi"):
+            read_slab(f["ch"], 0, -1)
 
 
 def test_read_slab_sees_buffered_h5py_writes(tmp_path):

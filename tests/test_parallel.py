@@ -695,6 +695,18 @@ def test_ensemble_datagen_resume_is_bit_identical(tmp_path):
     with pytest.raises(ValueError, match="batch_size"):
         ensemble_datagen(M, c, cut_fn, resume=True, **bad)
 
+    # a catalog written under an older draw-semantics version (or from
+    # before versioning existed) must refuse to splice: the recomputed
+    # batches would carry DIFFERENT physics than the kept ones
+    with h5py.File(cut_fn, "a") as f:
+        f.attrs["draws_version"] = 1
+    with pytest.raises(ValueError, match="draws_version"):
+        ensemble_datagen(M, c, cut_fn, resume=True, **kw)
+    with h5py.File(cut_fn, "a") as f:
+        del f.attrs["draws_version"]  # pre-versioning file
+    with pytest.raises(ValueError, match="draws_version"):
+        ensemble_datagen(M, c, cut_fn, resume=True, **kw)
+
     with pytest.raises(ValueError, match="mutually"):
         ensemble_datagen(M, c, cut_fn, resume=True, overwrite=True, **kw)
 

@@ -118,6 +118,14 @@ def test_sharded_grf_builder_is_memoized_and_axis_name_plumbs():
     assert _build_fn.cache_info().hits == 1
     assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
 
+    # g_rms is a traced argument, not a compile-time constant: a
+    # g_rms sweep reuses the SAME executable (it only scales the
+    # output), and the scaling is exact
+    d = sharded_gaussian_random_field(jax.random.key(1), g_rms=2.5, **kw)
+    assert _build_fn.cache_info().hits == 2
+    np.testing.assert_allclose(np.asarray(d[0]), 2.5 * np.asarray(a[0]),
+                               rtol=5e-6, atol=1e-8)
+
     other = Mesh(np.asarray(jax.devices()).reshape(8), ("grid",))
     cx, _, _ = sharded_gaussian_random_field(
         jax.random.key(1), axis_name="grid",

@@ -158,7 +158,7 @@ def test_api_index_doc_symbols_exist():
                "core.interp", "core.scan_ops", "core.quadrature",
                "core.units", "core.profiling", "core.debug",
                "core.config", "core.aot", "core.h5raw", "fields.grf",
-               "ops", "ops.native", "ops.pallas_kernels"]
+               "ops", "ops.native", "ops.pallas_kernels", "cli"]
     namespace = set(dir(cg)) | {m.split(".")[0] for m in submods}
     # frontend genuinely requires yt (api.md says so) and other tests in
     # this session may have installed a partial ytshim — don't import it

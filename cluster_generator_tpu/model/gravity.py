@@ -22,7 +22,7 @@ from ..core import constants as C
 from ..core.config import cgparams
 
 __all__ = ["register_gravity", "get_gravity", "newtonian_field",
-           "qumond_field"]
+           "qumond_field", "aqual_field", "emond_field", "emond_a0"]
 
 _REGISTRY: dict[str, Callable] = {}
 
@@ -71,5 +71,82 @@ def qumond_field(rr, m_tot, params=None):
     return _nu_simple(y) * g_n
 
 
+def _a0_galactic(params):
+    a0_si = (params or {}).get("a0_m_s2",
+                               cgparams["gravity"]["mond"]["a0_m_s2"])
+    return a0_si * C.MYR_S**2 / C.KPC_M  # m/s^2 -> kpc/Myr^2
+
+
+def aqual_field(rr, m_tot, params=None):
+    """AQUAL field with the simple interpolation function
+    mu(x) = x / (1 + x) (the reference config's AQUAL lambda,
+    bin/config.yaml).
+
+    In spherical symmetry the AQUAL field equation reduces exactly to
+    the algebraic relation mu(|g|/a0) g = g_N (Gauss' theorem; the curl
+    field vanishes), and for the simple mu the inversion is closed-form:
+    with y = |g_N|/a0 and x = |g|/a0,
+
+        x^2 / (1 + x) = y  =>  x = (y + sqrt(y^2 + 4 y)) / 2,
+
+    so no implicit solver is needed (the reference config carries a
+    Gauss-Newton ``numerical.implicit`` block for the general case;
+    jit/vmap-safe closed forms are the TPU-native route).  Limits:
+    x -> y (Newtonian) as y -> inf, x -> sqrt(y) (deep MOND) as y -> 0.
+    """
+    a0 = _a0_galactic(params)
+    g_n = newtonian_field(rr, m_tot)
+    y = jnp.abs(g_n) / a0
+    x = 0.5 * (y + jnp.sqrt(y * (y + 4.0)))
+    return -a0 * x
+
+
+def emond_a0(phi, params=None):
+    """EMOND's potential-dependent acceleration scale A0(phi)
+    (Zhao & Famaey 2012 form; constants from the reference config's
+    EMOND ``a0_function`` lambda, bin/config.yaml):
+
+        A0(phi) = a + (A - a) * (tanh(log10(phi/p0)^2) + 1) / 2
+
+    with a = 0.003868, A = 0.30944, p0 = -7.614 and phi the (negative)
+    gravitational potential in units where those constants live
+    ((100 km/s)^2, the convention of the EMOND literature); the result
+    is returned in GALACTIC units (kpc/Myr^2) scaled so that
+    A0 -> a reproduces the standard a0.  All constants are overridable
+    via ``params`` keys a, A, p0."""
+    p = params or {}
+    a = p.get("a", 0.003868)
+    A = p.get("A", 0.30944)
+    p0 = p.get("p0", -7.614)
+    # phi in (100 km/s)^2: 1 kpc^2/Myr^2 = (977.79 km/s)^2
+    phi_units = jnp.asarray(phi) * (C.KPC_M / C.MYR_S / 1.0e5) ** 2
+    ratio = jnp.maximum(phi_units / p0, 1e-30)  # log10 of <=0 guards
+    shape = 0.5 * (jnp.tanh(jnp.log10(ratio) ** 2) + 1.0)
+    A0 = a + (A - a) * shape
+    # normalize: the literature's a corresponds to the standard a0
+    return A0 / a * _a0_galactic(params)
+
+
+def emond_field(rr, m_tot, params=None):
+    """EMOND field: AQUAL's simple-mu closed-form inversion with the
+    acceleration scale promoted to A0(phi) (:func:`emond_a0`).
+
+    Needs the potential: pass ``params={"phi": <(N,) potential on rr>}``
+    (galactic units, negative).  The spherical reduction is the same
+    algebraic relation as AQUAL with a0 -> A0(phi(r)) evaluated
+    pointwise."""
+    if params is None or "phi" not in params:
+        raise ValueError("emond_field needs params={'phi': potential "
+                         "array on rr} (EMOND's A0 depends on the "
+                         "potential)")
+    a0 = emond_a0(params["phi"], params)
+    g_n = newtonian_field(rr, m_tot)
+    y = jnp.abs(g_n) / a0
+    x = 0.5 * (y + jnp.sqrt(y * (y + 4.0)))
+    return -a0 * x
+
+
 register_gravity("newtonian", newtonian_field)
 register_gravity("qumond", qumond_field)
+register_gravity("aqual", aqual_field)
+register_gravity("emond", emond_field)

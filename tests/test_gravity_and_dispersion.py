@@ -8,6 +8,9 @@ from scipy.interpolate import InterpolatedUnivariateSpline as IUS
 
 import cluster_generator_tpu as cg
 from cluster_generator_tpu.model.gravity import (
+    aqual_field,
+    emond_a0,
+    emond_field,
     get_gravity,
     newtonian_field,
     qumond_field,
@@ -41,6 +44,60 @@ def test_qumond_stronger_in_weak_field(canonical_model):
     assert (np.abs(g_q) > np.abs(g_n)).all()
     boost = np.abs(g_q / g_n)
     assert boost[-1] > boost[0]
+
+
+def test_aqual_closed_form_and_limits(canonical_model):
+    """The spherical AQUAL inversion must satisfy mu(x) x = y exactly
+    (mu(x) = x/(1+x), the reference config's AQUAL lambda) and approach
+    Newton in the strong field / sqrt(g_N a0) in the deep-MOND limit."""
+    from cluster_generator_tpu.core import constants as C
+    from cluster_generator_tpu.core.config import cgparams
+
+    rr = jnp.asarray(canonical_model["radius"])
+    m = jnp.asarray(canonical_model["total_mass"])
+    a0 = (cgparams["gravity"]["mond"]["a0_m_s2"]
+          * C.MYR_S**2 / C.KPC_M)
+    g_n = np.asarray(newtonian_field(rr, m))
+    g_a = np.asarray(aqual_field(rr, m))
+    x, y = np.abs(g_a) / a0, np.abs(g_n) / a0
+    np.testing.assert_allclose(x * (x / (1.0 + x)), y, rtol=1e-12)
+    assert (np.abs(g_a) > np.abs(g_n)).all()
+    # the MOND boost x/y = (1 + sqrt(1 + 4/y))/2 grows outward (weaker
+    # field); exact at both ends
+    boost = np.abs(g_a / g_n)
+    np.testing.assert_allclose(boost, 0.5 * (1.0 + np.sqrt(1.0 + 4.0 / y)),
+                               rtol=1e-12)
+    assert boost[-1] > boost[0] > 1.0
+    # weak-field end: deep-MOND asymptote sqrt(g_N a0) plus an O(g_N)
+    # correction (x = sqrt(y) + y/2 + O(y^1.5) for small y)
+    deep = np.sqrt(np.abs(g_n[-1]) * a0)
+    assert deep < np.abs(g_a[-1]) < deep + np.abs(g_n[-1])
+
+
+def test_emond_a0_and_field(canonical_model):
+    """EMOND's A0(phi) reproduces the reference lambda's shape (a at the
+    p0 potential scale, ->A far from it) and emond_field demands phi."""
+    from cluster_generator_tpu.core import constants as C
+
+    to_units = (C.KPC_M / C.MYR_S / 1.0e5) ** 2  # kpc^2/Myr^2 -> (100km/s)^2
+    phi_p0 = -7.614 / to_units
+    a0_at_p0 = float(emond_a0(phi_p0))
+    base = float(emond_a0(phi_p0 * 1e-12))  # |phi| << |p0|: shape -> 1
+    # at phi = p0 the tanh argument is 0 -> A0 = (a + A)/2 scaled
+    ratio = a0_at_p0 / (1.2e-10 * C.MYR_S**2 / C.KPC_M)
+    assert abs(ratio - 0.5 * (0.003868 + 0.30944) / 0.003868) < 1e-6
+    assert base / a0_at_p0 > 1.5  # far potentials boost A0 toward A
+
+    rr = jnp.asarray(canonical_model["radius"])
+    m = jnp.asarray(canonical_model["total_mass"])
+    phi = jnp.asarray(canonical_model["gravitational_potential"])
+    g_e = np.asarray(emond_field(rr, m, {"phi": phi}))
+    g_n = np.asarray(newtonian_field(rr, m))
+    assert np.isfinite(g_e).all() and (np.abs(g_e) > np.abs(g_n)).all()
+    with pytest.raises(ValueError, match="phi"):
+        emond_field(rr, m)
+    assert get_gravity("aqual") is aqual_field
+    assert get_gravity("emond") is emond_field
 
 
 def test_velocity_dispersion_jeans(canonical_model):

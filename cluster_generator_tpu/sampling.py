@@ -273,7 +273,14 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
     quantile nodes as a joint absolute-speed table
     (virial.build_joint_speed_pairs): per particle, one computed-index
     radius lerp + one joint-table row gather, no psi lookup or binary
-    search anywhere."""
+    search anywhere.
+
+    When ``virial`` carries an Osipkov-Merritt anisotropy radius
+    (``VirialEquilibrium(..., r_a=...)``), the same speed draw applies —
+    the OM f(Q) is isotropic in (v_r, gamma v_t)-space — and only the
+    velocity directions change (tangential components divided by
+    gamma(r) = sqrt(1 + r^2/r_a^2)), yielding
+    beta(r) = r^2/(r^2 + r_a^2)."""
     from .core.interp import adjacent_pairs
     from .virial import build_joint_speed_pairs, sample_speeds_joint
 
@@ -316,7 +323,24 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
     speed_sub = jnp.minimum(speed_sub,
                             jnp.sqrt(2.0 * psi_p).astype(speed_sub.dtype))
     speed = _tile(speed_sub, sub_sample, num_particles)
-    vel = speed[:, None] * _isotropic_units(k_vang, num_particles)
+    u = _isotropic_units(k_vang, num_particles)
+    r_a = getattr(virial, "r_a", None)
+    if r_a is None:
+        vel = speed[:, None] * u
+    else:
+        # Osipkov-Merritt: with w = gamma v_t (gamma = sqrt(1+r^2/r_a^2))
+        # the OM DF f(Q) is ISOTROPIC in (v_r, w)-space — Q = psi -
+        # (v_r^2 + w^2)/2 and the velocity volume element picks up only
+        # an r-dependent constant — so the isotropic draw above IS the
+        # (v_r, w) draw; mapping back just divides the tangential part
+        # by gamma(r).  Energy stays bounded: v^2 <= s^2 <= 2 psi.
+        nhat = jnp.where(radius[:, None] > 0.0,
+                         pos / jnp.maximum(radius, 1e-30)[:, None],
+                         jnp.asarray([0.0, 0.0, 1.0], pos.dtype))
+        mu = jnp.sum(u * nhat, axis=1, keepdims=True)
+        gamma = jnp.sqrt(1.0 + (radius / r_a) ** 2)[:, None]
+        vel = speed[:, None] * (mu * nhat
+                                + (u - mu * nhat) / gamma.astype(u.dtype))
 
     fields = OrderedDict()
     fields[short, "particle_position"] = np.asarray(pos)

@@ -434,12 +434,28 @@ def sample_speeds_joint(joint_pairs, n_q, kq, wq, key):
 
 class VirialEquilibrium:
     """Virial equilibrium model for a collisionless component
-    (reference virial.py:16-236)."""
+    (reference virial.py:16-236).
 
-    def __init__(self, model, ptype: str = "dark_matter", df=None):
+    ``r_a``: Osipkov-Merritt anisotropy radius (kpc).  ``None`` (default)
+    is the reference's ergodic/isotropic model.  A finite ``r_a`` builds
+    the OM distribution function f(Q), Q = E - L^2/(2 r_a^2) — radially
+    anisotropic with beta(r) = r^2 / (r^2 + r_a^2) (isotropic inside
+    r_a, radial outside) — a capability the reference lacks.  The OM
+    inversion is the SAME Abel integral with the augmented density
+    rho_Q(r) = (1 + r^2/r_a^2) rho(r) in place of rho (Binney & Tremaine
+    eq. 4.67), so every downstream table/draw path is reused verbatim;
+    only the velocity DIRECTIONS change at sample time
+    (sampling.generate_collisionless_particles divides the tangential
+    components by gamma(r) = sqrt(1 + r^2/r_a^2))."""
+
+    def __init__(self, model, ptype: str = "dark_matter", df=None,
+                 r_a=None):
         self.num_elements = model.num_elements
         self.ptype = ptype
         self.model = model
+        self.r_a = None if r_a is None else float(r_a)
+        if self.r_a is not None and self.r_a <= 0:
+            raise ValueError(f"r_a must be positive, got {r_a}")
         if df is None:
             self._generate_df()
         else:
@@ -457,18 +473,39 @@ class VirialEquilibrium:
         """f(E) on the ascending ee grid (virial.py:74-76)."""
         return np.asarray(self.df)[::-1]
 
+    def _augmented_density(self):
+        """rho (isotropic) or the OM rho_Q = (1 + r^2/r_a^2) rho, in
+        radial ordering."""
+        pden = np.asarray(self.model[f"{self.ptype}_density"])
+        if self.r_a is None:
+            return pden
+        rr = np.asarray(self.model["radius"])
+        return pden * (1.0 + (rr / self.r_a) ** 2)
+
     def _generate_df(self):
-        mylog.info("Computing the %s particle DF.", self.ptype)
-        pden = np.asarray(self.model[f"{self.ptype}_density"])[::-1]
+        mylog.info("Computing the %s particle DF%s.", self.ptype,
+                   "" if self.r_a is None
+                   else f" (Osipkov-Merritt, r_a={self.r_a:g} kpc)")
+        pden = self._augmented_density()[::-1]
         f = compute_df(jnp.asarray(self.ee), jnp.asarray(pden))
         # stored reversed (radially increasing), like the reference's df
         self.df = np.asarray(f)[::-1]
+        fmin = float(self.df.min())
+        if self.r_a is not None and fmin < -1e-12 * float(self.df.max()):
+            mylog.warning(
+                "The Osipkov-Merritt f(Q) for r_a=%g goes negative "
+                "(min %g): the model cannot support this much radial "
+                "anisotropy — increase r_a.", self.r_a, fmin)
 
     def check_virial(self):
-        """(rho_from_df, relative error) — virial.py:78-106."""
+        """(rho_from_df, relative error) — virial.py:78-106.
+
+        For an OM model the isotropic-form reconstruction integral
+        returns the AUGMENTED density, so the residual is taken against
+        rho_Q — the same self-consistency statement."""
         ee = jnp.asarray(self.ee)
         rho = np.asarray(check_virial_density(ee, jnp.asarray(self.ff)))
-        pden = np.asarray(self.model[f"{self.ptype}_density"])
+        pden = self._augmented_density()
         chk = (rho[::-1] - pden) / pden
         mylog.info("The maximum relative deviation of this profile from "
                    "virial equilibrium is %g", np.abs(chk).max())

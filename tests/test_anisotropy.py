@@ -1,0 +1,111 @@
+"""Osipkov-Merritt anisotropic velocity sampling (VirialEquilibrium
+r_a=...) — a capability beyond the reference (its virial.py:16-236 is
+ergodic/isotropic only).  The OM construction reuses the whole isotropic
+machinery: f(Q) is the same Abel inversion on the augmented density
+rho_Q = (1 + r^2/r_a^2) rho, and the draw divides tangential velocity
+components by gamma(r) = sqrt(1 + r^2/r_a^2)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cluster_generator_tpu.virial import VirialEquilibrium
+
+R_A = 1500.0
+
+
+@pytest.fixture(scope="module")
+def om(canonical_model):
+    return VirialEquilibrium(canonical_model, r_a=R_A)
+
+
+def test_om_reduces_to_isotropic_at_large_ra(canonical_model):
+    iso = canonical_model.dm_virial
+    om_far = VirialEquilibrium(canonical_model, r_a=1.0e12)
+    np.testing.assert_allclose(om_far.df, iso.df, rtol=1e-7)
+    with pytest.raises(ValueError, match="positive"):
+        VirialEquilibrium(canonical_model, r_a=-5.0)
+
+
+def test_om_df_selfconsistency(om, canonical_model):
+    """check_virial reconstructs the AUGMENTED density from f(Q) — the
+    OM analogue of the reference's virial check (virial.py:78-106).
+
+    Unlike the ergodic case, OM's rho_Q has nonzero slope at psi -> 0,
+    so f(Q) ~ 1/sqrt(Q) at the truncated grid's low-binding end and the
+    spline-form reconstruction degrades toward r_max (measured: <1e-3
+    inside ~150 kpc, percent-level through the body, ~0.35 at the
+    boundary for r_a = 1.5 Mpc on the canonical [0.1, 1e4] kpc grid;
+    extending r_max shrinks it — a truncation artifact, not an
+    inversion bug).  The assertion here covers the inner region; the
+    OBSERVABLE accuracy (sigma_r vs the analytic OM Jeans solution,
+    ~2% through the body) is pinned by test_om_beta_profile_of_draws."""
+    assert (om.df >= 0).all()  # r_a = 1.5 Mpc is comfortably physical
+    rho, chk = om.check_virial()
+    rr = np.asarray(canonical_model["radius"])
+    rho_q = (np.asarray(canonical_model["dark_matter_density"])
+             * (1.0 + (rr / R_A) ** 2))
+    np.testing.assert_allclose(rho, rho_q * (1.0 + chk), rtol=1e-12)
+    assert np.abs(chk[(rr > 0.5) & (rr < 150.0)]).max() < 1e-3
+    assert np.abs(chk[rr < 1000.0]).max() < 0.03
+
+
+def test_om_beta_profile_of_draws(om):
+    """The drawn ensemble's anisotropy profile beta(r) = 1 - sigma_t^2 /
+    (2 sigma_r^2) must track the OM form r^2/(r^2 + r_a^2)."""
+    p = om.generate_particles(300_000, prng=11)
+    pos = np.asarray(p["dm", "particle_position"], np.float64)
+    vel = np.asarray(p["dm", "particle_velocity"], np.float64)
+    r = np.sqrt((pos**2).sum(axis=1))
+    nhat = pos / r[:, None]
+    v_r = (vel * nhat).sum(axis=1)
+    v_t2 = (vel**2).sum(axis=1) - v_r**2
+
+    edges = np.geomspace(50.0, 6000.0, 9)
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        m = (r >= lo) & (r < hi)
+        assert m.sum() > 500, (lo, hi)
+        beta_hat = 1.0 - v_t2[m].mean() / (2.0 * (v_r[m] ** 2).mean())
+        rmid = np.sqrt(lo * hi)
+        beta_om = rmid**2 / (rmid**2 + R_A**2)
+        # binomial-ish statistical floor + binning smear
+        assert abs(beta_hat - beta_om) < 0.05 + 0.1 * beta_om, \
+            (lo, hi, beta_hat, beta_om)
+
+    # speeds stay bound (the sqrt(2 psi) cap applies to OM identically)
+    v2 = (vel**2).sum(axis=1)
+    rr = np.asarray(om.model["radius"])
+    psi = -np.asarray(om.model["gravitational_potential"])
+    v_esc2 = 2.0 * np.interp(r, rr, psi)
+    assert (v2 <= v_esc2 * (1.0 + 5e-3)).all()
+
+    # the OBSERVABLE second moment: sigma_r(r) of the draws vs the
+    # analytic OM Jeans solution rho sigma_r^2 (1 + r^2/r_a^2) =
+    # int_r^rmax (1 + s^2/r_a^2) rho (-g) ds — measured agreement ~2%
+    # through the cluster body (the truncated-tail DF limitation only
+    # bites beyond ~0.5 r_max; see test_om_df_selfconsistency)
+    from scipy.integrate import cumulative_trapezoid
+
+    rho_g = np.asarray(om.model["dark_matter_density"])
+    gfield = np.asarray(om.model["gravitational_field"])
+    integ = (1.0 + (rr / R_A) ** 2) * rho_g * (-gfield)
+    I = cumulative_trapezoid(integ, rr, initial=0.0)
+    sig2 = (I[-1] - I) / (rho_g * (1.0 + (rr / R_A) ** 2))
+    for lo, hi in zip(edges[2:-2], edges[3:-1]):  # ~170 kpc - 3.3 Mpc
+        msk = (r >= lo) & (r < hi)
+        s_draw = np.sqrt((v_r[msk] ** 2).mean())
+        s_jeans = np.sqrt(np.interp(np.sqrt(lo * hi), rr, sig2))
+        assert abs(s_draw / s_jeans - 1.0) < 0.03, (lo, hi, s_draw, s_jeans)
+
+
+def test_om_radii_unaffected(om, canonical_model):
+    """Radius draws are independent of the velocity model: same key,
+    same positions as the isotropic draw."""
+    iso = canonical_model.dm_virial
+    p_om = om.generate_particles(20_000, prng=3)
+    p_iso = iso.generate_particles(20_000, prng=3)
+    np.testing.assert_array_equal(
+        np.asarray(p_om["dm", "particle_position"]),
+        np.asarray(p_iso["dm", "particle_position"]))
+    v = np.asarray(p_om["dm", "particle_velocity"])
+    assert np.isfinite(v).all() and (np.linalg.norm(v, axis=1) > 0).all()

@@ -198,6 +198,9 @@ def _add_datagen(sub):
     p.add_argument("--conc-range", type=float, nargs=2, default=(3.0, 8.0),
                    metavar=("LO", "HI"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--r-a", type=float, default=None, dest="r_a",
+                   help="Osipkov-Merritt anisotropy radius (kpc) for the "
+                   "collisionless species; default isotropic")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--resume", action="store_true",
@@ -243,7 +246,8 @@ def _cmd_datagen(args):
     # seed but a distinct fold so param and draw streams never collide
     key = jax.random.fold_in(jax.random.key(args.seed), 1)
     kw = dict(batch_size=args.batch_size, num_points=args.num_points,
-              key=key, overwrite=args.overwrite, resume=args.resume)
+              key=key, overwrite=args.overwrite, resume=args.resume,
+              anisotropy_radius=args.r_a)
     if (args.rank is None) != (args.nproc is None):
         print("--rank and --nproc go together", file=sys.stderr)
         return 2

@@ -116,7 +116,7 @@ def _speed_table_key():
                         key=lambda kv: kv[0]))
 
 
-def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048):
+def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048, r_a=None):
     """One jitted program: (M200, conc, keys) batch -> per-cluster DM
     phase-space draws (positions, velocities, particle mass).
 
@@ -130,14 +130,14 @@ def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048):
     the same shapes reuse one jitted program — see
     tests/test_recompilation.py.
     """
-    return _datagen_batch_cached(num_points, n_part, n_rows, rq,
+    return _datagen_batch_cached(num_points, n_part, n_rows, rq, r_a,
                                  _speed_table_key())
 
 
 @lru_cache(maxsize=32)
-def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
+def _datagen_batch_cached(num_points, n_part, n_rows, rq, r_a, kw_items):
     full = _datagen_full_batch_cached(num_points, n_part, 0, 0, n_rows,
-                                      rq, 64, 512, 256, 256, kw_items)
+                                      rq, 64, 512, 256, 256, r_a, kw_items)
 
     # jit-of-jit: tracing `full` inlines its jaxpr, so exactly one
     # program compiles; the outer jit also carries the cache
@@ -151,7 +151,7 @@ def _datagen_batch_cached(num_points, n_part, n_rows, rq, kw_items):
 
 def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=128,
                            rq=2048, star_n_rows=64, star_rq=512,
-                           star_n_s=256, star_n_q=256):
+                           star_n_s=256, star_n_q=256, r_a=None):
     """Memoized factory for the full-species datagen program — the ONE
     datagen core (the int-count path delegates here with gas=star=0;
     species with a zero count are simply absent from the output dict).
@@ -169,13 +169,14 @@ def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=128,
     return _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star,
                                       n_rows, rq, star_n_rows, star_rq,
                                       star_n_s, star_n_q,
+                                      None if r_a is None else float(r_a),
                                       _speed_table_key())
 
 
 @lru_cache(maxsize=32)
 def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
                                rq, star_n_rows, star_rq, star_n_s,
-                               star_n_q, kw_items):
+                               star_n_q, r_a, kw_items):
     """One jitted program: (M200, conc, key) batch -> per-cluster
     FULL-SPECIES draws — the complete per-cluster IC product at ensemble
     scale (reference model.py:838-1039 gas generator + virial.py:108-236
@@ -262,8 +263,21 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         # Bernoulli row selection can exceed the LOCAL escape speed by the
         # inter-node v_esc difference; cap rides the radius gather
         speed = jnp.minimum(speed, v_esc.astype(speed.dtype))
-        pos = radius[:, None] * _isotropic(k_u, n_part)
-        vel = speed[:, None].astype(jnp.float32) * _isotropic(k_w, n_part)
+        rhat = _isotropic(k_u, n_part)
+        pos = radius[:, None] * rhat
+        u = _isotropic(k_w, n_part)
+        speed = speed[:, None].astype(jnp.float32)
+        if r_a is None:
+            vel = speed * u
+        else:
+            # Osipkov-Merritt: the speed table above was built from the
+            # AUGMENTED density's f(Q) (isotropic in (v_r, gamma v_t)
+            # space), so the draw maps back by dividing the tangential
+            # components by gamma(r) — same scheme as the class API
+            # (sampling.generate_collisionless_particles)
+            mu = jnp.sum(u * rhat, axis=1, keepdims=True)
+            gamma = jnp.sqrt(1.0 + (radius / r_a) ** 2)[:, None]
+            vel = speed * (mu * rhat + (u - mu * rhat) / gamma)
         pmass = (mm[-1] / n_part).astype(jnp.float32)
         return pos, vel, pmass
 
@@ -287,16 +301,25 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         return pos, energy, pmass
 
     def one(m, c, key):
-        f = build_one_cluster(m, c, num_points=num_points, with_df=True)
+        # for OM (r_a set) the per-species DFs are f(Q) of the AUGMENTED
+        # density rho_Q = (1 + r^2/r_a^2) rho — same Abel inversion
+        # (virial.VirialEquilibrium docstring has the math)
+        f = build_one_cluster(m, c, num_points=num_points,
+                              with_df=(r_a is None))
         ee = -f["gravitational_potential"][::-1]
+        aug = (1.0 if r_a is None
+               else 1.0 + (f["radius"] / r_a) ** 2)
         row_ee = ee[row_idx]
         k_dm, k_gas, k_star = jax.random.split(key, 3)
         out = {}
         if n_dm:
+            dm_df = (f["dm_df"][::-1] if r_a is None else
+                     compute_df(ee, (f["dark_matter_density"]
+                                     * aug)[::-1]))
             out["dm"] = _collisionless(f, row_ee, "dark_matter_mass",
-                                       f["dm_df"][::-1], n_dm, k_dm)
+                                       dm_df, n_dm, k_dm)
         if n_star:
-            star_df = compute_df(ee, f["stellar_density"][::-1])
+            star_df = compute_df(ee, (f["stellar_density"] * aug)[::-1])
             out["star"] = _collisionless(f, ee[row_idx_star],
                                          "stellar_mass", star_df, n_star,
                                          k_star, star_rq, kw_star)
@@ -334,7 +357,7 @@ def prorate_species_counts(n_total, M200=1.5e15, conc=4.0, num_points=512):
     return {"dm": n_dm, "gas": n_gas, "star": n_star}
 
 
-def _resolve_batch_fn(n_particles_per_cluster, num_points):
+def _resolve_batch_fn(n_particles_per_cluster, num_points, r_a=None):
     """(full?, per-species counts, jitted batch program) for a datagen
     product selector (int = DM phase space, dict = full-species).  One
     jitted program per config; jit's shape-keyed cache handles the
@@ -351,11 +374,13 @@ def _resolve_batch_fn(n_particles_per_cluster, num_points):
         counts = {s: int(n_particles_per_cluster.get(s, 0))
                   for s in ("dm", "gas", "star")}
         batch_fn = _datagen_full_batch_fn(num_points, counts["dm"],
-                                          counts["gas"], counts["star"])
+                                          counts["gas"], counts["star"],
+                                          r_a=r_a)
     else:
         counts = None
         batch_fn = _datagen_batch_fn(num_points,
-                                     int(n_particles_per_cluster))
+                                     int(n_particles_per_cluster),
+                                     r_a=r_a)
     return full, counts, batch_fn
 
 
@@ -385,6 +410,7 @@ def _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh):
 def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                      batch_size=256, num_points=512, key=None,
                      overwrite=False, resume=False, mesh=None,
+                     anisotropy_radius=None,
                      _only_batches=None, _extra_attrs=None):
     """Stream an ensemble's particle draws to ONE HDF5 file.
 
@@ -419,6 +445,13 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     config.  Batches whose length does not divide the ``ens`` axis (the
     final short batch) fall back to default placement.  ``None``
     (default) runs single-device.
+
+    ``anisotropy_radius``: Osipkov-Merritt r_a in kpc (same for every
+    cluster in the catalog) — collisionless species draw from the
+    radially-anisotropic f(Q) with beta(r) = r^2/(r^2 + r_a^2)
+    (virial.VirialEquilibrium docstring has the construction).  ``None``
+    (default) is the ergodic/isotropic product.  Recorded in the
+    catalog attrs and part of the resume config.
 
     ``resume=True`` restarts an interrupted run: completed batches are
     kept verbatim, the partially-written batch is deleted and recomputed
@@ -463,9 +496,12 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     if key is None:
         key = jax.random.key(0)
     full, counts, batch_fn = _resolve_batch_fn(n_particles_per_cluster,
-                                               num_points)
-    mylog.info("Ensemble datagen: %d clusters x %s particles -> %s",
-               n_cl, n_particles_per_cluster, path)
+                                               num_points,
+                                               r_a=anisotropy_radius)
+    mylog.info("Ensemble datagen: %d clusters x %s particles%s -> %s",
+               n_cl, n_particles_per_cluster,
+               "" if anisotropy_radius is None
+               else f" (OM r_a={anisotropy_radius:g} kpc)", path)
     _dispatch = _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh)
 
     # catalog data goes through the raw pwrite-at-offset path — the
@@ -521,6 +557,10 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     config = {"draws_version": _DRAWS_VERSION,
               "n_clusters": n_cl, "batch_size": int(batch_size),
               "num_points": int(num_points),
+              # 0.0 = ergodic/isotropic (also the default for files from
+              # before the knob existed)
+              "r_a": (0.0 if anisotropy_radius is None
+                      else float(anisotropy_radius)),
               # the partitioned program rounds ~1 ulp differently, so a
               # resume must re-run under the same ens-axis layout for
               # the splice to be bit-faithful
@@ -545,7 +585,7 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                 return str(path)
             # shard identity defaults for files written before it was
             # recorded: a plain run's values
-            defaults = {"shard_rank": 0, "shard_count": 1}
+            defaults = {"shard_rank": 0, "shard_count": 1, "r_a": 0.0}
             for k, v in config.items():
                 have = f.attrs.get(k, defaults.get(k))
                 if have is None or not np.array_equal(have, v):
@@ -614,7 +654,8 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
 def ensemble_datagen_multihost(M200, conc, filename,
                                n_particles_per_cluster, batch_size=256,
                                num_points=512, key=None, overwrite=False,
-                               resume=False, mesh=None, rank=None,
+                               resume=False, mesh=None,
+                               anisotropy_radius=None, rank=None,
                                nproc=None):
     """Multi-process :func:`ensemble_datagen`: process ``rank`` of
     ``nproc`` computes batches ``rank, rank+nproc, ...`` (strided, so
@@ -651,12 +692,13 @@ def ensemble_datagen_multihost(M200, conc, filename,
         M200, conc, str(shard), n_particles_per_cluster,
         batch_size=batch_size, num_points=num_points, key=key,
         overwrite=overwrite, resume=resume, mesh=mesh,
-        _only_batches=mine,
+        anisotropy_radius=anisotropy_radius, _only_batches=mine,
         _extra_attrs={"shard_rank": rank, "shard_count": nproc})
 
 
 def datagen_batches(M200, conc, n_particles_per_cluster, batch_size=256,
-                    num_points=512, key=None, mesh=None):
+                    num_points=512, key=None, mesh=None,
+                    anisotropy_radius=None):
     """Yield ``(b0, batch_out)`` draws directly as device arrays — the
     no-disk streaming form of :func:`ensemble_datagen` for consumers
     that train on the draws immediately (catalog write + read-back
@@ -678,7 +720,8 @@ def datagen_batches(M200, conc, n_particles_per_cluster, batch_size=256,
     n_cl = int(M200.shape[0])
     if key is None:
         key = jax.random.key(0)
-    _, _, batch_fn = _resolve_batch_fn(n_particles_per_cluster, num_points)
+    _, _, batch_fn = _resolve_batch_fn(n_particles_per_cluster, num_points,
+                                       r_a=anisotropy_radius)
     _dispatch = _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh)
     pending = None
     for b0 in range(0, n_cl, batch_size):
@@ -893,6 +936,7 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
     with h5py.File(filenames[0], "r") as f:
         num_points = int(f.attrs["num_points"])
         n_cl = int(f.attrs["n_clusters"])
+        r_a = float(f.attrs.get("r_a", 0.0))  # 0 = ergodic/isotropic
     if indices is None:
         indices = range(n_cl)
     indices = list(indices)
@@ -953,6 +997,25 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
             report["max_speed_frac"] = max(report["max_speed_frac"], frac)
             _check(frac <= 1.0 + speed_tol,
                    f"cluster {i} {sp}: speed {frac:.6f} of local v_esc")
+            if r_a > 0.0:
+                # OM anisotropy: drawn beta in a shell around r_a must
+                # track beta_OM = r^2/(r^2 + r_a^2) (statistical check;
+                # an isotropic draw in an OM-labeled catalog shows
+                # beta ~ 0 and fails loudly)
+                nh = np.asarray(pos, np.float64) / np.maximum(
+                    r, 1e-30)[:, None]
+                v_r = (np.asarray(vel, np.float64) * nh).sum(axis=1)
+                shell = (r >= 1.2 * r_a) & (r <= min(2.0 * r_a, rr[-1]))
+                if shell.sum() >= 1000:
+                    v_t2 = (v[shell] ** 2 - v_r[shell] ** 2)
+                    beta = 1.0 - v_t2.mean() / (2.0 * (v_r[shell] ** 2)
+                                                .mean())
+                    rmid = float(r[shell].mean())
+                    b_om = rmid**2 / (rmid**2 + r_a**2)
+                    _check(abs(beta - b_om) < 0.15,
+                           f"cluster {i} {sp}: anisotropy beta "
+                           f"{beta:.3f} vs OM {b_om:.3f} at r~{rmid:.0f}"
+                           " (isotropic draws in an OM catalog?)")
             m_tot = float(np.asarray(f[species_mass[sp]])[-1])
             merr = abs(float(pmass) * len(r) - m_tot) / m_tot
             report["max_mass_rel_err"] = max(report["max_mass_rel_err"],

@@ -298,7 +298,8 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
     r_pair = _radius_quantile_pairs(P, rr_ins)
     radius_sub, kq, wq = _sample_radii_table(k_r, r_pair, num_sub)
     radius = _tile(radius_sub, sub_sample, num_particles)
-    pos = radius[:, None] * _isotropic_units(k_ang, num_particles)
+    rhat = _isotropic_units(k_ang, num_particles)
+    pos = radius[:, None] * rhat
 
     # psi at the quantile nodes (exact cubic spline, one-time) feeds the
     # joint absolute-speed table and the per-particle potential
@@ -334,13 +335,11 @@ def generate_collisionless_particles(virial, num_particles, r_max=None,
         # an r-dependent constant — so the isotropic draw above IS the
         # (v_r, w) draw; mapping back just divides the tangential part
         # by gamma(r).  Energy stays bounded: v^2 <= s^2 <= 2 psi.
-        nhat = jnp.where(radius[:, None] > 0.0,
-                         pos / jnp.maximum(radius, 1e-30)[:, None],
-                         jnp.asarray([0.0, 0.0, 1.0], pos.dtype))
-        mu = jnp.sum(u * nhat, axis=1, keepdims=True)
+        # rhat is the position draw's own unit vector (exact at r = 0).
+        mu = jnp.sum(u * rhat, axis=1, keepdims=True)
         gamma = jnp.sqrt(1.0 + (radius / r_a) ** 2)[:, None]
-        vel = speed[:, None] * (mu * nhat
-                                + (u - mu * nhat) / gamma.astype(u.dtype))
+        vel = speed[:, None] * (mu * rhat
+                                + (u - mu * rhat) / gamma.astype(u.dtype))
 
     fields = OrderedDict()
     fields[short, "particle_position"] = np.asarray(pos)

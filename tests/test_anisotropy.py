@@ -5,6 +5,7 @@ machinery: f(Q) is the same Abel inversion on the augmented density
 rho_Q = (1 + r^2/r_a^2) rho, and the draw divides tangential velocity
 components by gamma(r) = sqrt(1 + r^2/r_a^2)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -96,6 +97,61 @@ def test_om_beta_profile_of_draws(om):
         s_draw = np.sqrt((v_r[msk] ** 2).mean())
         s_jeans = np.sqrt(np.interp(np.sqrt(lo * hi), rr, sig2))
         assert abs(s_draw / s_jeans - 1.0) < 0.03, (lo, hi, s_draw, s_jeans)
+
+
+def test_om_ensemble_datagen(tmp_path):
+    """The OM knob at ensemble-datagen scale: catalogs record r_a,
+    verify_catalog checks the drawn beta against the OM form, resume
+    refuses to splice across an r_a change, and the CLI threads the
+    flag through."""
+    import h5py
+
+    from cluster_generator_tpu.cli import main
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        sample_ensemble_params,
+        verify_catalog,
+    )
+
+    r_a = 1000.0
+    M, c = sample_ensemble_params(jax.random.key(2), 3)
+    fn = str(tmp_path / "om_cat.h5")
+    ensemble_datagen(M, c, fn, {"dm": 30_000, "star": 5_000},
+                     batch_size=2, num_points=128, key=jax.random.key(9),
+                     anisotropy_radius=r_a)
+    with h5py.File(fn) as f:
+        assert f.attrs["r_a"] == r_a
+    report = verify_catalog(fn)
+    assert report["violations"] == []
+
+    # mislabel as a MUCH more anisotropic catalog: the beta check in
+    # verify_catalog must fire (drawn beta ~ OM(1000) != OM(250))
+    with h5py.File(fn, "a") as f:
+        f.attrs["r_a"] = 250.0
+    bad = verify_catalog(fn, strict=False)
+    assert any("anisotropy beta" in v for v in bad["violations"])
+
+    # resume across an r_a change refuses to splice
+    with h5py.File(fn, "a") as f:
+        f.attrs["r_a"] = r_a
+        del f.attrs["complete"]
+        del f["cluster_000002"]
+    with pytest.raises(ValueError, match="r_a"):
+        ensemble_datagen(M, c, fn, {"dm": 30_000, "star": 5_000},
+                         batch_size=2, num_points=128,
+                         key=jax.random.key(9), resume=True)
+    ensemble_datagen(M, c, fn, {"dm": 30_000, "star": 5_000},
+                     batch_size=2, num_points=128, key=jax.random.key(9),
+                     anisotropy_radius=r_a, resume=True)
+    assert verify_catalog(fn)["violations"] == []
+
+    # the CLI threads --r-a through
+    cli_fn = str(tmp_path / "om_cli.h5")
+    assert main(["datagen", "-n", "2", "--dm", "5000", "--batch-size",
+                 "2", "--num-points", "128", "--r-a", "800",
+                 "-o", cli_fn]) == 0
+    with h5py.File(cli_fn) as f:
+        assert f.attrs["r_a"] == 800.0
 
 
 def test_om_radii_unaffected(om, canonical_model):

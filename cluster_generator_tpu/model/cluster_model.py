@@ -371,12 +371,21 @@ class ClusterModel:
     def check_star_virial(self):
         return self.star_virial.check_virial()
 
-    def compute_velocity_dispersion(self, ptype: str = "dark_matter"):
-        """Isotropic Jeans radial velocity dispersion, stored as the
+    def compute_velocity_dispersion(self, ptype: str = "dark_matter",
+                                    r_a=None):
+        """Jeans radial velocity dispersion, stored as the
         ``velocity_dispersion`` field.
 
+        Isotropic (``r_a=None``):
         sigma_r^2(r) = (1 / rho(r)) int_r^{rmax} rho(r') g(r') dr'
         with g = -dPhi/dr < 0 taken from the model's gravitational field.
+
+        Osipkov-Merritt (``r_a`` in kpc — the analytic companion of
+        ``VirialEquilibrium(..., r_a=...)`` draws): the Jeans equation
+        with beta(r) = r^2/(r^2 + r_a^2) integrates in closed form to
+        sigma_r^2(r) = int_r^{rmax} (1 + r'^2/r_a^2) rho g dr' /
+        (rho (1 + r^2/r_a^2)).
+
         This supplies the sigma_v(r) profile that
         :class:`~cluster_generator_tpu.fields.RadialRandomVelocityField`
         scales by (the reference expects the field to pre-exist,
@@ -388,11 +397,15 @@ class ClusterModel:
         rho = jnp.asarray(self.fields[f"{ptype}_density"]
                           if ptype != "gas" else self.fields["density"])
         g = jnp.asarray(self.fields["gravitational_field"])
+        aug_fn = ((lambda r: 1.0) if r_a is None
+                  else (lambda r: 1.0 + (r / float(r_a)) ** 2))
         rho_sp = cubic_spline(rr, rho)
         g_sp = cubic_spline(rr, g)
-        integrand = lambda r: spline_eval(rho_sp, r) * (-spline_eval(g_sp, r))
+        integrand = lambda r: (aug_fn(r) * spline_eval(rho_sp, r)
+                               * (-spline_eval(g_sp, r)))
         num = integrate_from(integrand, rr)
-        sigma2 = np.asarray(num) / np.maximum(np.asarray(rho), 1e-300)
+        sigma2 = (np.asarray(num)
+                  / np.maximum(np.asarray(rho * aug_fn(rr)), 1e-300))
         sigma = np.sqrt(np.maximum(sigma2, 0.0))
         # the outermost point has an empty integral; extend smoothly
         sigma[-1] = sigma[-2]

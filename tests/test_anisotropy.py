@@ -92,6 +92,11 @@ def test_om_beta_profile_of_draws(om):
     integ = (1.0 + (rr / R_A) ** 2) * rho_g * (-gfield)
     I = cumulative_trapezoid(integ, rr, initial=0.0)
     sig2 = (I[-1] - I) / (rho_g * (1.0 + (rr / R_A) ** 2))
+    # the model API's OM Jeans profile agrees with this independent
+    # cumtrapz evaluation (GL panels vs trapezoids: ~1e-3)
+    sig_api = np.asarray(
+        om.model.compute_velocity_dispersion("dark_matter", r_a=R_A))
+    np.testing.assert_allclose(sig_api[:-2], np.sqrt(sig2)[:-2], rtol=5e-3)
     for lo, hi in zip(edges[2:-2], edges[3:-1]):  # ~170 kpc - 3.3 Mpc
         msk = (r >= lo) & (r < hi)
         s_draw = np.sqrt((v_r[msk] ** 2).mean())

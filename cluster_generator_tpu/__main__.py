@@ -4,4 +4,6 @@ import sys
 
 from .cli import main
 
-sys.exit(main())
+if __name__ == "__main__":  # guard: tools that IMPORT this module
+    sys.exit(main())        # (pytest --pyargs, pkgutil walks) must not
+                            # run the CLI against their own sys.argv

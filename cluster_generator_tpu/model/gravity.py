@@ -77,6 +77,20 @@ def _a0_galactic(params):
     return a0_si * C.MYR_S**2 / C.KPC_M  # m/s^2 -> kpc/Myr^2
 
 
+def _simple_mu_inverse(g_n, a0):
+    """Closed-form inversion of the spherical relation mu(x) x = y for
+    the simple interpolation function mu(x) = x/(1+x), with
+    y = |g_N|/a0 and x = |g|/a0:
+
+        x^2 / (1 + x) = y  =>  x = (y + sqrt(y (y + 4))) / 2.
+
+    Returns the (negative, inward) field -a0 x.  Shared by AQUAL and
+    EMOND (EMOND passes a pointwise A0(phi) array as ``a0``)."""
+    y = jnp.abs(g_n) / a0
+    x = 0.5 * (y + jnp.sqrt(y * (y + 4.0)))
+    return -a0 * x
+
+
 def aqual_field(rr, m_tot, params=None):
     """AQUAL field with the simple interpolation function
     mu(x) = x / (1 + x) (the reference config's AQUAL lambda,
@@ -95,25 +109,31 @@ def aqual_field(rr, m_tot, params=None):
     x -> y (Newtonian) as y -> inf, x -> sqrt(y) (deep MOND) as y -> 0.
     """
     a0 = _a0_galactic(params)
-    g_n = newtonian_field(rr, m_tot)
-    y = jnp.abs(g_n) / a0
-    x = 0.5 * (y + jnp.sqrt(y * (y + 4.0)))
-    return -a0 * x
+    return _simple_mu_inverse(newtonian_field(rr, m_tot), a0)
 
 
 def emond_a0(phi, params=None):
     """EMOND's potential-dependent acceleration scale A0(phi)
-    (Zhao & Famaey 2012 form; constants from the reference config's
-    EMOND ``a0_function`` lambda, bin/config.yaml):
+    (Zhao & Famaey 2012 / Hodson & Zhao 2017 form; constants from the
+    reference config's EMOND ``a0_function`` lambda, bin/config.yaml:51):
 
-        A0(phi) = a + (A - a) * (tanh(log10(phi/p0)^2) + 1) / 2
+        A0(phi) = a + (A - a) * (tanh(log10((phi/p0)^2)) + 1) / 2
 
     with a = 0.003868, A = 0.30944, p0 = -7.614 and phi the (negative)
     gravitational potential in units where those constants live
     ((100 km/s)^2, the convention of the EMOND literature); the result
     is returned in GALACTIC units (kpc/Myr^2) scaled so that
     A0 -> a reproduces the standard a0.  All constants are overridable
-    via ``params`` keys a, A, p0."""
+    via ``params`` keys a, A, p0.
+
+    Note the reference's lambda transcribes the shape as
+    ``np.log10(x/p0)**2`` — the exponent OUTSIDE the log — which is
+    non-monotonic in |phi| (maximal at BOTH phi -> 0 and |phi| -> inf)
+    and never reduces to the standard a0 in shallow potentials,
+    defeating EMOND's purpose (boost A0 only in deep cluster
+    potentials).  This rebuild implements the monotone log-of-square
+    literature form; tests pin A0 -> a0 as |phi| -> 0, A0 -> (A/a) a0
+    in deep potentials, and monotonicity in |phi|."""
     p = params or {}
     a = p.get("a", 0.003868)
     A = p.get("A", 0.30944)
@@ -121,7 +141,7 @@ def emond_a0(phi, params=None):
     # phi in (100 km/s)^2: 1 kpc^2/Myr^2 = (977.79 km/s)^2
     phi_units = jnp.asarray(phi) * (C.KPC_M / C.MYR_S / 1.0e5) ** 2
     ratio = jnp.maximum(phi_units / p0, 1e-30)  # log10 of <=0 guards
-    shape = 0.5 * (jnp.tanh(jnp.log10(ratio) ** 2) + 1.0)
+    shape = 0.5 * (jnp.tanh(jnp.log10(ratio * ratio)) + 1.0)
     A0 = a + (A - a) * shape
     # normalize: the literature's a corresponds to the standard a0
     return A0 / a * _a0_galactic(params)
@@ -140,10 +160,7 @@ def emond_field(rr, m_tot, params=None):
                          "array on rr} (EMOND's A0 depends on the "
                          "potential)")
     a0 = emond_a0(params["phi"], params)
-    g_n = newtonian_field(rr, m_tot)
-    y = jnp.abs(g_n) / a0
-    x = 0.5 * (y + jnp.sqrt(y * (y + 4.0)))
-    return -a0 * x
+    return _simple_mu_inverse(newtonian_field(rr, m_tot), a0)
 
 
 register_gravity("newtonian", newtonian_field)

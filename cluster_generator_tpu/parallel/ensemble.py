@@ -130,7 +130,8 @@ def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048, r_a=None):
     the same shapes reuse one jitted program — see
     tests/test_recompilation.py.
     """
-    return _datagen_batch_cached(num_points, n_part, n_rows, rq, r_a,
+    return _datagen_batch_cached(num_points, n_part, n_rows, rq,
+                                 None if r_a is None else float(r_a),
                                  _speed_table_key())
 
 
@@ -362,6 +363,15 @@ def _resolve_batch_fn(n_particles_per_cluster, num_points, r_a=None):
     product selector (int = DM phase space, dict = full-species).  One
     jitted program per config; jit's shape-keyed cache handles the
     short final batch (it retraces once for the tail shape)."""
+    if r_a is not None and not float(r_a) > 0.0:
+        # r_a=0 would NaN-poison every velocity (aug density hits inf)
+        # and, worse, 0.0 is the catalog attr's isotropic sentinel, so
+        # verify_catalog's beta check would be silently SKIPPED on the
+        # poisoned file; negatives only enter as r_a**2 and would record
+        # a nonsense attr.  Same contract as VirialEquilibrium(r_a=...).
+        raise ValueError(f"anisotropy_radius must be positive (got "
+                         f"{r_a!r}); omit it (None) for the isotropic "
+                         "product")
     full = isinstance(n_particles_per_cluster, dict)
     if full:
         unknown = set(n_particles_per_cluster) - {"dm", "gas", "star"}

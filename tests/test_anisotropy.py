@@ -158,6 +158,16 @@ def test_om_ensemble_datagen(tmp_path):
     with h5py.File(cli_fn) as f:
         assert f.attrs["r_a"] == 800.0
 
+    # non-positive r_a is rejected loudly BEFORE any draw: r_a=0 would
+    # NaN-poison velocities AND collide with the catalog's isotropic
+    # sentinel attr (silently disabling verify_catalog's beta check)
+    for bad_ra in (0.0, -300.0):
+        with pytest.raises(ValueError, match="positive"):
+            ensemble_datagen(M, c, str(tmp_path / "bad.h5"),
+                             {"dm": 5_000}, batch_size=2, num_points=128,
+                             key=jax.random.key(1),
+                             anisotropy_radius=bad_ra)
+
 
 def test_om_radii_unaffected(om, canonical_model):
     """Radius draws are independent of the velocity model: same key,

@@ -75,18 +75,30 @@ def test_aqual_closed_form_and_limits(canonical_model):
 
 
 def test_emond_a0_and_field(canonical_model):
-    """EMOND's A0(phi) reproduces the reference lambda's shape (a at the
-    p0 potential scale, ->A far from it) and emond_field demands phi."""
+    """EMOND's A0(phi): -> a0 in shallow potentials, -> (A/a) a0 in deep
+    ones, monotone in |phi| ((a+A)/2 at the p0 scale), and emond_field
+    demands phi.  The reference's config lambda writes the shape as
+    log10(x/p0)**2 (exponent outside the log) which is non-monotonic
+    and never reduces to a0 — this rebuild fixes it to the
+    log-of-square literature form (gravity.emond_a0 docstring)."""
     from cluster_generator_tpu.core import constants as C
 
     to_units = (C.KPC_M / C.MYR_S / 1.0e5) ** 2  # kpc^2/Myr^2 -> (100km/s)^2
     phi_p0 = -7.614 / to_units
+    a0_gal = 1.2e-10 * C.MYR_S**2 / C.KPC_M
     a0_at_p0 = float(emond_a0(phi_p0))
-    base = float(emond_a0(phi_p0 * 1e-12))  # |phi| << |p0|: shape -> 1
     # at phi = p0 the tanh argument is 0 -> A0 = (a + A)/2 scaled
-    ratio = a0_at_p0 / (1.2e-10 * C.MYR_S**2 / C.KPC_M)
-    assert abs(ratio - 0.5 * (0.003868 + 0.30944) / 0.003868) < 1e-6
-    assert base / a0_at_p0 > 1.5  # far potentials boost A0 toward A
+    assert abs(a0_at_p0 / a0_gal
+               - 0.5 * (0.003868 + 0.30944) / 0.003868) < 1e-6
+    # shallow potential: standard MOND recovered (A0 -> a0)
+    base = float(emond_a0(phi_p0 * 1e-12))
+    assert abs(base / a0_gal - 1.0) < 1e-3
+    # deep potential: full EMOND boost A0 -> (A/a) a0 (~80x)
+    deep = float(emond_a0(phi_p0 * 1e12))
+    assert abs(deep / a0_gal - 0.30944 / 0.003868) < 1e-3
+    # monotone non-decreasing in |phi|
+    sweep = np.asarray(emond_a0(phi_p0 * np.logspace(-6, 6, 121)))
+    assert (np.diff(sweep) >= -1e-12 * a0_gal).all()
 
     rr = jnp.asarray(canonical_model["radius"])
     m = jnp.asarray(canonical_model["total_mass"])

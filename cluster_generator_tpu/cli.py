@@ -58,11 +58,22 @@ def _cmd_build(args):
     from .model import ClusterModel
     from .parallel.ensemble import build_one_cluster
 
-    fields = build_one_cluster(args.m200, args.conc, z=args.z,
-                               f_g=args.fgas, rmin=args.rmin,
-                               rmax=args.rmax, num_points=args.num_points,
-                               with_df=not args.no_df)
+    fields = dict(build_one_cluster(args.m200, args.conc, z=args.z,
+                                    f_g=args.fgas, rmin=args.rmin,
+                                    rmax=args.rmax,
+                                    num_points=args.num_points,
+                                    with_df=not args.no_df))
+    # dm_df is not a radial field: thread it into the virial object so
+    # check_dm_virial reuses it (instead of re-running the Eddington
+    # inversion) and the writer persists it once, as the canonical
+    # top-level dm_df dataset
+    dm_df = fields.pop("dm_df", None)
     model = ClusterModel.from_arrays(fields)
+    if dm_df is not None:
+        from .virial import VirialEquilibrium
+
+        model._dm_virial = VirialEquilibrium(model, "dark_matter",
+                                             df=dm_df)
     if args.beta is not None:
         model.set_magnetic_field_from_beta(args.beta)
     import numpy as np
@@ -70,7 +81,7 @@ def _cmd_build(args):
     print(f"HSE residual: {float(np.abs(model.check_hse()).max()):.3e}")
     if not args.no_df:
         print("virial residual: "
-              f"{float(model.check_dm_virial()[1].max()):.3e}")
+              f"{float(np.abs(model.check_dm_virial()[1]).max()):.3e}")
     model.write_model_to_h5(args.output, overwrite=args.overwrite)
     print(f"wrote {args.output}")
     return 0
@@ -304,13 +315,21 @@ def _cmd_catalog(args):
     info["groups_present"] = total_groups
     info["complete"] = all(e["attrs"].get("complete", False)
                            for e in info["files"])
+    # a plain catalog must carry every group; a multihost shard set must
+    # supply EVERY rank 0..shard_count-1 (a lost shard otherwise passes
+    # with half the clusters) — and then the union must cover n_clusters
+    shard_count = max(int(e["attrs"].get("shard_count", 1))
+                      for e in info["files"])
+    missing_ranks = []
+    if shard_count > 1:
+        ranks = {int(e["attrs"].get("shard_rank", -1))
+                 for e in info["files"]}
+        missing_ranks = sorted(set(range(shard_count)) - ranks)
+        info["missing_shard_ranks"] = missing_ranks
     print(json.dumps(info, indent=2, default=str))
-    # a plain catalog must carry every group; a multihost SHARD
-    # (shard_count > 1) legitimately holds only its stride
-    plain = all(int(e["attrs"].get("shard_count", 1)) == 1
-                for e in info["files"])
-    if not info["complete"] or (plain and n_cl is not None
-                                and total_groups < int(n_cl)):
+    if not info["complete"] or missing_ranks:
+        return 1
+    if n_cl is not None and total_groups < int(n_cl):
         return 1
     return 0
 
@@ -323,8 +342,10 @@ def _add_verify(sub):
         "non-zero on violations.")
     p.add_argument("catalog", nargs="+",
                    help="catalog file (or a multihost shard list)")
-    p.add_argument("--indices", type=int, nargs="*", default=None,
-                   help="cluster indices to check (default: all)")
+    p.add_argument("--indices", type=int, nargs="+", default=None,
+                   help="cluster indices to check (default: all); a bare "
+                   "--indices is rejected rather than vacuously passing "
+                   "zero clusters")
     p.set_defaults(fn=_cmd_verify)
 
 

@@ -393,6 +393,11 @@ class ClusterModel:
         """
         from ..core.quadrature import integrate_from
 
+        if r_a is not None and not float(r_a) > 0.0:
+            # same validation as VirialEquilibrium(r_a=...): r_a <= 0
+            # would silently poison the field (r/0 -> inf, inf/inf NaN)
+            raise ValueError(f"r_a must be positive (got {r_a!r}); use "
+                             "r_a=None for the isotropic dispersion")
         rr = jnp.asarray(self.fields["radius"])
         rho = jnp.asarray(self.fields[f"{ptype}_density"]
                           if ptype != "gas" else self.fields["density"])

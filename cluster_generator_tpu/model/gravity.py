@@ -140,7 +140,11 @@ def emond_a0(phi, params=None):
     p0 = p.get("p0", -7.614)
     # phi in (100 km/s)^2: 1 kpc^2/Myr^2 = (977.79 km/s)^2
     phi_units = jnp.asarray(phi) * (C.KPC_M / C.MYR_S / 1.0e5) ** 2
-    ratio = jnp.maximum(phi_units / p0, 1e-30)  # log10 of <=0 guards
+    # |phi/p0|: the shape is even in phi (log of the SQUARE), so accept
+    # either sign convention for the potential (callers routinely flip
+    # sign, e.g. psi = -Phi); clamping the signed ratio instead would
+    # collapse psi > 0 inputs to the shallow limit silently.
+    ratio = jnp.maximum(jnp.abs(phi_units / p0), 1e-30)
     shape = 0.5 * (jnp.tanh(jnp.log10(ratio * ratio)) + 1.0)
     A0 = a + (A - a) * shape
     # normalize: the literature's a corresponds to the standard a0

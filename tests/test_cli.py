@@ -35,8 +35,13 @@ def test_build_writes_loadable_model(model_file):
     m = ClusterModel.from_h5_file(model_file)
     assert m.num_elements == NP
     for f in ("density", "temperature", "dark_matter_density",
-              "magnetic_field_strength", "dm_df"):
+              "magnetic_field_strength"):
         assert f in m, f
+    # the DF is persisted ONCE, as the canonical top-level dataset the
+    # loader resumes from — not duplicated as a bogus radial field
+    with h5py.File(model_file) as f:
+        assert "dm_df" in f and "dm_df" not in f["fields"]
+    assert m._dm_virial is not None  # resumed, not recomputed
     # at 128 grid points the boundary spline derivative is coarse; the
     # interior residual is what HSE certifies (1e-4 at >=1000 pts is
     # pinned by tests/test_model.py on the canonical grid)
@@ -135,6 +140,18 @@ def test_catalog_inspect_and_multihost(tmp_path, capsys):
     assert info["n_clusters"] == 5 and info["groups_present"] == 5
     assert info["complete"] is True
     assert main(["verify"] + shards) == 0
+
+    # a lost shard must NOT pass the completeness gate: supplying only
+    # rank 0 of 2 exits 1 and names the missing rank
+    capsys.readouterr()
+    assert main(["catalog", shards[0]]) == 1
+    info = json.loads(capsys.readouterr().out)
+    assert info["missing_shard_ranks"] == [1]
+
+    # a bare --indices (flag with no values) is an argparse error, not a
+    # vacuous zero-cluster pass of the QA gate
+    with pytest.raises(SystemExit):
+        main(["verify", shards[0], "--indices"])
 
     # a plain catalog missing groups is flagged
     with h5py.File(shards[0], "a") as f:

@@ -110,11 +110,22 @@ def test_emond_a0_and_field(canonical_model):
         emond_field(rr, m)
     assert get_gravity("aqual") is aqual_field
     assert get_gravity("emond") is emond_field
+    # A0 is EVEN in phi (log of the SQUARE): the psi = -Phi sign
+    # convention used throughout the codebase must give identical
+    # values, not silently collapse to the shallow-potential limit
+    np.testing.assert_allclose(np.asarray(emond_a0(-phi)),
+                               np.asarray(emond_a0(phi)), rtol=0)
 
 
 def test_velocity_dispersion_jeans(canonical_model):
     sigma = canonical_model.compute_velocity_dispersion("dark_matter")
     assert (sigma >= 0).all() and np.isfinite(sigma).all()
+    # r_a <= 0 would silently NaN-poison the stored field; validated
+    # like the other two r_a entry points
+    for bad in (0.0, -500.0):
+        with pytest.raises(ValueError, match="r_a"):
+            canonical_model.compute_velocity_dispersion("dark_matter",
+                                                        r_a=bad)
     # scipy cross-check at a few radii
     rr = np.asarray(canonical_model["radius"])
     rho = IUS(rr, np.asarray(canonical_model["dark_matter_density"]))

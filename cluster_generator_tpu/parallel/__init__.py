@@ -6,8 +6,14 @@ from .ensemble import (build_ensemble, catalog_batches,
                        ensemble_datagen, ensemble_datagen_multihost,
                        prorate_species_counts, read_catalog,
                        sample_ensemble_params, verify_catalog)
+from .mergers import (binary_scene_geometry, merger_datagen,
+                      merger_datagen_multihost, read_merger_catalog,
+                      sample_merger_scene_params)
 
 __all__ = ["make_mesh", "build_ensemble", "catalog_batches",
            "catalog_to_particles", "datagen_batches", "ensemble_datagen",
            "ensemble_datagen_multihost", "prorate_species_counts",
-           "read_catalog", "sample_ensemble_params", "verify_catalog"]
+           "read_catalog", "sample_ensemble_params", "verify_catalog",
+           "binary_scene_geometry", "merger_datagen",
+           "merger_datagen_multihost", "read_merger_catalog",
+           "sample_merger_scene_params"]

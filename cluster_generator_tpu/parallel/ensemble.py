@@ -588,11 +588,33 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     else:
         config["n_particles_per_cluster"] = int(n_particles_per_cluster)
 
+    _stream_batched_catalog(path, resuming, config, _extra_attrs,
+                            expected, "cluster", n_cl, batch_size,
+                            _only_batches, _dispatch, write)
+    return str(path)
+
+
+def _stream_batched_catalog(path, resuming, config, extra_attrs, expected,
+                            group_prefix, n_items, batch_size,
+                            only_batches, dispatch, write):
+    """The shared streaming loop of every datagen product: config
+    record/validation, crash-resume batch markers, and the overlapped
+    schedule (batch k+1 is dispatched asynchronously BEFORE batch k's
+    blocking device-to-host transfer and raw writes).  Factored out of
+    :func:`ensemble_datagen` so :func:`~.mergers.merger_datagen` shares
+    the exact resume semantics (and their tests).
+
+    ``dispatch(b0)`` returns the tuple ``write(f, b0, *rest)`` consumes;
+    groups are named ``{group_prefix}_{index:06d}``."""
+    import h5py
+
+    from ..core.logging import mylog
+
     with h5py.File(path, "a" if resuming else "w") as f:
         if resuming:
             if bool(f.attrs.get("complete", False)):
                 mylog.info("Catalog %s is already complete.", path)
-                return str(path)
+                return
             # shard identity defaults for files written before it was
             # recorded: a plain run's values
             defaults = {"shard_rank": 0, "shard_count": 1, "r_a": 0.0}
@@ -606,7 +628,7 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
         else:
             for k, v in config.items():
                 f.attrs[k] = v
-            for k, v in (_extra_attrs or {}).items():
+            for k, v in (extra_attrs or {}).items():
                 f.attrs[k] = v
             f.attrs["units"] = "kpc, kpc/Myr, Msun (galactic)"
             f.attrs["_batches_done"] = np.zeros((0,), np.int64)
@@ -630,11 +652,11 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                                                       np.int64)
 
         todo = []
-        mine = (range(0, n_cl, batch_size) if _only_batches is None
-                else sorted(_only_batches))
+        mine = (range(0, n_items, batch_size) if only_batches is None
+                else sorted(only_batches))
         for b0 in mine:
-            names = [f"cluster_{i:06d}"
-                     for i in range(b0, min(b0 + batch_size, n_cl))]
+            names = [f"{group_prefix}_{i:06d}"
+                     for i in range(b0, min(b0 + batch_size, n_items))]
             have_all = all(nm in f and all(ds in f[nm] for ds in expected)
                            for nm in names)
             if resuming and have_all and (done is None or b0 in done):
@@ -649,7 +671,7 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                        path, len(mine) - len(todo), len(mine))
         pending = None
         for b0 in todo:
-            nxt = (b0, *_dispatch(b0))  # async dispatch BEFORE the write
+            nxt = (b0, *dispatch(b0))  # async dispatch BEFORE the write
             if pending is not None:
                 write(f, *pending)
                 _mark(pending[0])
@@ -658,7 +680,6 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
             write(f, *pending)
             _mark(pending[0])
         f.attrs["complete"] = True
-    return str(path)
 
 
 def ensemble_datagen_multihost(M200, conc, filename,
@@ -789,7 +810,7 @@ def _catalog_filenames(filename):
     return [str(fn) for fn in filename]
 
 
-def _open_catalog(stack, filenames):
+def _open_catalog(stack, filenames, prefix="cluster"):
     """Open a catalog's shard files + raw readers on ``stack`` and build
     the cluster-group -> shard map (each group lives in exactly one
     shard).  The map walk is O(total groups) — do it once per consumer
@@ -802,18 +823,19 @@ def _open_catalog(stack, filenames):
     readers = [stack.enter_context(RawReader(f)) for f in files]
     n_cl = int(files[0].attrs["n_clusters"])
     where = {name: j for j, f in enumerate(files) for name in f
-             if name.startswith("cluster_")}
+             if name.startswith(prefix + "_")}
     return files, readers, n_cl, where
 
 
-def _read_cluster(files, readers, where, i, fields, filenames):
-    name = f"cluster_{int(i):06d}"
+def _read_cluster(files, readers, where, i, fields, filenames,
+                  prefix="cluster"):
+    name = f"{prefix}_{int(i):06d}"
     j = where.get(name)
     if j is None:
         raise KeyError(
             f"{name} missing from {filenames}: incomplete "
             "catalog (interrupted run?) — finish it with "
-            "ensemble_datagen(..., resume=True)")
+            "the datagen's resume=True")
     g = files[j][name]
     if fields is not None:
         missing = [k for k in fields if k not in g]

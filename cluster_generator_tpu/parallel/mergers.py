@@ -1,0 +1,394 @@
+"""Merger-scene ensemble datagen: batched binary (or 1-3 halo) merger
+ICs streamed to one HDF5 catalog — training data for merger emulators.
+
+The reference's merger product is ONE scene at a time
+(``ClusterICs.setup_particle_ics``, ics.py:323-375: per-halo particle
+generation + ``combine_two_clusters``); this module ``vmap``s the fused
+single-program merger pipeline (:func:`~..pipeline.merger_ic_fused` —
+equilibrium models, Eddington DFs, speed/radius tables, and every
+particle draw of the scene in one XLA program) over a scene PARAMETER
+ensemble, so a thousand merger ICs are a handful of device launches.
+The catalog machinery (crash-resume batch markers, raw pwrite streaming
+overlapped with device compute, multi-process shards) is shared with the
+single-cluster product (:func:`~.ensemble._stream_batched_catalog`).
+
+Scene layout per group ``scene_%06d``:
+
+* datasets (f32): ``gas_position / gas_velocity / gas_thermal_energy /
+  gas_density`` (density-weighted mixing across halos, reference
+  particles.py:587-639), ``dm_position / dm_velocity``,
+  ``star_position / star_velocity`` — each concatenated over halos in
+  halo order with the STATIC per-halo counts recorded in the file attrs
+  (``n_<species>_per_halo``), so consumers can attribute any particle to
+  its halo by contiguous segments;
+* attrs: ``M200 / conc`` (per-halo), ``center / bulk_velocity``
+  ((H, 3)), ``particle_mass_<species>`` (per-halo — every particle of
+  one halo's species carries equal mass, reference model.py:917).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.h5raw import RawWriter
+from .ensemble import (
+    _catalog_filenames,
+    _open_catalog,
+    _read_cluster,
+    _speed_table_key,
+    _stream_batched_catalog,
+)
+
+__all__ = ["sample_merger_scene_params", "binary_scene_geometry",
+           "merger_datagen", "merger_datagen_multihost",
+           "read_merger_catalog"]
+
+# Bump whenever the MEANING of the merger draws changes for fixed config
+# (see ensemble._DRAWS_VERSION for the contract).  1 = the r4 product:
+# pipeline.sample_merger_ic draw scheme (paired-table radius/speed
+# gathers, Bernoulli joint-row selection, at-radius gas mixing).
+_MERGER_DRAWS_VERSION = 1
+
+
+def sample_merger_scene_params(key, n, logM_range=(14.2, 15.3),
+                               mass_ratio_range=(0.2, 1.0),
+                               conc_range=(3.0, 8.0),
+                               d_range=(2000.0, 4000.0),
+                               b_frac_range=(0.0, 0.5),
+                               v_rel_range=(0.5, 1.5)):
+    """Draw ``n`` binary-merger scene parameters.
+
+    Primary mass from log-uniform ``logM_range``; secondary by a uniform
+    mass ratio; concentrations from the same c(M) relation + scatter as
+    :func:`~.ensemble.sample_ensemble_params`; separation ``d`` (kpc)
+    uniform; impact parameter ``b = frac * d`` with ``frac`` uniform in
+    ``b_frac_range`` (the reference's binary geometry takes (d, b)
+    directly, ics.py:22-57); relative speed ``v_rel`` (kpc/Myr,
+    1 kpc/Myr = 977.8 km/s) uniform.
+
+    Returns a dict of f64 arrays: ``M200 (n, 2), conc (n, 2), d (n,),
+    b (n,), v_rel (n,)`` — feed to :func:`binary_scene_geometry` +
+    :func:`merger_datagen`.
+    """
+    ks = jax.random.split(key, 6)
+    f64 = jnp.float64
+    logM = jax.random.uniform(ks[0], (n,), f64, *logM_range)
+    M1 = 10.0 ** logM
+    ratio = jax.random.uniform(ks[1], (n,), f64, *mass_ratio_range)
+    M2 = ratio * M1
+    M200 = jnp.stack([M1, M2], axis=1)
+    c_mean = 5.0 * (M200 / 1.0e15) ** (-0.1)
+    scatter = jax.random.normal(ks[2], (n, 2), f64) * 0.3
+    conc = jnp.clip(c_mean * jnp.exp(scatter), *conc_range)
+    d = jax.random.uniform(ks[3], (n,), f64, *d_range)
+    b = d * jax.random.uniform(ks[4], (n,), f64, *b_frac_range)
+    v_rel = jax.random.uniform(ks[5], (n,), f64, *v_rel_range)
+    return {"M200": M200, "conc": conc, "d": d, "b": b, "v_rel": v_rel}
+
+
+def binary_scene_geometry(M200, d, b, v_rel, center=(0.0, 0.0, 0.0)):
+    """Scene geometry for binary mergers: centers separated by ``d``
+    with impact parameter ``b`` (the reference's
+    ``compute_centers_for_binary`` construction, ics.py:22-57 — the
+    along-axis component is ``sqrt(d^2 - b^2)`` so the total separation
+    is exactly ``d``), approach velocities along +/-x with relative
+    speed ``v_rel`` split mass-weighted so the scene is in its
+    ZERO-MOMENTUM frame (the reference leaves the split to the user;
+    the momentum-free frame is what simulation codes want).
+
+    Returns ``(centers (n, 2, 3), velocities (n, 2, 3))`` f64.
+    """
+    M200 = np.asarray(M200, np.float64).reshape(-1, 2)
+    d = np.asarray(d, np.float64)
+    b = np.asarray(b, np.float64)
+    v_rel = np.asarray(v_rel, np.float64)
+    if np.any(b > d):
+        raise ValueError("impact parameter b exceeds separation d")
+    n = M200.shape[0]
+    dx = np.sqrt(d * d - b * b)
+    diff = np.stack([dx, b, np.zeros_like(d)], axis=1)        # (n, 3)
+    center = np.asarray(center, np.float64)
+    centers = np.stack([center - 0.5 * diff, center + 0.5 * diff], axis=1)
+    # zero total momentum: m1 v1 + m2 v2 = 0 with v1 - v2 = v_rel x_hat
+    w1 = M200[:, 1] / M200.sum(axis=1)                        # m2 / (m1+m2)
+    vel = np.zeros((n, 2, 3))
+    vel[:, 0, 0] = +v_rel * w1
+    vel[:, 1, 0] = -v_rel * (1.0 - w1)
+    return centers, vel
+
+
+def _normalize_counts(counts, H):
+    """Per-species per-halo static counts.  Dict values may be an int
+    (split evenly across halos, remainder to the first halos) or a
+    length-H tuple.  Unknown species raise (a typo would silently drop
+    the species from the catalog)."""
+    unknown = set(counts) - {"dm", "gas", "star"}
+    if unknown:
+        raise ValueError(f"unknown species {sorted(unknown)} in counts; "
+                         "expected keys from {'dm', 'gas', 'star'}")
+    out = {}
+    for sp in ("gas", "dm", "star"):
+        c = counts.get(sp, 0)
+        if isinstance(c, (int, np.integer)):
+            base, rem = divmod(int(c), H)
+            out[sp] = tuple(base + (1 if i < rem else 0) for i in range(H))
+        else:
+            c = tuple(int(x) for x in c)
+            if len(c) != H:
+                raise ValueError(f"counts[{sp!r}] has {len(c)} entries "
+                                 f"for {H} halos")
+            out[sp] = c
+    if not any(sum(v) for v in out.values()):
+        raise ValueError("all species counts are zero")
+    return out
+
+
+def _merger_batch_fn(num_points, n_gas, n_dm, n_star):
+    """Memoized jitted program: one SCENE BATCH of fused merger ICs.
+
+    (M200 (B,H), conc (B,H), centers (B,H,3), velocities (B,H,3),
+    r_max (H,), key) -> dict of (B, ...) arrays.  Per-halo particle
+    masses are reduced to (B, H) scalars on device (every particle of a
+    halo's species has equal mass) so the catalog doesn't ship
+    N-length constant arrays over the tunnel.
+    """
+    return _merger_batch_cached(num_points, n_gas, n_dm, n_star,
+                                _speed_table_key())
+
+
+def _segment_offsets(ns):
+    """Static start offset of each halo's segment in the concatenated
+    per-species arrays (zero-count halos contribute nothing)."""
+    offs, tot = [], 0
+    for n in ns:
+        offs.append(tot if n > 0 else None)
+        tot += n
+    return offs
+
+
+@lru_cache(maxsize=16)
+def _merger_batch_cached(num_points, n_gas, n_dm, n_star, kw_items):
+    from ..pipeline import merger_ic_fused
+
+    del kw_items  # participates in the memo key only
+    seg = {"gas": _segment_offsets(n_gas), "dm": _segment_offsets(n_dm),
+           "star": _segment_offsets(n_star)}
+
+    def _halo_masses(parts, sp):
+        pm = parts[sp, "particle_mass"]
+        return jnp.stack([pm[o] if o is not None else jnp.zeros((), pm.dtype)
+                          for o in seg[sp]])
+
+    def one(m, c, ctr, vel, r_max, k):
+        parts, _ = merger_ic_fused.__wrapped__(
+            m, c, ctr, vel, r_max, k, n_gas, n_dm, n_star,
+            num_points=num_points)
+        out = {}
+        if sum(n_gas):
+            out["gas_position"] = parts["gas", "particle_position"]
+            out["gas_velocity"] = parts["gas", "particle_velocity"]
+            out["gas_thermal_energy"] = parts["gas", "thermal_energy"]
+            out["gas_density"] = parts["gas", "density"]
+            out["mass_gas"] = _halo_masses(parts, "gas")
+        for sp, ns in (("dm", n_dm), ("star", n_star)):
+            if sum(ns):
+                out[f"{sp}_position"] = parts[sp, "particle_position"]
+                out[f"{sp}_velocity"] = parts[sp, "particle_velocity"]
+                out[f"mass_{sp}"] = _halo_masses(parts, sp)
+        return out
+
+    @jax.jit
+    def batch(M200, conc, centers, velocities, r_max, key):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(M200.shape[0]))
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, None, 0))(
+            M200, conc, centers, velocities, r_max, keys)
+
+    return batch
+
+
+def _params_sha(M200, conc, centers, velocities):
+    """Identity of the scene-parameter arrays for the resume config —
+    unlike the single-cluster product, merger params are 8 arrays a
+    caller could plausibly regenerate differently; a resume against the
+    wrong ensemble must raise, not splice."""
+    h = hashlib.sha256()
+    for a in (M200, conc, centers, velocities):
+        h.update(np.ascontiguousarray(np.asarray(a, np.float64)).tobytes())
+    return h.hexdigest()
+
+
+def merger_datagen(params, filename, counts, batch_size=64,
+                   num_points=512, r_max=5000.0, key=None,
+                   overwrite=False, resume=False,
+                   _only_batches=None, _extra_attrs=None):
+    """Stream an ensemble of merger-scene ICs to ONE HDF5 catalog.
+
+    ``params``: dict with ``M200 (B, H)``, ``conc (B, H)`` and either
+    ``centers``/``velocities`` ``(B, H, 3)`` explicitly or the binary
+    geometry inputs ``d / b / v_rel`` ``(B,)``
+    (:func:`binary_scene_geometry` is applied) — the output of
+    :func:`sample_merger_scene_params` works as-is.
+
+    ``counts``: ``{"gas": n, "dm": n, "star": n}`` — each an int (split
+    evenly across halos) or a per-halo tuple; static across scenes (one
+    compiled program).  ``r_max``: sampling radius (kpc), scalar or
+    per-halo.
+
+    Scenes are processed in vmapped batches with host writes overlapping
+    device compute, crash-resumable with ``resume=True`` — identical
+    semantics to :func:`~.ensemble.ensemble_datagen` (shared loop), with
+    the scene-parameter arrays' sha256 in the resume config so resuming
+    against a different ensemble raises instead of splicing.
+
+    Returns the filename.
+    """
+    import pathlib
+
+    from ..core.logging import mylog
+
+    path = pathlib.Path(filename)
+    if resume and overwrite:
+        raise ValueError("resume=True and overwrite=True are mutually "
+                         "exclusive")
+    resuming = resume and path.exists()
+    if path.exists() and not overwrite and not resuming:
+        raise IOError(f"{path} exists (pass overwrite=True, or "
+                      "resume=True to continue an interrupted run)")
+    M200 = jnp.asarray(params["M200"], jnp.float64)
+    conc = jnp.asarray(params["conc"], jnp.float64)
+    if M200.ndim != 2 or M200.shape != conc.shape:
+        raise ValueError("params['M200'] and params['conc'] must both be "
+                         f"(n_scenes, n_halos); got {M200.shape} and "
+                         f"{conc.shape}")
+    n_sc, H = M200.shape
+    if "centers" in params:
+        centers = np.asarray(params["centers"], np.float64)
+        velocities = np.asarray(params["velocities"], np.float64)
+    else:
+        if H != 2:
+            raise ValueError("d/b/v_rel geometry is binary-only; pass "
+                             "explicit centers/velocities for H != 2")
+        centers, velocities = binary_scene_geometry(
+            M200, params["d"], params["b"], params["v_rel"])
+    if centers.shape != (n_sc, H, 3) or velocities.shape != (n_sc, H, 3):
+        raise ValueError("centers/velocities must be (n_scenes, n_halos, "
+                         f"3); got {centers.shape} / {velocities.shape}")
+    centers = jnp.asarray(centers, jnp.float64)
+    velocities = jnp.asarray(velocities, jnp.float64)
+    counts = _normalize_counts(counts, H)
+    r_max_arr = jnp.broadcast_to(
+        jnp.asarray(r_max, jnp.float64).ravel(), (H,))
+    if key is None:
+        key = jax.random.key(0)
+    batch_fn = _merger_batch_fn(num_points, counts["gas"], counts["dm"],
+                                counts["star"])
+    mylog.info("Merger datagen: %d scenes x %d halos x %s particles -> %s",
+               n_sc, H, counts, path)
+
+    def _dispatch(b0):
+        sl = slice(b0, b0 + batch_size)
+        Mb, cb = M200[sl], conc[sl]
+        out = batch_fn(Mb, cb, centers[sl], velocities[sl], r_max_arr,
+                       jax.random.fold_in(key, b0))
+        return Mb, cb, out
+
+    def _write(f, b0, Mb, cb, out):
+        out = jax.tree_util.tree_map(np.asarray, out)  # blocks this batch
+        Mb, cb = np.asarray(Mb), np.asarray(cb)
+        ctr = np.asarray(centers[b0:b0 + Mb.shape[0]])
+        vel = np.asarray(velocities[b0:b0 + Mb.shape[0]])
+        raw = RawWriter(f)
+        for i in range(Mb.shape[0]):
+            g = f.create_group(f"scene_{b0 + i:06d}")
+            g.attrs["M200"] = Mb[i]
+            g.attrs["conc"] = cb[i]
+            g.attrs["center"] = ctr[i]
+            g.attrs["bulk_velocity"] = vel[i]
+            for sp in ("gas", "dm", "star"):
+                if f"mass_{sp}" in out:
+                    g.attrs[f"particle_mass_{sp}"] = out[f"mass_{sp}"][i]
+            for name, arr in out.items():
+                if not name.startswith("mass_"):
+                    raw.add(g, name, arr[i])
+        raw.flush()
+
+    expected = [k for sp in ("gas", "dm", "star") if sum(counts[sp])
+                for k in ([f"{sp}_position", f"{sp}_velocity"]
+                          + (["gas_thermal_energy", "gas_density"]
+                             if sp == "gas" else []))]
+    config = {"draws_version": _MERGER_DRAWS_VERSION,
+              "product": "merger_scenes",
+              "n_clusters": n_sc,  # consumer-facing count (read_catalog
+              "n_scenes": n_sc,    # keys on n_clusters); alias for humans
+              "n_halos": H, "batch_size": int(batch_size),
+              "num_points": int(num_points),
+              "r_max": np.asarray(r_max_arr, np.float64),
+              "params_sha": _params_sha(M200, conc, centers, velocities),
+              "shard_rank": int((_extra_attrs or {}).get("shard_rank", 0)),
+              "shard_count": int((_extra_attrs or {}).get("shard_count",
+                                                          1)),
+              "key_data": np.asarray(jax.random.key_data(key)).ravel()}
+    for sp in ("gas", "dm", "star"):
+        config[f"n_{sp}_per_halo"] = np.asarray(counts[sp], np.int64)
+
+    _stream_batched_catalog(path, resuming, config, _extra_attrs,
+                            expected, "scene", n_sc, batch_size,
+                            _only_batches, _dispatch, _write)
+    return str(path)
+
+
+def merger_datagen_multihost(params, filename, counts, batch_size=64,
+                             num_points=512, r_max=5000.0, key=None,
+                             overwrite=False, resume=False, rank=None,
+                             nproc=None):
+    """Multi-process :func:`merger_datagen`: process ``rank`` of
+    ``nproc`` computes batches ``rank, rank+nproc, ...`` into
+    ``<stem>.<rank>of<nproc><suffix>`` — same coordinator-free,
+    bit-identical sharding as
+    :func:`~.ensemble.ensemble_datagen_multihost` (keys fold on the
+    global batch offset).  Returns this process's shard filename."""
+    import pathlib
+
+    if rank is None:
+        rank = jax.process_index()
+    if nproc is None:
+        nproc = jax.process_count()
+    if not 0 <= rank < nproc:
+        raise ValueError(f"rank {rank} outside [0, {nproc})")
+    path = pathlib.Path(filename)
+    shard = path.with_name(f"{path.stem}.{rank}of{nproc}{path.suffix}")
+    n_sc = int(jnp.asarray(params["M200"]).shape[0])
+    mine = [b0 for i, b0 in enumerate(range(0, n_sc, batch_size))
+            if i % nproc == rank]
+    return merger_datagen(
+        params, str(shard), counts, batch_size=batch_size,
+        num_points=num_points, r_max=r_max, key=key, overwrite=overwrite,
+        resume=resume, _only_batches=mine,
+        _extra_attrs={"shard_rank": rank, "shard_count": nproc})
+
+
+def read_merger_catalog(filename, indices=None, fields=None):
+    """Iterate ``(index, scene_dict)`` over a :func:`merger_datagen`
+    catalog — the merger analogue of :func:`~.ensemble.read_catalog`
+    (same raw-pread path, shard-set support, and ``fields=`` subsetting;
+    scene attrs — per-halo ``M200``/``conc``/masses, ``center``,
+    ``bulk_velocity`` — are always included)."""
+    import contextlib
+
+    filenames = _catalog_filenames(filename)
+    with contextlib.ExitStack() as stack:
+        files, readers, n_sc, where = _open_catalog(stack, filenames,
+                                                    prefix="scene")
+        if indices is None:
+            indices = range(n_sc)
+        if fields is not None:
+            fields = list(fields)
+        for i in indices:
+            yield int(i), _read_cluster(files, readers, where, int(i),
+                                        fields, filenames, prefix="scene")

@@ -1,0 +1,261 @@
+"""Merger-scene ensemble datagen (parallel/mergers.py): batched binary
+merger ICs streamed to a catalog.  The reference builds ONE merger scene
+per `ClusterICs.setup_particle_ics` call (ics.py:323-375); this product
+vmaps the fused merger pipeline over a scene-parameter ensemble, sharing
+the catalog machinery (resume, raw writes, multihost shards) with
+ensemble_datagen — these tests pin the merger-specific surface."""
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cluster_generator_tpu.parallel import (
+    binary_scene_geometry,
+    merger_datagen,
+    merger_datagen_multihost,
+    read_merger_catalog,
+    sample_merger_scene_params,
+)
+
+COUNTS = {"gas": 48, "dm": 64, "star": 16}
+KW = dict(counts=COUNTS, batch_size=2, num_points=128,
+          r_max=3000.0, key=jax.random.key(5))
+
+
+def _params(n=5, key=0):
+    return sample_merger_scene_params(jax.random.key(key), n)
+
+
+def test_scene_params_shapes_and_bounds():
+    p = _params(64, key=3)
+    assert p["M200"].shape == (64, 2) and p["conc"].shape == (64, 2)
+    M = np.asarray(p["M200"])
+    assert np.all(M[:, 1] <= M[:, 0])          # ratio <= 1: halo 0 primary
+    assert np.all(M > 0)
+    c = np.asarray(p["conc"])
+    assert np.all((c >= 3.0) & (c <= 8.0))
+    d, b = np.asarray(p["d"]), np.asarray(p["b"])
+    assert np.all((d >= 2000.0) & (d <= 4000.0))
+    assert np.all((b >= 0.0) & (b <= 0.5 * d))
+    v = np.asarray(p["v_rel"])
+    assert np.all((v >= 0.5) & (v <= 1.5))
+
+
+def test_binary_scene_geometry_separation_and_momentum():
+    M200 = np.array([[1.0e15, 2.5e14], [8.0e14, 8.0e14]])
+    d = np.array([3000.0, 2500.0])
+    b = np.array([500.0, 0.0])
+    v_rel = np.array([1.0, 0.8])
+    ctr, vel = binary_scene_geometry(M200, d, b, v_rel,
+                                     center=(7.0, -3.0, 2.0))
+    assert ctr.shape == (2, 2, 3) and vel.shape == (2, 2, 3)
+    # total separation is exactly d (the reference composes sqrt(d^2-b^2)
+    # along the axis + b transverse, ics.py:22-57)
+    np.testing.assert_allclose(
+        np.linalg.norm(ctr[:, 1] - ctr[:, 0], axis=1), d, rtol=1e-14)
+    # midpoint is the requested scene center
+    np.testing.assert_allclose(0.5 * (ctr[:, 0] + ctr[:, 1]),
+                               np.broadcast_to([7.0, -3.0, 2.0], (2, 3)))
+    # zero-momentum frame, relative speed v_rel along x
+    mom = (M200[..., None] * vel).sum(axis=1)
+    np.testing.assert_allclose(mom, 0.0, atol=1e-9 * M200.max())
+    np.testing.assert_allclose(vel[:, 0, 0] - vel[:, 1, 0], v_rel)
+    assert np.all(vel[..., 1:] == 0.0)
+    with pytest.raises(ValueError, match="exceeds separation"):
+        binary_scene_geometry(M200, d, np.array([3500.0, 0.0]), v_rel)
+
+
+def test_merger_datagen_end_to_end(tmp_path):
+    """Write a small merger catalog; every scene carries the full
+    multi-species product with per-halo segment attribution, physical
+    gas energies, and bounded geometry."""
+    p = _params(5)
+    fn = str(tmp_path / "mergers.h5")
+    out = merger_datagen(p, fn, **KW)
+    assert out == fn
+
+    with h5py.File(fn, "r") as f:
+        assert bool(f.attrs["complete"])
+        assert f.attrs["product"] == "merger_scenes"
+        assert int(f.attrs["n_clusters"]) == 5
+        assert int(f.attrs["n_halos"]) == 2
+        np.testing.assert_array_equal(f.attrs["n_gas_per_halo"], [24, 24])
+        np.testing.assert_array_equal(f.attrs["n_dm_per_halo"], [32, 32])
+        np.testing.assert_array_equal(f.attrs["n_star_per_halo"], [8, 8])
+
+    scenes = dict(read_merger_catalog(fn))
+    assert sorted(scenes) == list(range(5))
+    ctr_all, vel_all = binary_scene_geometry(p["M200"], p["d"], p["b"],
+                                             p["v_rel"])
+    for i, sc in scenes.items():
+        assert sc["gas_position"].shape == (48, 3)
+        assert sc["gas_velocity"].shape == (48, 3)
+        assert sc["gas_thermal_energy"].shape == (48,)
+        assert sc["gas_density"].shape == (48,)
+        assert sc["dm_position"].shape == (64, 3)
+        assert sc["star_velocity"].shape == (16, 3)
+        np.testing.assert_allclose(sc["M200"], np.asarray(p["M200"])[i])
+        np.testing.assert_allclose(sc["center"], ctr_all[i])
+        np.testing.assert_allclose(sc["bulk_velocity"], vel_all[i])
+        assert np.all(sc["gas_thermal_energy"] > 0)
+        assert np.all(sc["gas_density"] > 0)
+        for sp in ("gas", "dm", "star"):
+            pm = sc[f"particle_mass_{sp}"]
+            assert pm.shape == (2,) and np.all(pm > 0)
+        # halo attribution by contiguous segments: each DM halo's
+        # particles lie within r_max of ITS center, and the segment
+        # center-of-mass sits much nearer its own halo than the other
+        pos = sc["dm_position"]
+        for h, seg in ((0, slice(0, 32)), (1, slice(32, 64))):
+            r = np.linalg.norm(pos[seg] - sc["center"][h], axis=1)
+            assert np.all(r <= 3000.0 * (1 + 1e-5))
+            com = pos[seg].mean(axis=0)
+            d_own = np.linalg.norm(com - sc["center"][h])
+            d_other = np.linalg.norm(com - sc["center"][1 - h])
+            assert d_own < d_other
+        # collisionless velocities inherit the halo bulk motion: the
+        # segment-mean peculiar velocity is small vs the bulk split
+        vmean = sc["dm_velocity"][:32].mean(axis=0)
+        assert abs(vmean[0] - sc["bulk_velocity"][0, 0]) < 0.5
+
+    # fields= subsetting (attrs always included); unknown names raise
+    (_, sub), = read_merger_catalog(fn, indices=[2],
+                                    fields=["dm_position"])
+    assert "dm_position" in sub and "gas_position" not in sub
+    assert "M200" in sub
+    with pytest.raises(KeyError, match="nope"):
+        next(read_merger_catalog(fn, indices=[0], fields=["nope"]))
+
+    # overwrite refusal names the resume escape hatch
+    with pytest.raises(IOError, match="resume=True"):
+        merger_datagen(p, fn, **KW)
+
+
+def test_merger_draws_match_direct_pipeline(tmp_path):
+    """Catalog scenes are draw-identical to calling the fused merger
+    pipeline directly with the documented key schedule (batch key =
+    fold_in(key, b0); scene key = fold_in(batch key, local index))."""
+    from cluster_generator_tpu.pipeline import merger_ic_fused
+
+    p = _params(3, key=9)
+    fn = str(tmp_path / "direct.h5")
+    merger_datagen(p, fn, **KW)
+    scenes = dict(read_merger_catalog(fn))
+    ctr, vel = binary_scene_geometry(p["M200"], p["d"], p["b"], p["v_rel"])
+    b0, i = 2, 0   # scene 2 = batch at offset 2 (batch_size=2), local 0
+    k = jax.random.fold_in(jax.random.fold_in(KW["key"], b0), i)
+    parts, _ = merger_ic_fused(
+        jnp.asarray(p["M200"])[b0 + i], jnp.asarray(p["conc"])[b0 + i],
+        jnp.asarray(ctr[b0 + i]), jnp.asarray(vel[b0 + i]),
+        jnp.full((2,), 3000.0), k, (24, 24), (32, 32), (8, 8),
+        num_points=128)
+    np.testing.assert_array_equal(scenes[2]["dm_position"],
+                                  np.asarray(parts["dm", "particle_position"]))
+    np.testing.assert_array_equal(scenes[2]["gas_thermal_energy"],
+                                  np.asarray(parts["gas", "thermal_energy"]))
+    np.testing.assert_array_equal(
+        scenes[2]["particle_mass_star"],
+        np.asarray([parts["star", "particle_mass"][0],
+                    parts["star", "particle_mass"][8]]))
+
+
+def test_merger_datagen_resume_is_bit_identical(tmp_path):
+    """The shared streaming loop's resume semantics hold for the merger
+    product, plus the merger-specific guard: resuming against a
+    DIFFERENT scene ensemble (params_sha) refuses to splice."""
+    p = _params(5, key=21)
+    ref_fn = str(tmp_path / "ref.h5")
+    merger_datagen(p, ref_fn, **KW)
+    ref = dict(read_merger_catalog(ref_fn))
+
+    cut_fn = str(tmp_path / "cut.h5")
+    merger_datagen(p, cut_fn, **KW)
+    with h5py.File(cut_fn, "a") as f:
+        del f.attrs["complete"]
+        del f["scene_000004"]
+        del f["scene_000002"]["dm_velocity"]  # partially-written batch
+        done = [b for b in f.attrs["_batches_done"] if b not in (2, 4)]
+        f.attrs["_batches_done"] = np.asarray(done, np.int64)
+
+    merger_datagen(p, cut_fn, resume=True, **KW)
+    got = dict(read_merger_catalog(cut_fn))
+    assert sorted(got) == sorted(ref)
+    for i in ref:
+        for k in ref[i]:
+            np.testing.assert_array_equal(got[i][k], ref[i][k],
+                                          err_msg=f"scene {i} {k}")
+
+    # complete catalog: immediate no-op return
+    merger_datagen(p, cut_fn, resume=True, **KW)
+
+    # wrong ensemble: params_sha mismatch refuses the splice
+    with h5py.File(cut_fn, "a") as f:
+        del f.attrs["complete"]
+    p_other = _params(5, key=22)
+    with pytest.raises(ValueError, match="params_sha"):
+        merger_datagen(p_other, cut_fn, resume=True, **KW)
+    with pytest.raises(ValueError, match="mutually"):
+        merger_datagen(p, cut_fn, resume=True, overwrite=True, **KW)
+
+
+def test_merger_multihost_shards_reassemble(tmp_path):
+    """Rank shards union to the plain run bit-identically (keys fold on
+    the GLOBAL batch offset; no coordinator)."""
+    p = _params(5, key=13)
+    plain_fn = str(tmp_path / "plain.h5")
+    merger_datagen(p, plain_fn, **KW)
+    plain = dict(read_merger_catalog(plain_fn))
+
+    shards = [merger_datagen_multihost(p, str(tmp_path / "sh.h5"),
+                                       rank=r, nproc=2, **KW)
+              for r in range(2)]
+    assert shards[0].endswith("sh.0of2.h5")
+    got = dict(read_merger_catalog(shards))
+    assert sorted(got) == sorted(plain)
+    for i in plain:
+        for k in plain[i]:
+            np.testing.assert_array_equal(got[i][k], plain[i][k],
+                                          err_msg=f"scene {i} {k}")
+    with pytest.raises(ValueError, match="rank"):
+        merger_datagen_multihost(p, str(tmp_path / "x.h5"), rank=2,
+                                 nproc=2, **KW)
+
+
+def test_merger_datagen_input_validation(tmp_path):
+    p = _params(3)
+    fn = str(tmp_path / "v.h5")
+    with pytest.raises(ValueError, match="unknown species"):
+        merger_datagen(p, fn, counts={"darkmatter": 10})
+    with pytest.raises(ValueError, match="2 entries for 2 halos|has 3"):
+        merger_datagen(p, fn, counts={"dm": (10, 10, 10)})
+    with pytest.raises(ValueError, match="all species counts are zero"):
+        merger_datagen(p, fn, counts={"dm": 0})
+    bad = dict(p, M200=np.asarray(p["M200"])[:, 0])
+    with pytest.raises(ValueError, match="n_scenes, n_halos"):
+        merger_datagen(bad, fn, counts=COUNTS)
+    three = {"M200": np.full((2, 3), 1e14), "conc": np.full((2, 3), 5.0),
+             "d": np.full(2, 3000.0), "b": np.zeros(2),
+             "v_rel": np.ones(2)}
+    with pytest.raises(ValueError, match="binary-only"):
+        merger_datagen(three, fn, counts=COUNTS)
+
+
+def test_merger_uneven_and_zero_count_halos(tmp_path):
+    """Odd totals split with the remainder on the first halos; a
+    zero-count species-halo contributes nothing and its mass attr is 0."""
+    p = _params(2, key=7)
+    fn = str(tmp_path / "odd.h5")
+    merger_datagen(p, fn, counts={"dm": 31, "gas": (20, 0)},
+                   batch_size=2, num_points=128, key=jax.random.key(1))
+    with h5py.File(fn, "r") as f:
+        np.testing.assert_array_equal(f.attrs["n_dm_per_halo"], [16, 15])
+        np.testing.assert_array_equal(f.attrs["n_gas_per_halo"], [20, 0])
+        np.testing.assert_array_equal(f.attrs["n_star_per_halo"], [0, 0])
+    (_, sc), = read_merger_catalog(fn, indices=[1])
+    assert sc["dm_position"].shape == (31, 3)
+    assert sc["gas_position"].shape == (20, 3)
+    assert "star_position" not in sc
+    pm = sc["particle_mass_gas"]
+    assert pm[0] > 0 and pm[1] == 0.0

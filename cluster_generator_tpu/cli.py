@@ -10,6 +10,8 @@ a script.
     python -m cluster_generator_tpu ics params.yaml -o merger_parts.h5
     python -m cluster_generator_tpu datagen -n 1024 --dm 50000 --gas 40000 \
         --star 10000 -o catalog.h5
+    python -m cluster_generator_tpu mergers -n 256 --dm 60000 --gas 40000 \
+        -o mergers.h5
     python -m cluster_generator_tpu verify catalog.h5
     python -m cluster_generator_tpu grid model.h5 -o grid.h5 --dims 512
 
@@ -275,6 +277,86 @@ def _cmd_datagen(args):
     return 0
 
 
+def _add_mergers(sub):
+    p = sub.add_parser(
+        "mergers", help="merger-scene datagen: N binary mergers -> catalog",
+        description="Draw a binary-merger scene-parameter ensemble "
+        "(log-uniform primary mass, uniform ratio/separation/impact/"
+        "speed; zero-momentum geometry) and stream full-species merger "
+        "ICs to one HDF5 catalog (parallel.merger_datagen).")
+    p.add_argument("-n", "--n-scenes", type=int, required=True)
+    p.add_argument("--dm", type=int, default=0,
+                   help="DM particles per scene (split across halos)")
+    p.add_argument("--gas", type=int, default=0)
+    p.add_argument("--star", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--num-points", type=int, default=512)
+    p.add_argument("--r-max", type=float, default=5000.0,
+                   help="per-halo sampling radius (kpc)")
+    p.add_argument("--logm-range", type=float, nargs=2,
+                   default=(14.2, 15.3), metavar=("LO", "HI"))
+    p.add_argument("--ratio-range", type=float, nargs=2, default=(0.2, 1.0),
+                   metavar=("LO", "HI"), help="secondary/primary mass ratio")
+    p.add_argument("--d-range", type=float, nargs=2,
+                   default=(2000.0, 4000.0), metavar=("LO", "HI"),
+                   help="separation range (kpc)")
+    p.add_argument("--b-frac-range", type=float, nargs=2, default=(0.0, 0.5),
+                   metavar=("LO", "HI"),
+                   help="impact parameter as a fraction of separation")
+    p.add_argument("--v-rel-range", type=float, nargs=2, default=(0.5, 1.5),
+                   metavar=("LO", "HI"),
+                   help="relative speed range (kpc/Myr)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run")
+    p.add_argument("--rank", type=int, default=None,
+                   help="multi-process sharding: this process's rank "
+                   "(writes <stem>.<rank>of<nproc>.h5)")
+    p.add_argument("--nproc", type=int, default=None,
+                   help="multi-process sharding: total process count")
+    p.set_defaults(fn=_cmd_mergers)
+
+
+def _cmd_mergers(args):
+    import jax
+
+    from .parallel.mergers import merger_datagen, sample_merger_scene_params
+
+    if not (args.dm or args.gas or args.star):
+        print("pass --dm/--gas/--star counts", file=sys.stderr)
+        return 2
+    counts = {"dm": args.dm, "gas": args.gas, "star": args.star}
+    params = sample_merger_scene_params(
+        jax.random.key(args.seed), args.n_scenes,
+        logM_range=tuple(args.logm_range),
+        mass_ratio_range=tuple(args.ratio_range),
+        d_range=tuple(args.d_range),
+        b_frac_range=tuple(args.b_frac_range),
+        v_rel_range=tuple(args.v_rel_range))
+    # distinct fold so param and draw streams never collide (same
+    # convention as `datagen`)
+    key = jax.random.fold_in(jax.random.key(args.seed), 1)
+    kw = dict(batch_size=args.batch_size, num_points=args.num_points,
+              r_max=args.r_max, key=key, overwrite=args.overwrite,
+              resume=args.resume)
+    if (args.rank is None) != (args.nproc is None):
+        print("--rank and --nproc go together", file=sys.stderr)
+        return 2
+    if args.rank is not None:
+        from .parallel.mergers import merger_datagen_multihost
+
+        out = merger_datagen_multihost(params, args.output, counts,
+                                       rank=args.rank, nproc=args.nproc,
+                                       **kw)
+        print(f"wrote shard {out} ({args.rank} of {args.nproc})")
+        return 0
+    merger_datagen(params, args.output, counts, **kw)
+    print(f"wrote {args.output}: {args.n_scenes} scenes")
+    return 0
+
+
 def _add_catalog(sub):
     p = sub.add_parser(
         "catalog", help="inspect a datagen catalog",
@@ -299,7 +381,8 @@ def _cmd_catalog(args):
                          (bool(v) if isinstance(v, np.bool_) else
                           (v.item() if isinstance(v, np.generic) else v)))
                      for k, v in f.attrs.items()}
-            groups = [k for k in f if k.startswith("cluster_")]
+            groups = [k for k in f
+                      if k.startswith(("cluster_", "scene_"))]
             total_groups += len(groups)
             entry = {"file": fn,
                      "size_bytes": os.path.getsize(fn),
@@ -418,6 +501,7 @@ def main(argv=None):
     _add_particles(sub)
     _add_ics(sub)
     _add_datagen(sub)
+    _add_mergers(sub)
     _add_catalog(sub)
     _add_verify(sub)
     _add_grid(sub)

@@ -167,3 +167,46 @@ def test_grid_subcommand(model_file, tmp_path):
     with h5py.File(fn) as f:
         assert f["grid/density"].dtype == np.dtype("f4")
         assert f.attrs["chunksize"] == 16
+
+
+def test_mergers_subcommand(tmp_path, capsys):
+    from cluster_generator_tpu.parallel.mergers import read_merger_catalog
+
+    cat = str(tmp_path / "mergers.h5")
+    assert main(["mergers", "-n", "3", "--dm", "400", "--gas", "300",
+                 "--batch-size", "2", "--num-points", str(NP),
+                 "-o", cat]) == 0
+    capsys.readouterr()
+    # the catalog inspector understands scene_ groups
+    assert main(["catalog", cat]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["n_clusters"] == 3 and info["groups_present"] == 3
+    assert info["complete"] is True
+    assert info["files"][0]["attrs"]["product"] == "merger_scenes"
+
+    # scenes carry both halos' species segments and finite draws
+    for _, scene in read_merger_catalog(cat, indices=[1]):
+        assert scene["dm_position"].shape == (400, 3)
+        assert scene["gas_thermal_energy"].shape == (300,)
+        assert np.isfinite(scene["dm_velocity"]).all()
+        assert scene["M200"].shape == (2,)
+
+    # resume on a complete catalog is a no-op; usage errors exit 2
+    assert main(["mergers", "-n", "3", "--dm", "400", "--gas", "300",
+                 "--batch-size", "2", "--num-points", str(NP),
+                 "-o", cat, "--resume"]) == 0
+    assert main(["mergers", "-n", "2", "-o", cat]) == 2
+    assert main(["mergers", "-n", "2", "--dm", "10", "--rank", "0",
+                 "-o", cat]) == 2
+
+    # multihost shards reassemble under the inspector
+    base = str(tmp_path / "mh_sc.h5")
+    for r in (0, 1):
+        assert main(["mergers", "-n", "3", "--dm", "200",
+                     "--batch-size", "1", "--num-points", str(NP),
+                     "-o", base, "--rank", str(r), "--nproc", "2"]) == 0
+    shards = [str(tmp_path / f"mh_sc.{r}of2.h5") for r in (0, 1)]
+    capsys.readouterr()
+    assert main(["catalog"] + shards) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["groups_present"] == 3 and info["complete"] is True

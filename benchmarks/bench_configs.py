@@ -295,6 +295,62 @@ def bench_cfg5c():
                   "particles_total": n_cl * (n_dm + n_gas + n_star)})
 
 
+def bench_cfg6():
+    """Merger-scene ensemble datagen: 256 binary-merger ICs x 1e5
+    particles EACH (5e4 DM + 4e4 gas + 1e4 star per scene, split across
+    the two halos; 2.56e7 total) — the reference's headline product
+    (``ClusterICs.setup_particle_ics`` on a binary scene, ics.py:323-375)
+    at ensemble scale.
+
+    Same program as ``parallel.merger_datagen`` minus the host HDF5
+    writes: per scene, TWO equilibrium models + per-species Eddington
+    DFs + tables, every species' draws, density-weighted gas mixing,
+    and the zero-momentum scene placement, vmapped over the batch.
+    Per-scene work is ~2x a cfg5c cluster (two halos) plus the mixing.
+    """
+    import jax
+
+    from cluster_generator_tpu.parallel.mergers import (
+        _merger_batch_fn,
+        binary_scene_geometry,
+        sample_merger_scene_params,
+    )
+
+    n_sc = 8 if _SMOKE else 256
+    n_batch = 4 if _SMOKE else 64
+    n_dm, n_gas, n_star = ((1_000, 800, 200) if _SMOKE
+                           else (50_000, 40_000, 10_000))
+    n_pts = 128 if _SMOKE else 512
+
+    def _split(n):
+        return (n // 2, n - n // 2)
+
+    run_batch = _merger_batch_fn(n_pts, _split(n_gas), _split(n_dm),
+                                 _split(n_star))
+    p = sample_merger_scene_params(jax.random.key(7), n_sc)
+    centers, velocities = binary_scene_geometry(p["M200"], p["d"], p["b"],
+                                                p["v_rel"])
+    import jax.numpy as jnp
+
+    r_max = jnp.asarray([5000.0, 5000.0], jnp.float64)
+
+    def once(i):
+        tot = 0.0
+        for b0 in range(0, n_sc, n_batch):
+            sl = slice(b0, b0 + n_batch)
+            out = run_batch(p["M200"][sl] * (1 + 1e-6 * i), p["conc"][sl],
+                            centers[sl], velocities[sl], r_max,
+                            jax.random.key(i))
+            tot += _force(out["dm_position"], out["dm_velocity"],
+                          out["gas_position"], out["gas_thermal_energy"],
+                          out["star_position"])
+        return tot
+
+    _timed("cfg6_merger_datagen_256x1e5_wall_time", None, once,
+           extra={"scenes_per_s": lambda v: round(n_sc / v, 1),
+                  "particles_total": n_sc * (n_dm + n_gas + n_star)})
+
+
 def bench_field():
     """512^3 divergence-free Gaussian random magnetic field.
 
@@ -320,7 +376,7 @@ def bench_field():
 
 ALL = {"cfg1": bench_cfg1, "cfg2": bench_cfg2, "cfg3": bench_cfg3,
        "cfg5": bench_cfg5, "cfg5b": bench_cfg5b, "cfg5c": bench_cfg5c,
-       "field": bench_field}
+       "cfg6": bench_cfg6, "field": bench_field}
 
 
 def main():

@@ -966,9 +966,27 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
 
     filenames = _catalog_filenames(filename)
     with h5py.File(filenames[0], "r") as f:
+        product = f.attrs.get("product")
         num_points = int(f.attrs["num_points"])
         n_cl = int(f.attrs["n_clusters"])
         r_a = float(f.attrs.get("r_a", 0.0))  # 0 = ergodic/isotropic
+    if product == "merger_scenes":
+        # merger catalogs carry scene_ groups and per-halo segments —
+        # the merger verifier rebuilds every halo and checks the
+        # density-weighted gas mixing too (lazy import: mergers imports
+        # this module at load time)
+        from .mergers import verify_merger_catalog
+
+        # the merger recompute's method floor differs from the
+        # single-cluster gate's (f32 mixing recompute ~4e-6; per-halo
+        # mass at r_max via np.interp ~1e-7) — clamp to its defaults so
+        # the generic entry point never false-fails a healthy catalog
+        return verify_merger_catalog(filename, indices=indices,
+                                     speed_tol=speed_tol,
+                                     energy_rtol=max(energy_rtol, 1e-3),
+                                     mass_rtol=max(mass_rtol, 1e-4),
+                                     zero_row_tol=zero_row_tol,
+                                     strict=strict)
     if indices is None:
         indices = range(n_cl)
     indices = list(indices)

@@ -46,7 +46,7 @@ from .ensemble import (
 
 __all__ = ["sample_merger_scene_params", "binary_scene_geometry",
            "merger_datagen", "merger_datagen_multihost",
-           "read_merger_catalog"]
+           "read_merger_catalog", "verify_merger_catalog"]
 
 # Bump whenever the MEANING of the merger draws changes for fixed config
 # (see ensemble._DRAWS_VERSION for the contract).  1 = the r4 product:
@@ -392,3 +392,212 @@ def read_merger_catalog(filename, indices=None, fields=None):
         for i in indices:
             yield int(i), _read_cluster(files, readers, where, int(i),
                                         fields, filenames, prefix="scene")
+
+
+def verify_merger_catalog(filename, indices=None, speed_tol=5e-3,
+                          energy_rtol=1e-3, mass_rtol=1e-4,
+                          radius_tol=1e-5, zero_row_tol=0.0, strict=True):
+    """Physics QA gate for a :func:`merger_datagen` catalog — the merger
+    analogue of :func:`~.ensemble.verify_catalog` (which dispatches here
+    on the ``product = "merger_scenes"`` attr, so the CLI ``verify``
+    subcommand covers both products).
+
+    Per scene, every halo's equilibrium model is REBUILT from its
+    recorded ``(M200, conc)`` and the stored draws are checked against
+    it, segment by segment (the static per-halo counts in the file attrs
+    attribute every particle to its halo):
+
+    * all values finite; no zero-radius rows or all-zero velocity
+      blocks (unwritten file extents);
+    * each halo's particles lie within its ``r_max`` of ITS center
+      (``radius_tol``);
+    * collisionless peculiar speeds (scene velocity minus the halo's
+      bulk velocity) stay below the halo's local escape speed
+      (``speed_tol``) — the merger draw caps per halo BEFORE adding
+      bulk motion;
+    * gas thermal energy, density, and velocity reproduce the
+      density-weighted mixing over all halos (reference
+      particles.py:587-639) recomputed independently from the rebuilt
+      radial fields: ``u = sum_h rho_h e_h / sum_h rho_h`` etc.
+      (``energy_rtol``);
+    * per-halo per-species particle masses reproduce the species'
+      grid mass at ``r_max`` (``mass_rtol``).
+    """
+    import h5py
+
+    from .ensemble import build_one_cluster
+
+    filenames = _catalog_filenames(filename)
+    with h5py.File(filenames[0], "r") as f:
+        if f.attrs.get("product") != "merger_scenes":
+            raise ValueError(f"{filenames[0]} is not a merger-scene "
+                             "catalog; use verify_catalog")
+        num_points = int(f.attrs["num_points"])
+        n_sc = int(f.attrs["n_clusters"])
+        H = int(f.attrs["n_halos"])
+        r_max = np.asarray(f.attrs["r_max"], np.float64)
+        n_per_halo = {sp: tuple(int(x) for x in
+                                f.attrs[f"n_{sp}_per_halo"])
+                      for sp in ("gas", "dm", "star")}
+    if indices is None:
+        indices = range(n_sc)
+    indices = list(indices)
+
+    report = {"n_scenes_checked": 0, "n_particles_checked": 0,
+              "max_speed_frac": 0.0, "max_energy_rel_err": 0.0,
+              "max_density_rel_err": 0.0, "max_velocity_err": 0.0,
+              "max_radius_frac": 0.0, "max_mass_rel_err": 0.0,
+              "violations": []}
+    species_mass = {"dm": "dark_matter_mass", "star": "stellar_mass",
+                    "gas": "gas_mass"}
+
+    def _check(cond, msg):
+        if not cond:
+            report["violations"].append(msg)
+
+    # one jitted H-vmapped rebuild reused across scenes (traces once)
+    build_fn = jax.jit(jax.vmap(lambda m, c: build_one_cluster(
+        m, c, num_points=num_points, with_df=False)))
+
+    def _loglerp(r, rr, vals):
+        # the device mix lerps values with LOG-space weights on the
+        # log-spaced grid, clamped at both ends (_log_grid_locate +
+        # clamp-to-last-point); np.interp on log r reproduces it
+        return np.interp(np.log(np.maximum(r, rr[0])), np.log(rr), vals)
+
+    for i, sc in read_merger_catalog(filenames, indices=indices):
+        f = build_fn(jnp.asarray(sc["M200"], jnp.float64),
+                     jnp.asarray(sc["conc"], jnp.float64))
+        rr = np.asarray(f["radius"], np.float64)          # (H, n)
+        psi = -np.asarray(f["gravitational_potential"], np.float64)
+        rho = np.asarray(f["density"], np.float64)
+        e_grid = 1.5 * np.asarray(f["pressure"], np.float64) / rho
+        centers = np.asarray(sc["center"], np.float64)
+        bulk = np.asarray(sc["bulk_velocity"], np.float64)
+
+        for sp in ("dm", "star"):
+            if f"{sp}_position" not in sc:
+                continue
+            pos = np.asarray(sc[f"{sp}_position"], np.float64)
+            vel = np.asarray(sc[f"{sp}_velocity"], np.float64)
+            _check(np.isfinite(pos).all() and np.isfinite(vel).all(),
+                   f"scene {i} {sp}: non-finite values")
+            o = 0
+            for h, n_h in enumerate(n_per_halo[sp]):
+                if n_h == 0:
+                    continue
+                seg = slice(o, o + n_h)
+                o += n_h
+                r = np.sqrt(((pos[seg] - centers[h]) ** 2).sum(axis=1))
+                zfrac = float((r == 0.0).mean())
+                _check(zfrac <= zero_row_tol,
+                       f"scene {i} {sp} halo {h}: {zfrac:.2%} "
+                       "zero-radius rows (unwritten file extents?)")
+                _check(np.count_nonzero(vel[seg] - bulk[h]) > 0,
+                       f"scene {i} {sp} halo {h}: all-zero peculiar "
+                       "velocities (unwritten file extents?)")
+                rfrac = float(r.max() / r_max[h])
+                report["max_radius_frac"] = max(
+                    report["max_radius_frac"], rfrac)
+                _check(rfrac <= 1.0 + radius_tol,
+                       f"scene {i} {sp} halo {h}: radius {rfrac:.6f} "
+                       "of r_max")
+                v = np.sqrt(((vel[seg] - bulk[h]) ** 2).sum(axis=1))
+                v_esc = np.sqrt(2.0 * np.interp(r, rr[h], psi[h]))
+                frac = float((v / v_esc).max())
+                report["max_speed_frac"] = max(report["max_speed_frac"],
+                                               frac)
+                _check(frac <= 1.0 + speed_tol,
+                       f"scene {i} {sp} halo {h}: peculiar speed "
+                       f"{frac:.6f} of local v_esc")
+                m_tot = float(np.interp(r_max[h], rr[h],
+                                        np.asarray(f[species_mass[sp]],
+                                                   np.float64)[h]))
+                pmass = float(np.asarray(sc[f"particle_mass_{sp}"])[h])
+                merr = abs(pmass * n_h - m_tot) / m_tot
+                report["max_mass_rel_err"] = max(
+                    report["max_mass_rel_err"], merr)
+                _check(merr <= mass_rtol,
+                       f"scene {i} {sp} halo {h}: mass budget off by "
+                       f"{merr:.2e}")
+                report["n_particles_checked"] += n_h
+
+        if "gas_position" in sc:
+            pos = np.asarray(sc["gas_position"], np.float64)
+            u = np.asarray(sc["gas_thermal_energy"], np.float64)
+            dens = np.asarray(sc["gas_density"], np.float64)
+            gvel = np.asarray(sc["gas_velocity"], np.float64)
+            _check(np.isfinite(pos).all() and np.isfinite(u).all(),
+                   f"scene {i} gas: non-finite values")
+            _check((u > 0).all() and (dens > 0).all(),
+                   f"scene {i} gas: non-positive energy or density")
+            # independent recomputation of the density-weighted mix
+            d_exp = 0.0
+            de_exp = 0.0
+            dv_exp = 0.0
+            for h in range(H):
+                r_h = np.sqrt(((pos - centers[h]) ** 2).sum(axis=1))
+                d_h = _loglerp(r_h, rr[h], rho[h])
+                d_exp = d_exp + d_h
+                # the device mix sums the interpolated PRODUCT rho*e per
+                # halo (pipeline._mix_gas packs [rho, rho*e] rows), so
+                # the recompute interpolates rho*e, not e
+                de_exp = de_exp + _loglerp(r_h, rr[h],
+                                           rho[h] * e_grid[h])
+                dv_exp = dv_exp + d_h[:, None] * bulk[h]
+            # radius bound per owning segment
+            o = 0
+            for h, n_h in enumerate(n_per_halo["gas"]):
+                if n_h == 0:
+                    continue
+                seg = slice(o, o + n_h)
+                o += n_h
+                r = np.sqrt(((pos[seg] - centers[h]) ** 2).sum(axis=1))
+                zfrac = float((r == 0.0).mean())
+                _check(zfrac <= zero_row_tol,
+                       f"scene {i} gas halo {h}: {zfrac:.2%} "
+                       "zero-radius rows (unwritten file extents?)")
+                rfrac = float(r.max() / r_max[h])
+                report["max_radius_frac"] = max(
+                    report["max_radius_frac"], rfrac)
+                _check(rfrac <= 1.0 + radius_tol,
+                       f"scene {i} gas halo {h}: radius {rfrac:.6f} "
+                       "of r_max")
+                m_tot = float(np.interp(r_max[h], rr[h],
+                                        np.asarray(f["gas_mass"],
+                                                   np.float64)[h]))
+                pmass = float(np.asarray(sc["particle_mass_gas"])[h])
+                merr = abs(pmass * n_h - m_tot) / m_tot
+                report["max_mass_rel_err"] = max(
+                    report["max_mass_rel_err"], merr)
+                _check(merr <= mass_rtol,
+                       f"scene {i} gas halo {h}: mass budget off by "
+                       f"{merr:.2e}")
+            u_exp = de_exp / d_exp
+            rel = float((np.abs(u - u_exp) / u_exp).max())
+            report["max_energy_rel_err"] = max(
+                report["max_energy_rel_err"], rel)
+            _check(rel <= energy_rtol,
+                   f"scene {i} gas: mixed thermal energy off by "
+                   f"{rel:.3e}")
+            drel = float((np.abs(dens - d_exp) / d_exp).max())
+            report["max_density_rel_err"] = max(
+                report["max_density_rel_err"], drel)
+            _check(drel <= energy_rtol,
+                   f"scene {i} gas: mixed density off by {drel:.3e}")
+            # mixed velocity: absolute error vs the bulk-speed scale
+            v_scale = max(float(np.abs(bulk).max()), 1e-3)
+            verr = float(np.abs(gvel - dv_exp / d_exp[:, None]).max()
+                         / v_scale)
+            report["max_velocity_err"] = max(report["max_velocity_err"],
+                                             verr)
+            _check(verr <= energy_rtol,
+                   f"scene {i} gas: mixed velocity off by {verr:.3e} "
+                   "of the bulk-speed scale")
+            report["n_particles_checked"] += len(u)
+        report["n_scenes_checked"] += 1
+
+    if strict and report["violations"]:
+        raise ValueError("merger catalog failed physics QA:\n  "
+                         + "\n  ".join(report["violations"][:20]))
+    return report

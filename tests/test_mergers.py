@@ -259,3 +259,67 @@ def test_merger_uneven_and_zero_count_halos(tmp_path):
     assert "star_position" not in sc
     pm = sc["particle_mass_gas"]
     assert pm[0] > 0 and pm[1] == 0.0
+
+
+def test_verify_merger_catalog(tmp_path, capsys):
+    """The physics QA gate on merger catalogs: clean catalogs pass,
+    corrupted gas energies / escaped velocities fire named violations,
+    and verify_catalog (and the CLI verify subcommand) dispatch on the
+    product attr."""
+    from cluster_generator_tpu.cli import main
+    from cluster_generator_tpu.parallel import (
+        verify_catalog,
+        verify_merger_catalog,
+    )
+
+    p = _params(3, key=5)
+    fn = str(tmp_path / "qa.h5")
+    merger_datagen(p, fn, counts={"gas": 4000, "dm": 6000, "star": 1000},
+                   batch_size=2, num_points=128, key=jax.random.key(4))
+
+    report = verify_merger_catalog(fn)
+    assert report["violations"] == []
+    assert report["n_scenes_checked"] == 3
+    assert report["max_speed_frac"] <= 1.0 + 5e-3
+    assert report["max_energy_rel_err"] <= 1e-3
+    assert report["max_mass_rel_err"] <= 1e-4
+    # dispatch: the generic entry point hands merger catalogs over
+    via_dispatch = verify_catalog(fn)
+    assert via_dispatch["n_scenes_checked"] == 3
+    assert main(["verify", fn]) == 0
+    capsys.readouterr()
+
+    # corrupt the mixed gas energies -> named violation, exit 1
+    with h5py.File(fn, "a") as f:
+        d = f["scene_000001/gas_thermal_energy"]
+        d[...] = np.asarray(d[()]) * 2.0
+    bad = verify_merger_catalog(fn, strict=False)
+    assert any("mixed thermal energy" in v for v in bad["violations"])
+    assert main(["verify", fn]) == 1
+    capsys.readouterr()
+
+    # unbind one DM particle (peculiar speed past v_esc) -> violation
+    with h5py.File(fn, "a") as f:
+        d = f["scene_000002/dm_velocity"]
+        v = np.asarray(d[()])
+        v[0] = [50.0, 0.0, 0.0]  # ~5e4 km/s: far beyond any v_esc
+        d[...] = v
+    bad = verify_merger_catalog(fn, indices=[2], strict=False)
+    assert any("peculiar speed" in v for v in bad["violations"])
+
+    # strict=True raises with the violation text
+    with pytest.raises(ValueError, match="physics QA"):
+        verify_merger_catalog(fn)
+
+    # non-merger catalogs are rejected by the merger verifier
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        sample_ensemble_params,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(1), 2)
+    cl = str(tmp_path / "plain.h5")
+    ensemble_datagen(M, c, cl, 2000, batch_size=2, num_points=128,
+                     key=jax.random.key(2))
+    with pytest.raises(ValueError, match="not a merger-scene"):
+        verify_merger_catalog(cl)

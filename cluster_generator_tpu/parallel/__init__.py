@@ -8,7 +8,8 @@ from .ensemble import (build_ensemble, catalog_batches,
                        sample_ensemble_params, verify_catalog)
 from .mergers import (binary_scene_geometry, merger_datagen,
                       merger_datagen_multihost, read_merger_catalog,
-                      sample_merger_scene_params, verify_merger_catalog)
+                      sample_merger_scene_params, scene_to_particles,
+                      verify_merger_catalog)
 
 __all__ = ["make_mesh", "build_ensemble", "catalog_batches",
            "catalog_to_particles", "datagen_batches", "ensemble_datagen",
@@ -16,4 +17,5 @@ __all__ = ["make_mesh", "build_ensemble", "catalog_batches",
            "read_catalog", "sample_ensemble_params", "verify_catalog",
            "binary_scene_geometry", "merger_datagen",
            "merger_datagen_multihost", "read_merger_catalog",
-           "sample_merger_scene_params", "verify_merger_catalog"]
+           "sample_merger_scene_params", "scene_to_particles",
+           "verify_merger_catalog"]

@@ -1114,17 +1114,26 @@ def catalog_to_particles(filename, index):
     bridge from datagen catalogs to the exporter stack (Gadget/AREPO
     files, combines, resampling).
 
-    Handles both catalog forms: the full-species product maps
+    Handles every catalog form: the full-species product maps
     ``dm/gas/star`` datasets to per-type position/velocity/mass fields
     (gas gets its thermal energy and zero velocities — the catalogs
-    store HSE clusters); the DM-only product maps to one ``dm`` type.
+    store HSE clusters); the DM-only product maps to one ``dm`` type;
+    merger-scene catalogs dispatch to
+    :func:`~.mergers.scene_to_particles` on the ``product`` attr.
 
     Catalog positions are ORIGIN-centered; Gadget boxes span
     [0, box_size], so place the cluster before exporting, e.g.
     ``p.add_offsets([box/2]*3, v_bulk)`` (the writer warns loudly when
     it clips out-of-box particles)."""
+    import h5py
+
     from ..particles import ClusterParticles
 
+    with h5py.File(_catalog_filenames(filename)[0], "r") as f:
+        if f.attrs.get("product") == "merger_scenes":
+            from .mergers import scene_to_particles
+
+            return scene_to_particles(filename, index)
     (_, cl), = read_catalog(filename, indices=[index])
     fields = {}
     if "particle_position" in cl:  # DM-only product

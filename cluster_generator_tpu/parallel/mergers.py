@@ -46,7 +46,8 @@ from .ensemble import (
 
 __all__ = ["sample_merger_scene_params", "binary_scene_geometry",
            "merger_datagen", "merger_datagen_multihost",
-           "read_merger_catalog", "verify_merger_catalog"]
+           "read_merger_catalog", "verify_merger_catalog",
+           "scene_to_particles"]
 
 # Bump whenever the MEANING of the merger draws changes for fixed config
 # (see ensemble._DRAWS_VERSION for the contract).  1 = the r4 product:
@@ -601,3 +602,38 @@ def verify_merger_catalog(filename, indices=None, speed_tol=5e-3,
         raise ValueError("merger catalog failed physics QA:\n  "
                          + "\n  ".join(report["violations"][:20]))
     return report
+
+
+def scene_to_particles(filename, index):
+    """Load one merger scene as a
+    :class:`~cluster_generator_tpu.particles.ClusterParticles` — the
+    bridge from merger catalogs to the exporter stack
+    (:func:`~.ensemble.catalog_to_particles` dispatches here on the
+    ``product`` attr).  Per-halo particle masses expand over the static
+    per-halo segments; gas keeps its mixed velocity, thermal energy,
+    and density.  Scene positions are in the scene frame (the requested
+    scene center, default origin) — for a Gadget box add
+    ``p.add_offsets([box/2]*3, [0]*3)`` as with cluster catalogs."""
+    import h5py
+
+    from ..particles import ClusterParticles
+
+    filenames = _catalog_filenames(filename)
+    with h5py.File(filenames[0], "r") as f:
+        n_per_halo = {sp: tuple(int(x) for x in
+                                f.attrs[f"n_{sp}_per_halo"])
+                      for sp in ("gas", "dm", "star")}
+    (_, sc), = read_merger_catalog(filenames, indices=[index])
+    fields = {}
+    for sp in ("gas", "dm", "star"):
+        pos = sc.get(f"{sp}_position")
+        if pos is None:
+            continue
+        fields[sp, "particle_position"] = pos
+        fields[sp, "particle_velocity"] = sc[f"{sp}_velocity"]
+        pm = np.asarray(sc[f"particle_mass_{sp}"], np.float32)
+        fields[sp, "particle_mass"] = np.repeat(pm, n_per_halo[sp])
+        if sp == "gas":
+            fields[sp, "thermal_energy"] = sc["gas_thermal_energy"]
+            fields[sp, "density"] = sc["gas_density"]
+    return ClusterParticles.from_fields(fields)

@@ -323,3 +323,45 @@ def test_verify_merger_catalog(tmp_path, capsys):
                      key=jax.random.key(2))
     with pytest.raises(ValueError, match="not a merger-scene"):
         verify_merger_catalog(cl)
+
+
+def test_scene_to_particles_bridge(tmp_path):
+    """Merger catalog -> ClusterParticles -> Gadget export: the scene
+    bridge expands per-halo masses over the static segments, keeps the
+    mixed gas fields, and catalog_to_particles dispatches on the
+    product attr."""
+    from cluster_generator_tpu.parallel import (
+        catalog_to_particles,
+        scene_to_particles,
+    )
+    from cluster_generator_tpu.particles import ClusterParticles
+
+    p = _params(2, key=8)
+    fn = str(tmp_path / "bridge.h5")
+    merger_datagen(p, fn, **KW)
+
+    parts = scene_to_particles(fn, 1)
+    assert parts.num_particles == {"gas": 48, "dm": 64, "star": 16}
+    # per-halo masses expand over the contiguous segments
+    sc = dict(read_merger_catalog(fn, indices=[1]))[1]
+    pm = np.asarray(parts["dm", "particle_mass"])
+    np.testing.assert_allclose(pm[:32], sc["particle_mass_dm"][0])
+    np.testing.assert_allclose(pm[32:], sc["particle_mass_dm"][1])
+    assert np.asarray(parts["gas", "thermal_energy"]).min() > 0
+    assert ("gas", "density") in parts.fields
+    # gas keeps the density-weighted mixed velocity (nonzero bulk)
+    assert np.abs(np.asarray(parts["gas", "particle_velocity"])).max() > 0
+
+    # the generic bridge dispatches to the scene form
+    parts2 = catalog_to_particles(fn, 1)
+    np.testing.assert_array_equal(
+        np.asarray(parts2["dm", "particle_position"]),
+        np.asarray(parts["dm", "particle_position"]))
+
+    # and the result feeds the exporter stack
+    box = 20000.0
+    parts.add_offsets([box / 2.0] * 3, [0.0] * 3)
+    gf = str(tmp_path / "scene_gadget.h5")
+    parts.write_to_gadget_file(gf, box)
+    back = ClusterParticles.from_gadget_file(gf)
+    assert back.num_particles["gas"] == 48

@@ -306,6 +306,9 @@ def _add_mergers(sub):
     p.add_argument("--v-rel-range", type=float, nargs=2, default=(0.5, 1.5),
                    metavar=("LO", "HI"),
                    help="relative speed range (kpc/Myr)")
+    p.add_argument("--conc-range", type=float, nargs=2, default=(3.0, 8.0),
+                   metavar=("LO", "HI"),
+                   help="clip range for the sampled concentrations")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--overwrite", action="store_true")
@@ -334,7 +337,8 @@ def _cmd_mergers(args):
         mass_ratio_range=tuple(args.ratio_range),
         d_range=tuple(args.d_range),
         b_frac_range=tuple(args.b_frac_range),
-        v_rel_range=tuple(args.v_rel_range))
+        v_rel_range=tuple(args.v_rel_range),
+        conc_range=tuple(args.conc_range))
     # distinct fold so param and draw streams never collide (same
     # convention as `datagen`)
     key = jax.random.fold_in(jax.random.key(args.seed), 1)

@@ -25,13 +25,30 @@ from ..core.quadrature import (
     integrate_mass,
     integrate_tail_to_inf,
 )
+from .gravity import dynamical_mass, field_for_law
 
 __all__ = ["build_from_dens_and_tden", "build_from_dens_and_temp",
-           "build_no_gas", "derive_secondary_fields"]
+           "build_no_gas", "derive_secondary_fields",
+           "potential_from_field"]
+
+
+def potential_from_field(rr, g):
+    """Potential by integrating the (sampled) field:
+    Phi(r) = Phi(rmax) + int_r^rmax g dr, anchored at
+    Phi(rmax) = g(rmax) * rmax — i.e. the field is continued as pure
+    1/r^2 beyond the grid, the same truncation convention as the
+    Newtonian mass-integral form (mass beyond rmax ignored).  For MOND
+    laws the true field falls as ~1/r outside and the potential has no
+    finite zero at infinity; this anchor keeps psi = -Phi finite and
+    shifts it uniformly, which is the quantity the DF machinery uses.
+    """
+    g_sp = cubic_spline(rr, g)
+    return g[-1] * rr[-1] + integrate_from(
+        lambda r: spline_eval(g_sp, r), rr)
 
 
 def derive_secondary_fields(fields: dict, stellar_density=None,
-                            total_density_fn=None) -> dict:
+                            total_density_fn=None, potential=None) -> dict:
     """The ``_from_scratch`` derivations (model.py:213-269).
 
     Adds: gravitational_potential, gas_mass (if absent), stellar fields,
@@ -43,17 +60,25 @@ def derive_secondary_fields(fields: dict, stellar_density=None,
     directly — no spline rebuild of the sampled array, and the integral
     sees the true profile at the Gauss-Legendre nodes rather than its
     interpolant.
+
+    ``potential``: a precomputed potential array overriding the
+    Newtonian mass-integral form — non-Newtonian builders pass the
+    field-integrated potential (:func:`potential_from_field`), since
+    Phi = -G[M/r + ...] only holds when g = -GM/r^2.
     """
     rr = fields["radius"]
 
-    # Phi = -G [ M(<r)/r + 4 pi int_r^rmax rho_tot(r') r' dr' ]   (:220-226)
-    if total_density_fn is None:
-        tdens_sp = cubic_spline(rr, fields["total_density"])
-        total_density_fn = lambda r: spline_eval(tdens_sp, r)  # noqa: E731
-    gpot2 = 4.0 * jnp.pi * integrate_from(
-        lambda r: total_density_fn(r) * r, rr)
-    gpot1 = fields["total_mass"] / rr
-    fields["gravitational_potential"] = -C.G * (gpot1 + gpot2)
+    if potential is not None:
+        fields["gravitational_potential"] = potential
+    else:
+        # Phi = -G [ M(<r)/r + 4 pi int_r^rmax rho_tot(r') r' dr' ] (:220-226)
+        if total_density_fn is None:
+            tdens_sp = cubic_spline(rr, fields["total_density"])
+            total_density_fn = lambda r: spline_eval(tdens_sp, r)  # noqa: E731
+        gpot2 = 4.0 * jnp.pi * integrate_from(
+            lambda r: total_density_fn(r) * r, rr)
+        gpot1 = fields["total_mass"] / rr
+        fields["gravitational_potential"] = -C.G * (gpot1 + gpot2)
 
     if "density" in fields and "gas_mass" not in fields:
         # cumulative trapezoid + central m0 (model.py:230-235)
@@ -93,13 +118,21 @@ def derive_secondary_fields(fields: dict, stellar_density=None,
     return fields
 
 
-@partial(jax.jit, static_argnames=("order",))
+@partial(jax.jit, static_argnames=("order", "gravity"))
 def build_from_dens_and_tden(rr, density, total_density, stellar_density=None,
-                             order: int = 16) -> dict:
+                             order: int = 16, gravity: str = "newtonian",
+                             gravity_params=None) -> dict:
     """``from_dens_and_tden`` math (model.py:565-618).
 
     P(r) = - int_r^{rmax} rho_g g dr - int_{rmax}^inf rho_g g(rmax)(rmax/r)^2 dr
-    with g = -G M_tot / r^2.
+    with g = -G M_tot / r^2 under Newton; for a registered MOND law
+    (``gravity="aqual"|"qumond"|"emond"``) the *matter* mass from
+    ``total_density`` maps to the field via the law's forward relation
+    (model/gravity.py; the reference documents this wiring at
+    docs/source/models.rst:75-123).  EMOND's A0 depends on the potential,
+    which depends on the field — resolved by a short fixed-point
+    iteration (A0 is a bounded tanh of log|phi|, so the map is a strong
+    contraction; 4 unrolled steps reach f64 roundoff in practice).
     """
     fields: dict = {}
     fields["radius"] = rr
@@ -107,13 +140,28 @@ def build_from_dens_and_tden(rr, density, total_density, stellar_density=None,
     fields["total_density"] = total_density(rr)
     fields["total_mass"] = integrate_mass(total_density, rr, order=order)
     fields["gas_mass"] = integrate_mass(density, rr, order=order)
-    g = -C.G * fields["total_mass"] / rr**2
+    phi = None
+    if gravity == "newtonian":
+        g = -C.G * fields["total_mass"] / rr**2
+    elif gravity == "emond":
+        g = -C.G * fields["total_mass"] / rr**2  # Newtonian start
+        for _ in range(4):
+            phi = potential_from_field(rr, g)
+            g = field_for_law(rr, fields["total_mass"], gravity,
+                              phi=phi, params=gravity_params)
+        phi = potential_from_field(rr, g)
+    else:
+        g = field_for_law(rr, fields["total_mass"], gravity,
+                          params=gravity_params)
+        phi = potential_from_field(rr, g)
     fields["gravitational_field"] = g
 
     # spline g on the grid (reference model.py:608) and integrate rho_g * g
     g_sp = cubic_spline(rr, g)
     dPdr = lambda r: density(r) * spline_eval(g_sp, r)
     P = -integrate_from(dPdr, rr, order=order)
+    # outer tail: field continued as 1/r^2 beyond rmax (the same
+    # truncation convention as potential_from_field's anchor)
     tail = integrate_tail_to_inf(
         lambda r: density(r) * g[-1] * (rr[-1] / r) ** 2, rr[-1])
     P = P - tail
@@ -124,16 +172,23 @@ def build_from_dens_and_tden(rr, density, total_density, stellar_density=None,
     # range is float32's; their folded ratio (~7e2) is well-scaled.
     fields["temperature"] = P / fields["density"] * (C.mu * C.mp / C.keV)
     return derive_secondary_fields(fields, stellar_density,
-                                   total_density_fn=total_density)
+                                   total_density_fn=total_density,
+                                   potential=phi)
 
 
-@partial(jax.jit, static_argnames=("order",))
+@partial(jax.jit, static_argnames=("order", "gravity"))
 def build_from_dens_and_temp(rr, density, temperature, stellar_density=None,
-                             order: int = 16) -> dict:
+                             order: int = 16, gravity: str = "newtonian",
+                             gravity_params=None) -> dict:
     """``from_dens_and_temp`` math (model.py:474-523).
 
-    P = rho T / (mu m_p); g = (dP/dr)/rho; M_tot = -r^2 g / G;
-    rho_tot = (dM/dr) / (4 pi r^2).
+    P = rho T / (mu m_p); g = (dP/dr)/rho; then the *dynamical* (matter)
+    mass per the gravity law — Newton's M = -r^2 g / G, or the MOND
+    inversion M_dyn = -(r^2/G) mu(|g|/a0) g for ``aqual``/``qumond``
+    (identical in spherical symmetry for the simple interpolation pair)
+    and a0 -> A0(phi) for ``emond`` (models.rst:75-123);
+    rho_tot = (dM/dr) / (4 pi r^2).  Here g comes straight from HSE, so
+    EMOND's phi is computed directly from the field — no fixed point.
     """
     fields: dict = {}
     fields["radius"] = rr
@@ -145,22 +200,44 @@ def build_from_dens_and_temp(rr, density, temperature, stellar_density=None,
                           * (C.keV / (C.mu * C.mp)))
     p_sp = cubic_spline(rr, fields["pressure"])
     dPdr = spline_eval(p_sp, rr, nu=1)
-    fields["gravitational_field"] = dPdr / fields["density"]
+    g = dPdr / fields["density"]
+    fields["gravitational_field"] = g
     fields["gas_mass"] = integrate_mass(density, rr, order=order)
-    fields["total_mass"] = -rr**2 * fields["gravitational_field"] / C.G
+    phi = None
+    if gravity != "newtonian":
+        phi = potential_from_field(rr, g)
+    fields["total_mass"] = dynamical_mass(rr, g, gravity, phi=phi,
+                                          params=gravity_params)
     m_sp = cubic_spline(rr, fields["total_mass"])
     dMdr = spline_eval(m_sp, rr, nu=1)
     fields["total_density"] = dMdr / (4.0 * jnp.pi * rr**2)
-    return derive_secondary_fields(fields, stellar_density)
+    return derive_secondary_fields(fields, stellar_density, potential=phi)
 
 
-@partial(jax.jit, static_argnames=("order",))
-def build_no_gas(rr, total_density, stellar_density=None, order: int = 16) -> dict:
-    """``no_gas`` math (model.py:620-656)."""
+@partial(jax.jit, static_argnames=("order", "gravity"))
+def build_no_gas(rr, total_density, stellar_density=None, order: int = 16,
+                 gravity: str = "newtonian", gravity_params=None) -> dict:
+    """``no_gas`` math (model.py:620-656), with the same gravity-law
+    forward wiring as :func:`build_from_dens_and_tden`."""
     fields: dict = {}
     fields["radius"] = rr
     fields["total_density"] = total_density(rr)
     fields["total_mass"] = integrate_mass(total_density, rr, order=order)
-    fields["gravitational_field"] = -C.G * fields["total_mass"] / rr**2
+    phi = None
+    if gravity == "newtonian":
+        g = -C.G * fields["total_mass"] / rr**2
+    elif gravity == "emond":
+        g = -C.G * fields["total_mass"] / rr**2
+        for _ in range(4):
+            phi = potential_from_field(rr, g)
+            g = field_for_law(rr, fields["total_mass"], gravity,
+                              phi=phi, params=gravity_params)
+        phi = potential_from_field(rr, g)
+    else:
+        g = field_for_law(rr, fields["total_mass"], gravity,
+                          params=gravity_params)
+        phi = potential_from_field(rr, g)
+    fields["gravitational_field"] = g
     return derive_secondary_fields(fields, stellar_density,
-                                   total_density_fn=total_density)
+                                   total_density_fn=total_density,
+                                   potential=phi)

@@ -50,9 +50,13 @@ class ClusterModel:
     _keep_units = ["entropy", "electron_number_density",
                    "magnetic_field_strength"]
 
-    def __init__(self, num_elements: int, fields: dict):
+    def __init__(self, num_elements: int, fields: dict,
+                 gravity: str = "newtonian"):
         self.num_elements = int(num_elements)
         self.fields = _to_numpy_fields(fields)
+        # which gravity law produced these fields (models.rst:75-123);
+        # informational — the fields already encode it
+        self.gravity = gravity
         self._dm_virial = None
         self._star_virial = None
 
@@ -100,27 +104,39 @@ class ClusterModel:
 
     @classmethod
     def from_dens_and_tden(cls, rmin, rmax, density, total_density,
-                           stellar_density=None, num_points=1000):
-        """HSE model from gas and total density profiles (model.py:565-618)."""
+                           stellar_density=None, num_points=1000,
+                           gravity="newtonian", gravity_params=None):
+        """HSE model from gas and total density profiles (model.py:565-618).
+
+        ``gravity``: a registered law name ("newtonian", "aqual",
+        "qumond", "emond"); the matter mass from ``total_density`` maps
+        to the field via the law (models.rst:75-123)."""
         mylog.info("Computing the profiles from density and total density.")
         rr = jnp.asarray(numpy_log_radius_grid(rmin, rmax, num_points))
         fields = build_from_dens_and_tden(rr, density, total_density,
-                                          stellar_density)
-        return cls(num_points, fields)
+                                          stellar_density, gravity=gravity,
+                                          gravity_params=gravity_params)
+        return cls(num_points, fields, gravity=gravity)
 
     @classmethod
     def from_dens_and_temp(cls, rmin, rmax, density, temperature,
-                           stellar_density=None, num_points=1000):
-        """HSE model from gas density and temperature (model.py:474-523)."""
+                           stellar_density=None, num_points=1000,
+                           gravity="newtonian", gravity_params=None):
+        """HSE model from gas density and temperature (model.py:474-523).
+
+        ``gravity``: a registered law name; the HSE field inverts to the
+        law's *dynamical* (matter) mass (models.rst:75-123)."""
         mylog.info("Computing the profiles from density and temperature.")
         rr = jnp.asarray(numpy_log_radius_grid(rmin, rmax, num_points))
         fields = build_from_dens_and_temp(rr, density, temperature,
-                                          stellar_density)
-        return cls(num_points, fields)
+                                          stellar_density, gravity=gravity,
+                                          gravity_params=gravity_params)
+        return cls(num_points, fields, gravity=gravity)
 
     @classmethod
     def from_dens_and_entr(cls, rmin, rmax, density, entropy,
-                           stellar_density=None, num_points=1000):
+                           stellar_density=None, num_points=1000,
+                           gravity="newtonian", gravity_params=None):
         """HSE model from gas density and entropy (model.py:525-563).
 
         T = S * n_e^{2/3} with n_e = rho / (mu_e m_p) in cm^-3.
@@ -129,15 +145,17 @@ class ClusterModel:
         temperature = entropy * n_e ** (2.0 / 3.0)
         return cls.from_dens_and_temp(rmin, rmax, density, temperature,
                                       stellar_density=stellar_density,
-                                      num_points=num_points)
+                                      num_points=num_points, gravity=gravity,
+                                      gravity_params=gravity_params)
 
     @classmethod
     def no_gas(cls, rmin, rmax, total_density, stellar_density=None,
-               num_points=1000):
+               num_points=1000, gravity="newtonian", gravity_params=None):
         """Model without a gas component (model.py:620-656)."""
         rr = jnp.asarray(numpy_log_radius_grid(rmin, rmax, num_points))
-        fields = build_no_gas(rr, total_density, stellar_density)
-        return cls(num_points, fields)
+        fields = build_no_gas(rr, total_density, stellar_density,
+                              gravity=gravity, gravity_params=gravity_params)
+        return cls(num_points, fields, gravity=gravity)
 
     # ----------------------------------------------------------------- I/O
     @classmethod
@@ -157,6 +175,7 @@ class ClusterModel:
         with h5py.File(filename, "r") as f:
             fnames = list(f["fields"].keys())
             in_cgs = f.attrs.get("unit_system", "galactic") == "cgs"
+            gravity = str(f.attrs.get("gravity", "newtonian"))
             for field in fnames:
                 ds = f["fields"][field]
                 arr = np.asarray(ds[()], dtype=np.float64)
@@ -173,7 +192,7 @@ class ClusterModel:
         mask = (fields["radius"] >= r_min) & (fields["radius"] <= r_max)
         for field in fnames:
             fields[field] = fields[field][mask]
-        model = cls(int(mask.sum()), fields)
+        model = cls(int(mask.sum()), fields, gravity=gravity)
         if dm_df is not None:
             model._dm_virial = VirialEquilibrium(model, ptype="dark_matter",
                                                  df=dm_df[mask])
@@ -211,6 +230,7 @@ class ClusterModel:
         with h5py.File(output_filename, "w") as f:
             f.create_dataset("num_elements", data=int(mask.sum()))
             f.attrs["unit_system"] = "cgs" if in_cgs else "galactic"
+            f.attrs["gravity"] = self.gravity
             g = f.create_group("fields")
             for k, v in self.fields.items():
                 fd, unit = self._field_for_output(k, v[mask], in_cgs)

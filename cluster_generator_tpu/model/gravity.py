@@ -22,7 +22,8 @@ from ..core import constants as C
 from ..core.config import cgparams
 
 __all__ = ["register_gravity", "get_gravity", "newtonian_field",
-           "qumond_field", "aqual_field", "emond_field", "emond_a0"]
+           "qumond_field", "aqual_field", "emond_field", "emond_a0",
+           "dynamical_mass", "field_for_law"]
 
 _REGISTRY: dict[str, Callable] = {}
 
@@ -171,3 +172,54 @@ register_gravity("newtonian", newtonian_field)
 register_gravity("qumond", qumond_field)
 register_gravity("aqual", aqual_field)
 register_gravity("emond", emond_field)
+
+
+# ------------------------------------------------------------------
+# Constructor-facing entry points (the reference documents exactly this
+# wiring for its MOND fork: the dynamical-mass relation per law inside
+# the HSE constructors, docs/source/models.rst:75-123, with the law
+# config in bin/config.yaml:34-51).
+# ------------------------------------------------------------------
+
+def dynamical_mass(rr, g, gravity="newtonian", phi=None, params=None):
+    """Invert a gravity law: observed HSE field ``g`` (negative, inward,
+    kpc/Myr^2) -> matter ("dynamical") mass M_dyn(<r).
+
+    * ``newtonian``: M = -r^2 g / G.
+    * ``aqual``/``qumond``: in spherical symmetry with the *simple*
+      interpolation pair the two theories coincide exactly — AQUAL's
+      mu(x) x = y inverts to QUMOND's x = nu(y) y (check:
+      nu(y) y = (y + sqrt(y^2+4y))/2 = x) — so one closed form serves
+      both: g_N = mu(|g|/a0) g with mu(x) = x/(1+x), M = -r^2 g_N / G.
+      This is the reference's documented relation
+      M_dyn = (r^2/G) mu(|Gamma|/a0) Gamma (models.rst:96-104).
+    * ``emond``: same with a0 -> A0(phi) pointwise (pass ``phi``).
+
+    Pure jnp; jit/vmap-safe for fixed ``gravity``.
+    """
+    if gravity == "newtonian":
+        return -rr * rr * g / C.G
+    if gravity == "emond":
+        if phi is None:
+            raise ValueError("emond dynamical_mass needs phi")
+        a0 = emond_a0(phi, params)
+    elif gravity in ("aqual", "qumond"):
+        a0 = _a0_galactic(params)
+    else:
+        raise KeyError(f"Unknown gravity law {gravity!r} for "
+                       "dynamical_mass")
+    x = jnp.abs(g) / a0
+    g_n = g * x / (1.0 + x)  # mu(x) g
+    return -rr * rr * g_n / C.G
+
+
+def field_for_law(rr, m_tot, gravity="newtonian", phi=None, params=None):
+    """Forward direction: matter mass profile -> field per the law
+    (``get_gravity`` lookup, with EMOND's potential threaded through
+    ``params``)."""
+    law = get_gravity(gravity)
+    if gravity == "emond":
+        p = dict(params or {})
+        p["phi"] = phi
+        return law(rr, m_tot, p)
+    return law(rr, m_tot, params)

@@ -985,6 +985,7 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
                                      speed_tol=speed_tol,
                                      energy_rtol=max(energy_rtol, 1e-3),
                                      mass_rtol=max(mass_rtol, 1e-4),
+                                     radius_tol=max(radius_tol, 1e-5),
                                      zero_row_tol=zero_row_tol,
                                      strict=strict)
     if indices is None:

@@ -494,8 +494,11 @@ def verify_merger_catalog(filename, indices=None, speed_tol=5e-3,
                 _check(zfrac <= zero_row_tol,
                        f"scene {i} {sp} halo {h}: {zfrac:.2%} "
                        "zero-radius rows (unwritten file extents?)")
-                _check(np.count_nonzero(vel[seg] - bulk[h]) > 0,
-                       f"scene {i} {sp} halo {h}: all-zero peculiar "
+                # raw stored velocities: an unwritten extent is zero-filled,
+                # while healthy merger draws always carry nonzero bulk
+                # motion (matches verify_catalog's check, ensemble.py)
+                _check(np.count_nonzero(vel[seg]) > 0,
+                       f"scene {i} {sp} halo {h}: all-zero stored "
                        "velocities (unwritten file extents?)")
                 rfrac = float(r.max() / r_max[h])
                 report["max_radius_frac"] = max(

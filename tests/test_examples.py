@@ -95,15 +95,17 @@ def test_bench_configs_smoke(tmp_path):
                          capture_output=True, text=True, timeout=900)
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
-    assert len(lines) == 7, res.stdout  # cfg1-3, cfg5, cfg5b, cfg5c, field
     metrics = set()
     for ln in lines:
         rec = json.loads(ln)
         assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
         assert rec["unit"] == "s" and rec["value"] > 0
         metrics.add(rec["metric"].split("_")[0])
+    # every named config must report exactly once; new configs extend the
+    # set (cfg1-3, cfg5/5b/5c, cfg6 merger scenes, 512^3 field)
     assert metrics == {"cfg1", "cfg2", "cfg3", "cfg5", "cfg5b", "cfg5c",
-                       "field"}
+                       "cfg6", "field"}
+    assert len(lines) == len(metrics), res.stdout
 
 
 def test_multichip_export_example(tmp_path):

@@ -139,3 +139,180 @@ def test_velocity_dispersion_jeans(canonical_model):
                                      500.0, [500.0] * 3, canonical_model,
                                      prng=1)
     assert np.isfinite(f["velocity_x"]).all()
+
+
+# ------------------------------------------------------------------
+# End-to-end MOND clusters: the registry wired into the constructors
+# (reference docs/source/models.rst:75-123, bin/config.yaml:34-51)
+# ------------------------------------------------------------------
+
+def _small_profiles(canonical_profiles):
+    return (canonical_profiles["rhog"], canonical_profiles["rhot"])
+
+
+def test_aqual_cluster_end_to_end(canonical_profiles, tmp_path):
+    """An AQUAL cluster builds from matter profiles, HSE-checks, carries
+    the field-integrated potential, inverts back to the matter mass via
+    from_dens_and_temp, samples DM particles bounded by the MOND v_esc,
+    and round-trips its law through HDF5."""
+    from cluster_generator_tpu.model.gravity import aqual_field
+    from cluster_generator_tpu.profiles.algebra import RadialProfile
+
+    rhog, rhot = _small_profiles(canonical_profiles)
+    kw = dict(num_points=300)
+    mN = cg.ClusterModel.from_dens_and_tden(0.1, 10000.0, rhog, rhot, **kw)
+    mA = cg.ClusterModel.from_dens_and_tden(0.1, 10000.0, rhog, rhot,
+                                            gravity="aqual", **kw)
+    assert mA.gravity == "aqual" and mN.gravity == "newtonian"
+    rr = np.asarray(mA["radius"])
+
+    # matter mass is the law-independent input; the field is boosted
+    np.testing.assert_allclose(mA["total_mass"], mN["total_mass"],
+                               rtol=1e-12)
+    g_a = np.asarray(mA["gravitational_field"])
+    np.testing.assert_allclose(
+        g_a, np.asarray(aqual_field(jnp.asarray(rr),
+                                    jnp.asarray(mA["total_mass"]))),
+        rtol=1e-12)
+    assert (np.abs(g_a) > np.abs(np.asarray(mN["gravitational_field"]))).all()
+
+    # HSE holds by construction under the law's own field
+    assert np.abs(np.asarray(mA.check_hse())[2:-2]).max() < 1e-4
+
+    # potential integrates the FIELD: dPhi/dr = -g (interior points;
+    # spline-differentiate the stored potential)
+    phi_sp = IUS(rr, np.asarray(mA["gravitational_potential"]))
+    dphi = phi_sp.derivative()(rr[5:-5])
+    np.testing.assert_allclose(dphi, -g_a[5:-5], rtol=2e-5)
+    # MOND potential well is deeper than the Newtonian one at rmax
+    assert (mA["gravitational_potential"][-1]
+            < mN["gravitational_potential"][-1])
+
+    # inverse wiring: from_dens_and_temp under the same law recovers
+    # the matter mass (round-trip through the HSE field)
+    tprof = RadialProfile.from_array(rr, np.asarray(mA["temperature"]))
+    dprof = RadialProfile.from_array(rr, np.asarray(mA["density"]))
+    mA2 = cg.ClusterModel.from_dens_and_temp(0.1, 10000.0, dprof, tprof,
+                                             gravity="aqual", **kw)
+    rel = np.abs(np.asarray(mA2["total_mass"]) - np.asarray(mA["total_mass"])
+                 ) / np.asarray(mA["total_mass"])
+    # floor is the from_array spline resolution at 300 grid points
+    # (the same check at num_points=1000 reaches ~2e-7 interior max)
+    assert np.median(rel) < 1e-7 and rel[5:-5].max() < 1e-4
+
+    # and WITHOUT the law it infers more (phantom) mass than the matter
+    mWrong = cg.ClusterModel.from_dens_and_temp(0.1, 10000.0, dprof, tprof,
+                                                **kw)
+    assert (np.asarray(mWrong["total_mass"])[10:]
+            > 1.05 * np.asarray(mA["total_mass"])[10:]).all()
+
+    # Newtonian limit: a0 -> 0 makes every x huge, mu -> 1
+    mLim = cg.ClusterModel.from_dens_and_tden(
+        0.1, 10000.0, rhog, rhot, gravity="aqual",
+        gravity_params={"a0_m_s2": 1e-22}, **kw)
+    np.testing.assert_allclose(mLim["gravitational_field"],
+                               mN["gravitational_field"], rtol=1e-5)
+
+    # deep-MOND asymptote: a0 huge -> |g| = sqrt(G M a0) / r
+    from cluster_generator_tpu.core import constants as C
+
+    a0_big_si = 1.2e-4
+    a0_big = a0_big_si * C.MYR_S**2 / C.KPC_M
+    mDeep = cg.ClusterModel.from_dens_and_tden(
+        0.1, 10000.0, rhog, rhot, gravity="aqual",
+        gravity_params={"a0_m_s2": a0_big_si}, **kw)
+    expect = -np.sqrt(C.G * np.asarray(mDeep["total_mass"]) * a0_big) / rr
+    # x = sqrt(y) (1 + sqrt(y)/2 + ...): the leading correction at this
+    # a0 is ~1.2e-3 of the asymptote at the strongest-field point
+    np.testing.assert_allclose(mDeep["gravitational_field"], expect,
+                               rtol=3e-3)
+
+    # particles: draws bounded by the MOND escape speed
+    p = mA.generate_dm_particles(5000, prng=7)
+    pos = np.asarray(p["dm", "particle_position"])
+    vel = np.asarray(p["dm", "particle_velocity"])
+    r_p = np.sqrt((pos ** 2).sum(axis=1))
+    psi = -np.asarray(mA["gravitational_potential"])
+    v_esc = np.sqrt(2.0 * np.interp(r_p, rr, psi))
+    v = np.sqrt((vel ** 2).sum(axis=1))
+    assert (v <= v_esc * (1 + 1e-12)).all()
+    assert np.asarray(mA.dm_virial.df).min() >= 0.0
+
+    # HDF5 round-trip carries the law
+    fn = str(tmp_path / "aqual.h5")
+    mA.write_model_to_h5(fn)
+    back = cg.ClusterModel.from_h5_file(fn)
+    assert back.gravity == "aqual"
+    np.testing.assert_allclose(back["gravitational_field"], g_a, rtol=1e-12)
+
+
+def test_qumond_equals_aqual_spherical(canonical_profiles):
+    """For the simple interpolation pair the spherical QUMOND and AQUAL
+    constructions coincide exactly (nu(y) y inverts mu(x) x = y):
+    one closed form serves both constructor paths."""
+    rhog, rhot = _small_profiles(canonical_profiles)
+    kw = dict(num_points=200)
+    mq = cg.ClusterModel.from_dens_and_tden(0.1, 10000.0, rhog, rhot,
+                                            gravity="qumond", **kw)
+    ma = cg.ClusterModel.from_dens_and_tden(0.1, 10000.0, rhog, rhot,
+                                            gravity="aqual", **kw)
+    for k in ("gravitational_field", "pressure", "temperature",
+              "gravitational_potential", "total_mass"):
+        np.testing.assert_allclose(mq[k], ma[k], rtol=1e-12, err_msg=k)
+    assert mq.gravity == "qumond"
+
+
+def test_emond_cluster_end_to_end(canonical_profiles):
+    """EMOND: the fixed point A0(phi(g)) converges (the stored field is
+    self-consistent), boosts beyond AQUAL in the deep cluster potential,
+    and reduces exactly to AQUAL when A = a."""
+    from cluster_generator_tpu.model.builders import potential_from_field
+    from cluster_generator_tpu.model.gravity import field_for_law
+
+    rhog, rhot = _small_profiles(canonical_profiles)
+    kw = dict(num_points=200)
+    me = cg.ClusterModel.from_dens_and_tden(0.1, 10000.0, rhog, rhot,
+                                            gravity="emond", **kw)
+    ma = cg.ClusterModel.from_dens_and_tden(0.1, 10000.0, rhog, rhot,
+                                            gravity="aqual", **kw)
+    rr = jnp.asarray(me["radius"])
+    g = jnp.asarray(me["gravitational_field"])
+    m = jnp.asarray(me["total_mass"])
+    # self-consistency: one more fixed-point sweep is a no-op
+    phi = potential_from_field(rr, g)
+    np.testing.assert_allclose(np.asarray(me["gravitational_potential"]),
+                               np.asarray(phi), rtol=1e-10)
+    g_next = field_for_law(rr, m, "emond", phi=phi)
+    np.testing.assert_allclose(np.asarray(g_next), np.asarray(g), rtol=1e-10)
+    # cluster potentials are deep: EMOND's A0 > a0 -> stronger boost
+    assert (np.abs(np.asarray(me["gravitational_field"]))
+            >= np.abs(np.asarray(ma["gravitational_field"])) * (1 - 1e-12)).all()
+    assert me.check_hse() is not None
+    # A = a freezes A0 at a0: EMOND degenerates to AQUAL exactly
+    mfroz = cg.ClusterModel.from_dens_and_tden(
+        0.1, 10000.0, rhog, rhot, gravity="emond",
+        gravity_params={"A": 0.003868}, **kw)
+    np.testing.assert_allclose(mfroz["gravitational_field"],
+                               ma["gravitational_field"], rtol=1e-10)
+
+
+def test_no_gas_and_dynamical_mass_errors(canonical_profiles):
+    from cluster_generator_tpu.model.gravity import dynamical_mass
+
+    rhot = canonical_profiles["rhot"]
+    mn = cg.ClusterModel.no_gas(1.0, 5000.0, rhot, num_points=150)
+    ma = cg.ClusterModel.no_gas(1.0, 5000.0, rhot, num_points=150,
+                                gravity="aqual")
+    np.testing.assert_allclose(ma["total_mass"], mn["total_mass"],
+                               rtol=1e-12)
+    assert (np.abs(np.asarray(ma["gravitational_field"]))
+            > np.abs(np.asarray(mn["gravitational_field"]))).all()
+    rr = jnp.asarray(mn["radius"])
+    g = jnp.asarray(mn["gravitational_field"])
+    with pytest.raises(KeyError, match="Unknown gravity"):
+        dynamical_mass(rr, g, "nope")
+    with pytest.raises(ValueError, match="phi"):
+        dynamical_mass(rr, g, "emond")
+    # newtonian inversion reproduces the input mass
+    np.testing.assert_allclose(np.asarray(dynamical_mass(rr, g)),
+                               np.asarray(mn["total_mass"]), rtol=1e-12)

@@ -307,6 +307,14 @@ def test_verify_merger_catalog(tmp_path, capsys):
     bad = verify_merger_catalog(fn, indices=[2], strict=False)
     assert any("peculiar speed" in v for v in bad["violations"])
 
+    # zero-fill one scene's star velocities (the crash mode where a
+    # batch's velocity extents were never written while positions were)
+    # -> the all-zero gate must fire on the RAW stored values
+    with h5py.File(fn, "a") as f:
+        f["scene_000000/star_velocity"][...] = 0.0
+    bad = verify_merger_catalog(fn, indices=[0], strict=False)
+    assert any("all-zero stored velocities" in v for v in bad["violations"])
+
     # strict=True raises with the violation text
     with pytest.raises(ValueError, match="physics QA"):
         verify_merger_catalog(fn)

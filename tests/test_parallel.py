@@ -602,41 +602,33 @@ def test_datagen_batches_streams_identical_draws(tmp_path):
         dict(read_catalog(fn))
 
 
+@pytest.mark.slow
 def test_ensemble_datagen_mesh_sharded_matches_single_device(tmp_path):
     """ensemble_datagen(mesh=...) shards each batch over the 'ens' axis
-    (8 virtual devices here); the catalog must match the single-device
-    run to f32 rounding (~1 ulp: XLA fuses the partitioned program
+    (8 virtual devices); the catalog must match the single-device run to
+    f32 rounding (~1 ulp: XLA fuses the partitioned program
     differently), including the non-dividing final batch that falls
-    back to default placement."""
-    from cluster_generator_tpu.parallel import (
-        ensemble_datagen,
-        make_mesh,
-        read_catalog,
-        sample_ensemble_params,
-    )
+    back to default placement.
 
-    M, c = sample_ensemble_params(jax.random.key(21), 19)  # 8+8+3 batches
-    kw = dict(n_particles_per_cluster={"dm": 256, "gas": 192, "star": 64},
-              batch_size=8, num_points=128, key=jax.random.key(6))
-    single = str(tmp_path / "single.h5")
-    sharded = str(tmp_path / "sharded.h5")
-    ensemble_datagen(M, c, single, **kw)
-    mesh = make_mesh()  # all 8 devices on 'ens'
-    assert mesh.shape["ens"] == 8
-    ensemble_datagen(M, c, sharded, mesh=mesh, **kw)
-    ref = dict(read_catalog(single))
-    got = dict(read_catalog(sharded))
-    assert sorted(got) == sorted(ref)
-    for i in ref:
-        for k in ref[i]:
-            np.testing.assert_allclose(got[i][k], ref[i][k],
-                                       rtol=5e-7, atol=1e-6,
-                                       err_msg=f"cluster {i} {k}")
-    # the final short batch (3 clusters, default placement) is exact
-    for i in (16, 17, 18):
-        for k in ref[i]:
-            np.testing.assert_array_equal(got[i][k], ref[i][k],
-                                          err_msg=f"tail cluster {i} {k}")
+    Runs in a fresh subprocess (workers/mesh_datagen_worker.py): the
+    mesh-sharded pjit compile segfaults the XLA CPU compiler when the
+    process carries the live-executable state of ~210 preceding tests
+    (round-4 full-suite reproducer; passes in isolation), so the
+    compile gets its own interpreter like the two-process tests."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "workers" / "mesh_datagen_worker.py"
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("XLA_", "JAX_"))}
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    res = subprocess.run([_sys.executable, str(worker), str(tmp_path)],
+                         env=env, capture_output=True, text=True,
+                         timeout=900)
+    assert res.returncode == 0, (res.stdout + res.stderr)[-3000:]
+    assert "MESH_DATAGEN_OK" in res.stdout
 
 
 def test_ensemble_datagen_resume_is_bit_identical(tmp_path):

@@ -310,6 +310,12 @@ def _add_mergers(sub):
                    metavar=("LO", "HI"),
                    help="clip range for the sampled concentrations")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--r-a", type=float, default=None, dest="r_a",
+                   help="Osipkov-Merritt anisotropy radius (kpc) for the "
+                   "collisionless species; default isotropic")
+    p.add_argument("--even-split", action="store_true",
+                   help="split species counts evenly across halos "
+                   "instead of by ensemble-mean mass fraction")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--resume", action="store_true",
@@ -344,7 +350,8 @@ def _cmd_mergers(args):
     key = jax.random.fold_in(jax.random.key(args.seed), 1)
     kw = dict(batch_size=args.batch_size, num_points=args.num_points,
               r_max=args.r_max, key=key, overwrite=args.overwrite,
-              resume=args.resume)
+              resume=args.resume, anisotropy_radius=args.r_a,
+              prorate=not args.even_split)
     if (args.rank is None) != (args.nproc is None):
         print("--rank and --nproc go together", file=sys.stderr)
         return 2

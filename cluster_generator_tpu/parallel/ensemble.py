@@ -616,8 +616,10 @@ def _stream_batched_catalog(path, resuming, config, extra_attrs, expected,
                 mylog.info("Catalog %s is already complete.", path)
                 return
             # shard identity defaults for files written before it was
-            # recorded: a plain run's values
-            defaults = {"shard_rank": 0, "shard_count": 1, "r_a": 0.0}
+            # recorded: a plain run's values (mesh_ens joined the merger
+            # config in round 5; ensemble files always carried it)
+            defaults = {"shard_rank": 0, "shard_count": 1, "r_a": 0.0,
+                        "mesh_ens": 0}
             for k, v in config.items():
                 have = f.attrs.get(k, defaults.get(k))
                 if have is None or not np.array_equal(have, v):

@@ -45,9 +45,10 @@ from .ensemble import (
 )
 
 __all__ = ["sample_merger_scene_params", "binary_scene_geometry",
-           "merger_datagen", "merger_datagen_multihost",
-           "read_merger_catalog", "verify_merger_catalog",
-           "scene_to_particles"]
+           "triple_scene_geometry", "sample_triple_scene_params",
+           "halo_mass_weights", "merger_datagen",
+           "merger_datagen_multihost", "read_merger_catalog",
+           "verify_merger_catalog", "scene_to_particles"]
 
 # Bump whenever the MEANING of the merger draws changes for fixed config
 # (see ensemble._DRAWS_VERSION for the contract).  1 = the r4 product:
@@ -123,11 +124,116 @@ def binary_scene_geometry(M200, d, b, v_rel, center=(0.0, 0.0, 0.0)):
     return centers, vel
 
 
-def _normalize_counts(counts, H):
-    """Per-species per-halo static counts.  Dict values may be an int
-    (split evenly across halos, remainder to the first halos) or a
-    length-H tuple.  Unknown species raise (a typo would silently drop
-    the species from the catalog)."""
+def triple_scene_geometry(M200, d12, b12, v12, d3, b3, v3,
+                          center=(0.0, 0.0, 0.0)):
+    """Scene geometry for 3-halo mergers (the reference's three-cluster
+    composition, ics.py ``num_halos=3`` + particles.py:669
+    ``combine_three_clusters``, which takes explicit centers; this helper
+    supplies the geometry the reference leaves to the user).
+
+    Halos 1 and 2 form a binary along x with separation ``d12``, impact
+    parameter ``b12`` (along y) and relative speed ``v12`` — exactly
+    :func:`binary_scene_geometry`.  Halo 3 sits at distance ``d3`` from
+    the pair's center of mass ALONG +y with impact parameter ``b3``
+    along z, falling toward the center of mass with speed ``v3``
+    (late-infall configuration).  The whole scene is then shifted to its
+    zero-momentum frame.
+
+    Returns ``(centers (n, 3, 3), velocities (n, 3, 3))`` f64.
+    """
+    M200 = np.asarray(M200, np.float64).reshape(-1, 3)
+    c12, v12v = binary_scene_geometry(M200[:, :2], d12, b12, v12)
+    d3 = np.asarray(d3, np.float64)
+    b3 = np.asarray(b3, np.float64)
+    v3 = np.asarray(v3, np.float64)
+    if np.any(b3 > d3):
+        raise ValueError("impact parameter b3 exceeds separation d3")
+    n = M200.shape[0]
+    # pair center of mass (halo-1/2 centers are symmetric about origin)
+    w = M200[:, :2] / M200[:, :2].sum(axis=1, keepdims=True)  # (n, 2)
+    com12 = (w[:, :, None] * c12).sum(axis=1)                 # (n, 3)
+    dy = np.sqrt(d3 * d3 - b3 * b3)
+    c3 = com12 + np.stack([np.zeros_like(d3), dy, b3], axis=1)
+    vel3 = np.zeros((n, 3))
+    vel3[:, 1] = -v3                                          # infall (-y)
+    centers = np.concatenate([c12, c3[:, None, :]], axis=1)   # (n, 3, 3)
+    vel = np.concatenate([v12v, vel3[:, None, :]], axis=1)
+    # shift to the scene's zero-momentum frame
+    wall = M200 / M200.sum(axis=1, keepdims=True)             # (n, 3)
+    vel = vel - (wall[:, :, None] * vel).sum(axis=1, keepdims=True)
+    ctr = np.asarray(center, np.float64)
+    return centers + ctr, vel
+
+
+def sample_triple_scene_params(key, n, logM_range=(14.2, 15.3),
+                               mass_ratio_range=(0.2, 1.0),
+                               conc_range=(3.0, 8.0),
+                               d_range=(2000.0, 4000.0),
+                               b_frac_range=(0.0, 0.5),
+                               v_rel_range=(0.5, 1.5),
+                               d3_range=(3000.0, 5000.0),
+                               v3_range=(0.3, 1.0)):
+    """Draw ``n`` 3-halo merger-scene parameters: primary mass
+    log-uniform, halos 2 and 3 by independent uniform mass ratios,
+    concentrations from the same c(M) relation + scatter as the binary
+    sampler, binary geometry from ``d/b_frac/v_rel`` ranges, third-halo
+    infall from ``d3/b_frac/v3`` ranges.  Returns a params dict with
+    explicit ``centers``/``velocities`` — feed straight to
+    :func:`merger_datagen`."""
+    ks = jax.random.split(key, 10)
+    f64 = jnp.float64
+    logM = jax.random.uniform(ks[0], (n,), f64, *logM_range)
+    M1 = 10.0 ** logM
+    r2 = jax.random.uniform(ks[1], (n,), f64, *mass_ratio_range)
+    r3 = jax.random.uniform(ks[2], (n,), f64, *mass_ratio_range)
+    M200 = jnp.stack([M1, r2 * M1, r3 * M1], axis=1)
+    c_mean = 5.0 * (M200 / 1.0e15) ** (-0.1)
+    scatter = jax.random.normal(ks[3], (n, 3), f64) * 0.3
+    conc = jnp.clip(c_mean * jnp.exp(scatter), *conc_range)
+    d12 = jax.random.uniform(ks[4], (n,), f64, *d_range)
+    b12 = d12 * jax.random.uniform(ks[5], (n,), f64, *b_frac_range)
+    v12 = jax.random.uniform(ks[6], (n,), f64, *v_rel_range)
+    d3 = jax.random.uniform(ks[7], (n,), f64, *d3_range)
+    b3 = d3 * jax.random.uniform(ks[8], (n,), f64, *b_frac_range)
+    v3 = jax.random.uniform(ks[9], (n,), f64, *v3_range)
+    centers, velocities = triple_scene_geometry(M200, d12, b12, v12,
+                                                d3, b3, v3)
+    return {"M200": M200, "conc": conc, "centers": centers,
+            "velocities": velocities}
+
+
+def _split_by_weights(total, weights):
+    """Split ``total`` into per-halo ints proportional to ``weights``
+    (largest-remainder rounding, so the parts sum exactly)."""
+    w = np.asarray(weights, np.float64)
+    exact = total * w / w.sum()
+    parts = np.floor(exact).astype(int)
+    rem = int(total - parts.sum())
+    order = np.argsort(-(exact - parts))
+    parts[order[:rem]] += 1
+    return tuple(int(x) for x in parts)
+
+
+def halo_mass_weights(M200):
+    """Ensemble-mean per-halo mass fractions of a scene-parameter array
+    ``M200 (n_scenes, H)`` — the static-shape stand-in for the
+    reference's per-scene proration (ics.py:100-160
+    ``_determine_num_particles``, which pro-rates each species' total
+    count by the per-halo mass fraction).  The batched product needs ONE
+    count layout per catalog (static shapes), so int counts are split by
+    the mean fraction: a 5:1 merger ensemble then gives both halos the
+    same per-particle mass on average, instead of the secondary getting
+    5x the mass resolution (the round-4 even-split default)."""
+    M200 = np.asarray(M200, np.float64).reshape(-1, M200.shape[-1])
+    frac = M200 / M200.sum(axis=1, keepdims=True)
+    return frac.mean(axis=0)
+
+
+def _normalize_counts(counts, H, weights=None):
+    """Per-species per-halo static counts.  Dict values may be an int —
+    split across halos by ``weights`` (mass-prorated; even when None) —
+    or an explicit length-H tuple.  Unknown species raise (a typo would
+    silently drop the species from the catalog)."""
     unknown = set(counts) - {"dm", "gas", "star"}
     if unknown:
         raise ValueError(f"unknown species {sorted(unknown)} in counts; "
@@ -136,8 +242,8 @@ def _normalize_counts(counts, H):
     for sp in ("gas", "dm", "star"):
         c = counts.get(sp, 0)
         if isinstance(c, (int, np.integer)):
-            base, rem = divmod(int(c), H)
-            out[sp] = tuple(base + (1 if i < rem else 0) for i in range(H))
+            out[sp] = _split_by_weights(
+                int(c), np.ones(H) if weights is None else weights)
         else:
             c = tuple(int(x) for x in c)
             if len(c) != H:
@@ -149,7 +255,7 @@ def _normalize_counts(counts, H):
     return out
 
 
-def _merger_batch_fn(num_points, n_gas, n_dm, n_star):
+def _merger_batch_fn(num_points, n_gas, n_dm, n_star, r_a=None):
     """Memoized jitted program: one SCENE BATCH of fused merger ICs.
 
     (M200 (B,H), conc (B,H), centers (B,H,3), velocities (B,H,3),
@@ -159,6 +265,7 @@ def _merger_batch_fn(num_points, n_gas, n_dm, n_star):
     N-length constant arrays over the tunnel.
     """
     return _merger_batch_cached(num_points, n_gas, n_dm, n_star,
+                                None if r_a is None else float(r_a),
                                 _speed_table_key())
 
 
@@ -173,7 +280,7 @@ def _segment_offsets(ns):
 
 
 @lru_cache(maxsize=16)
-def _merger_batch_cached(num_points, n_gas, n_dm, n_star, kw_items):
+def _merger_batch_cached(num_points, n_gas, n_dm, n_star, r_a, kw_items):
     from ..pipeline import merger_ic_fused
 
     del kw_items  # participates in the memo key only
@@ -188,7 +295,7 @@ def _merger_batch_cached(num_points, n_gas, n_dm, n_star, kw_items):
     def one(m, c, ctr, vel, r_max, k):
         parts, _ = merger_ic_fused.__wrapped__(
             m, c, ctr, vel, r_max, k, n_gas, n_dm, n_star,
-            num_points=num_points)
+            num_points=num_points, r_a=r_a)
         out = {}
         if sum(n_gas):
             out["gas_position"] = parts["gas", "particle_position"]
@@ -226,7 +333,8 @@ def _params_sha(M200, conc, centers, velocities):
 
 def merger_datagen(params, filename, counts, batch_size=64,
                    num_points=512, r_max=5000.0, key=None,
-                   overwrite=False, resume=False,
+                   overwrite=False, resume=False, mesh=None,
+                   anisotropy_radius=None, prorate=True,
                    _only_batches=None, _extra_attrs=None):
     """Stream an ensemble of merger-scene ICs to ONE HDF5 catalog.
 
@@ -237,9 +345,21 @@ def merger_datagen(params, filename, counts, batch_size=64,
     :func:`sample_merger_scene_params` works as-is.
 
     ``counts``: ``{"gas": n, "dm": n, "star": n}`` — each an int (split
-    evenly across halos) or a per-halo tuple; static across scenes (one
-    compiled program).  ``r_max``: sampling radius (kpc), scalar or
-    per-halo.
+    across halos by the ensemble-mean mass fraction, the static-shape
+    form of the reference's pro-rata rule, ics.py:100-160; pass
+    ``prorate=False`` for an even split, or per-halo tuples for full
+    control) — static across scenes (one compiled program).
+    ``r_max``: sampling radius (kpc), scalar or per-halo.
+
+    ``mesh``: an (ens, part) device mesh (:func:`~.mesh.make_mesh`) —
+    each batch's scene parameters are placed sharded over the ``ens``
+    axis, same contract as :func:`~.ensemble.ensemble_datagen` (short
+    final batches fall back to default placement; the ens size joins
+    the resume config).
+
+    ``anisotropy_radius``: Osipkov-Merritt r_a in kpc — collisionless
+    species draw from the radially-anisotropic f(Q), as in the
+    single-cluster product; recorded in the catalog attrs.
 
     Scenes are processed in vmapped batches with host writes overlapping
     device compute, crash-resumable with ``resume=True`` — identical
@@ -261,6 +381,13 @@ def merger_datagen(params, filename, counts, batch_size=64,
     if path.exists() and not overwrite and not resuming:
         raise IOError(f"{path} exists (pass overwrite=True, or "
                       "resume=True to continue an interrupted run)")
+    if anisotropy_radius is not None and not float(anisotropy_radius) > 0.0:
+        # same contract (and rationale) as ensemble._resolve_batch_fn:
+        # r_a=0 NaN-poisons the draws AND is the catalog attr's isotropic
+        # sentinel, so the QA gate would silently skip the beta check
+        raise ValueError(f"anisotropy_radius must be positive (got "
+                         f"{anisotropy_radius!r}); omit it (None) for "
+                         "the isotropic product")
     M200 = jnp.asarray(params["M200"], jnp.float64)
     conc = jnp.asarray(params["conc"], jnp.float64)
     if M200.ndim != 2 or M200.shape != conc.shape:
@@ -274,7 +401,9 @@ def merger_datagen(params, filename, counts, batch_size=64,
     else:
         if H != 2:
             raise ValueError("d/b/v_rel geometry is binary-only; pass "
-                             "explicit centers/velocities for H != 2")
+                             "explicit centers/velocities for H != 2 "
+                             "(triple_scene_geometry builds 3-halo "
+                             "scenes)")
         centers, velocities = binary_scene_geometry(
             M200, params["d"], params["b"], params["v_rel"])
     if centers.shape != (n_sc, H, 3) or velocities.shape != (n_sc, H, 3):
@@ -282,22 +411,35 @@ def merger_datagen(params, filename, counts, batch_size=64,
                          f"3); got {centers.shape} / {velocities.shape}")
     centers = jnp.asarray(centers, jnp.float64)
     velocities = jnp.asarray(velocities, jnp.float64)
-    counts = _normalize_counts(counts, H)
+    counts = _normalize_counts(
+        counts, H, weights=halo_mass_weights(M200) if prorate else None)
     r_max_arr = jnp.broadcast_to(
         jnp.asarray(r_max, jnp.float64).ravel(), (H,))
     if key is None:
         key = jax.random.key(0)
     batch_fn = _merger_batch_fn(num_points, counts["gas"], counts["dm"],
-                                counts["star"])
-    mylog.info("Merger datagen: %d scenes x %d halos x %s particles -> %s",
-               n_sc, H, counts, path)
+                                counts["star"], r_a=anisotropy_radius)
+    mylog.info("Merger datagen: %d scenes x %d halos x %s particles%s "
+               "-> %s", n_sc, H, counts,
+               "" if anisotropy_radius is None
+               else f" (OM r_a={anisotropy_radius:g} kpc)", path)
 
     def _dispatch(b0):
         sl = slice(b0, b0 + batch_size)
         Mb, cb = M200[sl], conc[sl]
-        out = batch_fn(Mb, cb, centers[sl], velocities[sl], r_max_arr,
-                       jax.random.fold_in(key, b0))
-        return Mb, cb, out
+        ctr_b, vel_b = centers[sl], velocities[sl]
+        k_b = jax.random.fold_in(key, b0)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if Mb.shape[0] % mesh.shape["ens"] == 0:
+                sh = NamedSharding(mesh, PartitionSpec("ens"))
+                Mb, cb, ctr_b, vel_b = (jax.device_put(a, sh) for a in
+                                        (Mb, cb, ctr_b, vel_b))
+            with mesh:
+                return Mb, cb, batch_fn(Mb, cb, ctr_b, vel_b, r_max_arr,
+                                        k_b)
+        return Mb, cb, batch_fn(Mb, cb, ctr_b, vel_b, r_max_arr, k_b)
 
     def _write(f, b0, Mb, cb, out):
         out = jax.tree_util.tree_map(np.asarray, out)  # blocks this batch
@@ -329,6 +471,12 @@ def merger_datagen(params, filename, counts, batch_size=64,
               "n_scenes": n_sc,    # keys on n_clusters); alias for humans
               "n_halos": H, "batch_size": int(batch_size),
               "num_points": int(num_points),
+              # 0.0 = ergodic/isotropic (and the pre-knob file default)
+              "r_a": (0.0 if anisotropy_radius is None
+                      else float(anisotropy_radius)),
+              # partitioned programs round ~1 ulp differently — resume
+              # must re-run under the same ens layout (see ensemble)
+              "mesh_ens": 0 if mesh is None else int(mesh.shape["ens"]),
               "r_max": np.asarray(r_max_arr, np.float64),
               "params_sha": _params_sha(M200, conc, centers, velocities),
               "shard_rank": int((_extra_attrs or {}).get("shard_rank", 0)),
@@ -346,8 +494,9 @@ def merger_datagen(params, filename, counts, batch_size=64,
 
 def merger_datagen_multihost(params, filename, counts, batch_size=64,
                              num_points=512, r_max=5000.0, key=None,
-                             overwrite=False, resume=False, rank=None,
-                             nproc=None):
+                             overwrite=False, resume=False, mesh=None,
+                             anisotropy_radius=None, prorate=True,
+                             rank=None, nproc=None):
     """Multi-process :func:`merger_datagen`: process ``rank`` of
     ``nproc`` computes batches ``rank, rank+nproc, ...`` into
     ``<stem>.<rank>of<nproc><suffix>`` — same coordinator-free,
@@ -370,7 +519,8 @@ def merger_datagen_multihost(params, filename, counts, batch_size=64,
     return merger_datagen(
         params, str(shard), counts, batch_size=batch_size,
         num_points=num_points, r_max=r_max, key=key, overwrite=overwrite,
-        resume=resume, _only_batches=mine,
+        resume=resume, mesh=mesh, anisotropy_radius=anisotropy_radius,
+        prorate=prorate, _only_batches=mine,
         _extra_attrs={"shard_rank": rank, "shard_count": nproc})
 
 
@@ -436,6 +586,7 @@ def verify_merger_catalog(filename, indices=None, speed_tol=5e-3,
         num_points = int(f.attrs["num_points"])
         n_sc = int(f.attrs["n_clusters"])
         H = int(f.attrs["n_halos"])
+        r_a = float(f.attrs.get("r_a", 0.0))  # 0 = ergodic/isotropic
         r_max = np.asarray(f.attrs["r_max"], np.float64)
         n_per_halo = {sp: tuple(int(x) for x in
                                 f.attrs[f"n_{sp}_per_halo"])
@@ -514,6 +665,27 @@ def verify_merger_catalog(filename, indices=None, speed_tol=5e-3,
                 _check(frac <= 1.0 + speed_tol,
                        f"scene {i} {sp} halo {h}: peculiar speed "
                        f"{frac:.6f} of local v_esc")
+                if r_a > 0.0:
+                    # OM anisotropy: drawn beta of the halo's PECULIAR
+                    # velocities in a shell around r_a must track
+                    # beta_OM = r^2/(r^2 + r_a^2) — same statistical
+                    # gate as the single-cluster verifier (ensemble.py)
+                    nh = (pos[seg] - centers[h]) / np.maximum(
+                        r, 1e-30)[:, None]
+                    v_r = ((vel[seg] - bulk[h]) * nh).sum(axis=1)
+                    shell = ((r >= 1.2 * r_a)
+                             & (r <= min(2.0 * r_a, float(r_max[h]))))
+                    if shell.sum() >= 1000:
+                        v_t2 = v[shell] ** 2 - v_r[shell] ** 2
+                        beta = 1.0 - v_t2.mean() / (
+                            2.0 * (v_r[shell] ** 2).mean())
+                        rmid = float(r[shell].mean())
+                        b_om = rmid ** 2 / (rmid ** 2 + r_a ** 2)
+                        _check(abs(beta - b_om) < 0.15,
+                               f"scene {i} {sp} halo {h}: anisotropy "
+                               f"beta {beta:.3f} vs OM {b_om:.3f} at "
+                               f"r~{rmid:.0f} (isotropic draws in an "
+                               "OM catalog?)")
                 m_tot = float(np.interp(r_max[h], rr[h],
                                         np.asarray(f[species_mass[sp]],
                                                    np.float64)[h]))

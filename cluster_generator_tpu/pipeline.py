@@ -30,17 +30,27 @@ __all__ = ["build_merger_models", "build_speed_tables",
            "attach_field_to_particles"]
 
 
-@partial(jax.jit, static_argnames=("num_points", "with_star_df"))
+@partial(jax.jit, static_argnames=("num_points", "with_star_df", "r_a"))
 def build_merger_models(M200, conc, z=0.1, num_points=1000,
-                        with_star_df=True):
-    """vmapped equilibrium builds (+DM and stellar DFs) for each halo."""
+                        with_star_df=True, r_a=None):
+    """vmapped equilibrium builds (+DM and stellar DFs) for each halo.
+
+    ``r_a``: Osipkov-Merritt anisotropy radius (kpc) — the DFs become
+    f(Q) of the AUGMENTED density rho_Q = (1 + r^2/r_a^2) rho (same
+    Abel inversion; virial.VirialEquilibrium docstring has the math).
+    ``None`` = ergodic/isotropic."""
 
     def one(m, c):
         fields = build_one_cluster(m, c, z=z, num_points=num_points,
-                                   with_df=True)
+                                   with_df=(r_a is None))
+        ee = -fields["gravitational_potential"][::-1]
+        aug = (1.0 if r_a is None
+               else 1.0 + (fields["radius"] / r_a) ** 2)
+        if r_a is not None:
+            fields["dm_df"] = compute_df(
+                ee, (fields["dark_matter_density"] * aug)[::-1])[::-1]
         if with_star_df:
-            ee = -fields["gravitational_potential"][::-1]
-            sden = fields["stellar_density"][::-1]
+            sden = (fields["stellar_density"] * aug)[::-1]
             fields["star_df"] = compute_df(ee, sden)[::-1]
         return fields
 
@@ -199,7 +209,7 @@ def _build_joint_speed_pairs(fields_h, s_inv, r_q, dtype):
 
 
 def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
-                          bulk_v, dtype):
+                          bulk_v, dtype, r_a=None):
     """Positions + virialized velocities for one halo's DM or stars.
 
     Per particle: ONE row-of-2 gather for the radius (paired quantile
@@ -210,6 +220,12 @@ def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
     weight), which preserves the conditional speed distribution to the
     table's O(1/RQ) resolution; measured 5.7x faster than the previous
     8-scalar-gather draw (scripts/tpu_gather_experiments2.py B).
+
+    ``r_a``: with the OM-augmented speed tables (f(Q) is isotropic in
+    (v_r, gamma v_t) space), the draw maps back by dividing the
+    velocity's tangential components by gamma(r) = sqrt(1 + r^2/r_a^2)
+    — the same scheme as the single-cluster products
+    (parallel/ensemble.py, sampling.generate_collisionless_particles).
     """
     kr, kv, kb, ka, kva = jax.random.split(key, 5)
     rq = r_q.astype(dtype)
@@ -234,8 +250,16 @@ def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
     sp = j_pair[k_row * (n_q - 1) + m]                        # row gather 2
     speed = (1.0 - wm) * sp[:, 0] + wm * sp[:, 1]
 
-    pos = radius[:, None] * _isotropic(ka, n, dtype) + center.astype(dtype)
-    vel = speed[:, None] * _isotropic(kva, n, dtype) + bulk_v.astype(dtype)
+    rhat = _isotropic(ka, n, dtype)
+    pos = radius[:, None] * rhat + center.astype(dtype)
+    u = _isotropic(kva, n, dtype)
+    if r_a is None:
+        vdir = u
+    else:
+        mu = jnp.sum(u * rhat, axis=1, keepdims=True)
+        gamma = jnp.sqrt(1.0 + (radius / jnp.asarray(r_a, dtype)) ** 2)
+        vdir = mu * rhat + (u - mu * rhat) / gamma[:, None]
+    vel = speed[:, None] * vdir + bulk_v.astype(dtype)
     pmass = (m_rmax / n).astype(dtype) * jnp.ones((n,), dtype)
     return pos, vel, pmass
 
@@ -301,10 +325,10 @@ def _potential_at(pos, fields, centers, dtype):
 
 
 @partial(jax.jit, static_argnames=("n_gas", "n_dm", "n_star", "n_tracer",
-                                   "dtype", "compute_potential"))
+                                   "dtype", "compute_potential", "r_a"))
 def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
                      n_gas, n_dm, n_star, n_tracer=None, dtype=jnp.float32,
-                     compute_potential=False):
+                     compute_potential=False, r_a=None):
     """One fused program: draw every particle of an H-halo merger.
 
     fields/tables carry a leading halo axis; n_* are per-halo tuples of
@@ -312,6 +336,9 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
     gas distribution).  ``tables`` must include the speed tables
     ("dm"/"star") and radius quantile tables (build_radius_tables).
     ``compute_potential`` adds per-particle total gravitational potentials.
+    ``r_a``: Osipkov-Merritt anisotropy radius — the speed tables must
+    then come from OM-augmented DFs (build_merger_models(r_a=...)); the
+    velocity directions map back by gamma(r) (see _sample_collisionless).
     Returns a dict of device arrays (f32 by default).
     """
     H = centers.shape[0]
@@ -337,7 +364,7 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
             p, v, pm = _sample_collisionless(
                 keys[4 * i + 1], f_h, tables["dm"][i], rtab["dm"][i],
                 rtab["dm_mtot"][i], n_dm[i], centers[i], velocities[i],
-                dtype)
+                dtype, r_a=r_a)
             dm_pos.append(p)
             dm_vel.append(v)
             dm_mass.append(pm)
@@ -345,7 +372,7 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
             p, v, pm = _sample_collisionless(
                 keys[4 * i + 2], f_h, tables["star"][i], rtab["star"][i],
                 rtab["star_mtot"][i], n_star[i], centers[i], velocities[i],
-                dtype)
+                dtype, r_a=r_a)
             st_pos.append(p)
             st_vel.append(v)
             st_mass.append(pm)
@@ -385,11 +412,12 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
 
 
 @partial(jax.jit, static_argnames=("num_points", "n_gas", "n_dm", "n_star",
-                                   "n_tracer", "dtype", "compute_potential"))
+                                   "n_tracer", "dtype", "compute_potential",
+                                   "r_a"))
 def merger_ic_fused(M200, conc, centers, velocities, r_max, key,
                     n_gas, n_dm, n_star, n_tracer=None, z=0.1,
                     num_points=1000, dtype=jnp.float32,
-                    compute_potential=False):
+                    compute_potential=False, r_a=None):
     """The entire merger IC — equilibrium models, DFs, tables, every
     particle draw — as ONE jitted program.
 
@@ -398,15 +426,18 @@ def merger_ic_fused(M200, conc, centers, velocities, r_max, key,
     the axon tunnel each executed program costs a host round-trip (~0.1 s),
     so fusing the four stages removes ~3 RPCs from the critical path and
     lets XLA overlap table construction with the draws.
+
+    ``r_a``: Osipkov-Merritt anisotropy radius (kpc; static) — DFs and
+    draws switch to the radially-anisotropic f(Q) product.
     """
     fields = build_merger_models.__wrapped__(M200, conc, z=z,
-                                             num_points=num_points)
+                                             num_points=num_points, r_a=r_a)
     tables = build_speed_tables.__wrapped__(fields)
     tables["radius"] = build_radius_tables.__wrapped__(fields, r_max)
     parts = sample_merger_ic.__wrapped__(
         fields, tables, centers, velocities, r_max, key, n_gas, n_dm,
         n_star, n_tracer=n_tracer, dtype=dtype,
-        compute_potential=compute_potential)
+        compute_potential=compute_potential, r_a=r_a)
     return parts, fields
 
 

@@ -22,6 +22,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_runtest_teardown(item, nextitem):
+    """Drop jit/pjit caches at every module boundary.
+
+    The full suite compiles hundreds of XLA programs into one process;
+    at round-4/5 HEAD the XLA CPU compiler segfaulted reproducibly
+    (4/4 runs) inside ``backend_compile_and_load`` once ~200 tests of
+    live executables had accumulated — always at whichever heavy pjit
+    compile came next (mesh-sharded datagen at r4; the plain datagen
+    stream at r5 after that test moved to a subprocess).  Each test file
+    passes in isolation.  Freeing the compiled-executable state between
+    modules keeps the per-process live set bounded; the price is
+    re-compiling shared builders per module (~1 min extra over the
+    suite), which the module-level cache reuse within a file keeps
+    acceptable."""
+    next_module = getattr(nextitem, "module", None) if nextitem else None
+    if getattr(item, "module", None) is not next_module:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+
 def pytest_addoption(parser):
     """Golden-answer options mirroring the reference's conftest
     (conftest.py:140-161)."""

@@ -20,8 +20,10 @@ from cluster_generator_tpu.parallel import (
 )
 
 COUNTS = {"gas": 48, "dm": 64, "star": 16}
+# prorate=False: these tests pin exact per-halo segment layouts, so they
+# use the explicit even split; proration has its own test below
 KW = dict(counts=COUNTS, batch_size=2, num_points=128,
-          r_max=3000.0, key=jax.random.key(5))
+          r_max=3000.0, key=jax.random.key(5), prorate=False)
 
 
 def _params(n=5, key=0):
@@ -248,7 +250,8 @@ def test_merger_uneven_and_zero_count_halos(tmp_path):
     p = _params(2, key=7)
     fn = str(tmp_path / "odd.h5")
     merger_datagen(p, fn, counts={"dm": 31, "gas": (20, 0)},
-                   batch_size=2, num_points=128, key=jax.random.key(1))
+                   batch_size=2, num_points=128, key=jax.random.key(1),
+                   prorate=False)
     with h5py.File(fn, "r") as f:
         np.testing.assert_array_equal(f.attrs["n_dm_per_halo"], [16, 15])
         np.testing.assert_array_equal(f.attrs["n_gas_per_halo"], [20, 0])
@@ -373,3 +376,118 @@ def test_scene_to_particles_bridge(tmp_path):
     parts.write_to_gadget_file(gf, box)
     back = ClusterParticles.from_gadget_file(gf)
     assert back.num_particles["gas"] == 48
+
+
+def test_halo_mass_weights_and_proration(tmp_path):
+    """Int counts are split across halos by the ensemble-mean mass
+    fraction by default (the static-shape form of the reference's
+    pro-rata rule, ics.py:100-160): a ~4:1 ensemble gives the primary
+    ~4x the particles, so both halos get comparable per-particle mass —
+    the round-4 even split gave the secondary 4x the mass resolution."""
+    from cluster_generator_tpu.parallel import halo_mass_weights
+    from cluster_generator_tpu.parallel.mergers import _split_by_weights
+
+    # largest-remainder rounding: exact sum, proportional parts
+    assert _split_by_weights(10, [1.0, 1.0]) == (5, 5)
+    assert _split_by_weights(10, [4.0, 1.0]) == (8, 2)
+    assert sum(_split_by_weights(31, [3.0, 2.0, 1.0])) == 31
+
+    M200 = np.stack([np.full(6, 2.0e15), np.full(6, 5.0e14)], axis=1)
+    w = halo_mass_weights(M200)
+    np.testing.assert_allclose(w, [0.8, 0.2])
+
+    p = _params(2, key=9)
+    p = dict(p, M200=jnp.asarray(M200[:2]))
+    fn = str(tmp_path / "prorated.h5")
+    merger_datagen(p, fn, counts={"dm": 1000, "gas": 500},
+                   batch_size=2, num_points=128, key=jax.random.key(2))
+    with h5py.File(fn, "r") as f:
+        np.testing.assert_array_equal(f.attrs["n_dm_per_halo"], [800, 200])
+        np.testing.assert_array_equal(f.attrs["n_gas_per_halo"],
+                                      [400, 100])
+    # per-particle masses now comparable between halos (equal-mass
+    # resolution on ensemble average); even split would put the ratio
+    # at ~ the mass ratio (4x)
+    (_, sc), = read_merger_catalog(fn, indices=[0])
+    pm = sc["particle_mass_dm"]
+    assert 0.5 < pm[1] / pm[0] < 2.0
+
+
+def test_triple_scene_geometry_and_datagen(tmp_path):
+    """3-halo scenes: the geometry helper's invariants (exact pair
+    separation, third-halo distance from the pair's center of mass,
+    zero total momentum) and a small H=3 catalog end-to-end through the
+    physics QA gate (gas mixing sums over all three halos)."""
+    from cluster_generator_tpu.parallel import (
+        sample_triple_scene_params,
+        triple_scene_geometry,
+        verify_merger_catalog,
+    )
+
+    M200 = np.array([[1.5e15, 7.0e14, 3.0e14],
+                     [8.0e14, 6.0e14, 2.0e14]])
+    d12 = np.array([3000.0, 2500.0])
+    b12 = np.array([500.0, 0.0])
+    v12 = np.array([1.0, 0.8])
+    d3 = np.array([4000.0, 3500.0])
+    b3 = np.array([800.0, 0.0])
+    v3 = np.array([0.5, 0.7])
+    ctr, vel = triple_scene_geometry(M200, d12, b12, v12, d3, b3, v3)
+    assert ctr.shape == (2, 3, 3) and vel.shape == (2, 3, 3)
+    # pair separation is exactly d12; third halo at d3 from the pair com
+    np.testing.assert_allclose(
+        np.linalg.norm(ctr[:, 1] - ctr[:, 0], axis=1), d12)
+    w = M200[:, :2] / M200[:, :2].sum(axis=1, keepdims=True)
+    com12 = (w[:, :, None] * ctr[:, :2]).sum(axis=1)
+    np.testing.assert_allclose(
+        np.linalg.norm(ctr[:, 2] - com12, axis=1), d3)
+    # zero-momentum frame
+    mom = (M200[:, :, None] * vel).sum(axis=1)
+    np.testing.assert_allclose(mom, 0.0, atol=1e-9 * M200.max())
+    with pytest.raises(ValueError, match="b3 exceeds"):
+        triple_scene_geometry(M200, d12, b12, v12, d3,
+                              np.array([4100.0, 0.0]), v3)
+
+    p = sample_triple_scene_params(jax.random.key(11), 2)
+    assert p["M200"].shape == (2, 3) and p["centers"].shape == (2, 3, 3)
+    fn = str(tmp_path / "triple.h5")
+    merger_datagen(p, fn, counts={"dm": 3000, "gas": 2400, "star": 600},
+                   batch_size=2, num_points=128, key=jax.random.key(3))
+    with h5py.File(fn, "r") as f:
+        assert int(f.attrs["n_halos"]) == 3
+    report = verify_merger_catalog(fn)
+    assert report["violations"] == []
+    assert report["n_scenes_checked"] == 2
+
+
+@pytest.mark.slow
+def test_merger_om_anisotropy(tmp_path):
+    """anisotropy_radius: the merger catalog records r_a, the drawn
+    velocity field is radially anisotropic per halo (the QA gate's
+    beta-shell check passes), and an ISOTROPIC catalog relabeled as OM
+    fails that check loudly."""
+    from cluster_generator_tpu.parallel import verify_merger_catalog
+
+    r_a = 500.0
+    p = _params(2, key=13)
+    kw = dict(counts={"dm": 40_000}, batch_size=2, num_points=128,
+              r_max=3000.0, key=jax.random.key(6), prorate=False)
+    fn = str(tmp_path / "om.h5")
+    merger_datagen(p, fn, anisotropy_radius=r_a, **kw)
+    with h5py.File(fn, "r") as f:
+        assert float(f.attrs["r_a"]) == r_a
+    report = verify_merger_catalog(fn)
+    assert report["violations"] == []
+
+    # isotropic draws relabeled as OM: the beta gate must fire
+    iso = str(tmp_path / "iso.h5")
+    merger_datagen(p, iso, **kw)
+    with h5py.File(iso, "a") as f:
+        f.attrs["r_a"] = r_a
+    bad = verify_merger_catalog(iso, strict=False)
+    assert any("anisotropy beta" in v for v in bad["violations"])
+
+    # r_a=0 is rejected up front (the attr's isotropic sentinel)
+    with pytest.raises(ValueError, match="anisotropy_radius"):
+        merger_datagen(p, str(tmp_path / "z.h5"), anisotropy_radius=0.0,
+                       **kw)

@@ -54,6 +54,30 @@ def main(tmpdir):
         for k in ref[i]:
             np.testing.assert_array_equal(got[i][k], ref[i][k],
                                           err_msg=f"tail cluster {i} {k}")
+
+    # merger-product parity: merger_datagen(mesh=...) matches its
+    # single-device run the same way (same ~1 ulp f32 tolerance)
+    from cluster_generator_tpu.parallel import (
+        merger_datagen,
+        read_merger_catalog,
+        sample_merger_scene_params,
+    )
+
+    p = sample_merger_scene_params(jax.random.key(33), 8)
+    mkw = dict(counts={"dm": 64, "gas": 48, "star": 16}, batch_size=8,
+               num_points=128, key=jax.random.key(7))
+    m_single = os.path.join(tmpdir, "m_single.h5")
+    m_shard = os.path.join(tmpdir, "m_sharded.h5")
+    merger_datagen(p, m_single, **mkw)
+    merger_datagen(p, m_shard, mesh=mesh, **mkw)
+    mref = dict(read_merger_catalog(m_single))
+    mgot = dict(read_merger_catalog(m_shard))
+    assert sorted(mgot) == sorted(mref)
+    for i in mref:
+        for k in mref[i]:
+            np.testing.assert_allclose(mgot[i][k], mref[i][k],
+                                       rtol=5e-7, atol=1e-6,
+                                       err_msg=f"scene {i} {k}")
     print("MESH_DATAGEN_OK")
 
 

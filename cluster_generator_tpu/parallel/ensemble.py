@@ -31,7 +31,7 @@ from ..profiles.solvers import (
     find_radius_mass,
     mass_within,
 )
-from ..virial import compute_df
+from ..virial import compute_df, om_extended_df
 
 __all__ = ["build_one_cluster", "build_ensemble",
            "sample_ensemble_params", "ensemble_datagen",
@@ -105,6 +105,12 @@ def sample_ensemble_params(key, n, logM_range=(14.0, 15.3),
 # radius (core/interp.loguniform_lerp — up to ~60% different across the
 # innermost mass bin).
 _DRAWS_VERSION = 2
+# OM (r_a != None) catalogs version separately: 3 = the round-5
+# psi-grid-extended f(Q) (virial.compute_df_truncated; boundary residual
+# 36% -> 0.8%), which changes every OM draw for fixed config while
+# leaving isotropic catalogs untouched — so isotropic resumes keep
+# working across the change and OM resumes refuse loudly.
+_OM_DRAWS_VERSION = 3
 
 
 def _speed_table_key():
@@ -244,10 +250,13 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         xp = adjacent_pairs(x_q).astype(jnp.float32)
         return jnp.concatenate([rp, xp], axis=1)
 
-    def _collisionless(f, row_ee, mass_field, df_rev, n_part, key,
+    def _collisionless(f, row_ee, mass_field, df_grid, n_part, key,
                        rq_sp=rq, kw_sp=kw):
-        ee = -f["gravitational_potential"][::-1]
-        tab = speed_inverse_cdf_table(ee, df_rev, row_ee=row_ee, **kw_sp)
+        # df_grid = (ee_spline, f_spline): the f(E) spline grid — the
+        # model grid for ergodic DFs, om_extended_df's extended grid for
+        # OM (rows near r_max query E below the model's lowest energy)
+        tab = speed_inverse_cdf_table(df_grid[0], df_grid[1],
+                                      row_ee=row_ee, **kw_sp)
         rr, mm = f["radius"], f[mass_field]
         r_q = _quantile_nodes(rr, mm, rq_sp)
         psi_q = interp_monotone(r_q, rr, -f["gravitational_potential"])
@@ -304,26 +313,35 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
     def one(m, c, key):
         # for OM (r_a set) the per-species DFs are f(Q) of the AUGMENTED
         # density rho_Q = (1 + r^2/r_a^2) rho — same Abel inversion
-        # (virial.VirialEquilibrium docstring has the math)
+        # (virial.VirialEquilibrium docstring has the math), splined on
+        # the power-law-extended grid (rho_Q's nonzero boundary slope;
+        # virial.om_extended_df docstring)
         f = build_one_cluster(m, c, num_points=num_points,
                               with_df=(r_a is None))
         ee = -f["gravitational_potential"][::-1]
         aug = (1.0 if r_a is None
                else 1.0 + (f["radius"] / r_a) ** 2)
+
+        def df_grid(dens_key):
+            if r_a is None and dens_key == "dark_matter_density":
+                return ee, f["dm_df"][::-1]
+            pden = (f[dens_key] * aug)[::-1]
+            if r_a is None:
+                return ee, compute_df(ee, pden)
+            return om_extended_df(ee, pden)
+
         row_ee = ee[row_idx]
         k_dm, k_gas, k_star = jax.random.split(key, 3)
         out = {}
         if n_dm:
-            dm_df = (f["dm_df"][::-1] if r_a is None else
-                     compute_df(ee, (f["dark_matter_density"]
-                                     * aug)[::-1]))
             out["dm"] = _collisionless(f, row_ee, "dark_matter_mass",
-                                       dm_df, n_dm, k_dm)
+                                       df_grid("dark_matter_density"),
+                                       n_dm, k_dm)
         if n_star:
-            star_df = compute_df(ee, (f["stellar_density"] * aug)[::-1])
             out["star"] = _collisionless(f, ee[row_idx_star],
-                                         "stellar_mass", star_df, n_star,
-                                         k_star, star_rq, kw_star)
+                                         "stellar_mass",
+                                         df_grid("stellar_density"),
+                                         n_star, k_star, star_rq, kw_star)
         if n_gas:
             out["gas"] = _gas(f, n_gas, k_gas)
         return out
@@ -564,7 +582,8 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     # the resume splice is only sound when the recomputed batches match
     # what the interrupted run would have produced — everything that
     # shapes the draws is recorded and must agree
-    config = {"draws_version": _DRAWS_VERSION,
+    config = {"draws_version": (_DRAWS_VERSION if anisotropy_radius is None
+                                else _OM_DRAWS_VERSION),
               "n_clusters": n_cl, "batch_size": int(batch_size),
               "num_points": int(num_points),
               # 0.0 = ergodic/isotropic (also the default for files from
@@ -928,11 +947,18 @@ def catalog_batches(filename, batch_size, key=None, drop_remainder=True,
                 yield fut.result()
 
 
-def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
-                   energy_rtol=5e-3, radius_tol=1e-6, mass_rtol=1e-5,
-                   zero_row_tol=1e-4):
+from .qa import QA_TOLERANCES as _QA
+
+
+def verify_catalog(filename, indices=None, strict=True,
+                   speed_tol=_QA["speed_tol"],
+                   energy_rtol=_QA["cluster"]["energy_rtol"],
+                   radius_tol=_QA["cluster"]["radius_tol"],
+                   mass_rtol=_QA["cluster"]["mass_rtol"],
+                   zero_row_tol=_QA["zero_row_tol"]):
     """Physics QA gate for datagen catalogs — the check a training
-    pipeline runs before trusting a dataset.
+    pipeline runs before trusting a dataset.  Default tolerances and
+    their rationale live in :mod:`~.qa` (shared with the merger gate).
 
     For each checked cluster the equilibrium model is REBUILT from the
     recorded ``(M200, conc, num_points)`` attrs and the stored draws are
@@ -979,17 +1005,17 @@ def verify_catalog(filename, indices=None, strict=True, speed_tol=5e-3,
         # this module at load time)
         from .mergers import verify_merger_catalog
 
-        # the merger recompute's method floor differs from the
-        # single-cluster gate's (f32 mixing recompute ~4e-6; per-halo
-        # mass at r_max via np.interp ~1e-7) — clamp to its defaults so
-        # the generic entry point never false-fails a healthy catalog
-        return verify_merger_catalog(filename, indices=indices,
-                                     speed_tol=speed_tol,
-                                     energy_rtol=max(energy_rtol, 1e-3),
-                                     mass_rtol=max(mass_rtol, 1e-4),
-                                     radius_tol=max(radius_tol, 1e-5),
-                                     zero_row_tol=zero_row_tol,
-                                     strict=strict)
+        # the merger recompute's method floors differ from the
+        # single-cluster gate's (qa.QA_TOLERANCES has the rationale) —
+        # clamp to its defaults so the generic entry point never
+        # false-fails a healthy catalog
+        mt = _QA["merger"]
+        return verify_merger_catalog(
+            filename, indices=indices, speed_tol=speed_tol,
+            energy_rtol=max(energy_rtol, mt["energy_rtol"]),
+            mass_rtol=max(mass_rtol, mt["mass_rtol"]),
+            radius_tol=max(radius_tol, mt["radius_tol"]),
+            zero_row_tol=zero_row_tol, strict=strict)
     if indices is None:
         indices = range(n_cl)
     indices = list(indices)

@@ -545,13 +545,22 @@ def read_merger_catalog(filename, indices=None, fields=None):
                                         fields, filenames, prefix="scene")
 
 
-def verify_merger_catalog(filename, indices=None, speed_tol=5e-3,
-                          energy_rtol=1e-3, mass_rtol=1e-4,
-                          radius_tol=1e-5, zero_row_tol=0.0, strict=True):
+from .qa import QA_TOLERANCES as _QA
+
+
+def verify_merger_catalog(filename, indices=None,
+                          speed_tol=_QA["speed_tol"],
+                          energy_rtol=_QA["merger"]["energy_rtol"],
+                          mass_rtol=_QA["merger"]["mass_rtol"],
+                          radius_tol=_QA["merger"]["radius_tol"],
+                          zero_row_tol=_QA["zero_row_tol"], strict=True):
     """Physics QA gate for a :func:`merger_datagen` catalog — the merger
     analogue of :func:`~.ensemble.verify_catalog` (which dispatches here
     on the ``product = "merger_scenes"`` attr, so the CLI ``verify``
-    subcommand covers both products).
+    subcommand covers both products).  Default tolerances and their
+    rationale live in :mod:`~.qa` — shared ``speed_tol``/``zero_row_tol``
+    with the cluster gate (one draw scheme), merger-specific method
+    floors for the energy/radius/mass recomputes.
 
     Per scene, every halo's equilibrium model is REBUILT from its
     recorded ``(M200, conc)`` and the stored draws are checked against

@@ -22,7 +22,8 @@ import numpy as np
 
 from .core.interp import adjacent_pairs
 from .parallel.ensemble import build_one_cluster
-from .virial import compute_df, speed_inverse_cdf_table, speed_table_defaults
+from .virial import (compute_df, om_extended_df,
+                     speed_inverse_cdf_table, speed_table_defaults)
 
 __all__ = ["build_merger_models", "build_speed_tables",
            "build_radius_tables", "sample_merger_ic", "binary_merger_ic",
@@ -47,11 +48,24 @@ def build_merger_models(M200, conc, z=0.1, num_points=1000,
         aug = (1.0 if r_a is None
                else 1.0 + (fields["radius"] / r_a) ** 2)
         if r_a is not None:
-            fields["dm_df"] = compute_df(
-                ee, (fields["dark_matter_density"] * aug)[::-1])[::-1]
+            # OM: f(Q) splined on the power-law-extended energy grid
+            # (rho_Q's nonzero boundary slope; virial.om_extended_df
+            # docstring) — build_speed_tables uses the *_ext arrays
+            n = ee.shape[0]
+            ee_ext, dm_ext = om_extended_df(
+                ee, (fields["dark_matter_density"] * aug)[::-1])
+            fields["df_ee_ext"] = ee_ext
+            fields["dm_df_ext"] = dm_ext
+            fields["dm_df"] = dm_ext[ee_ext.shape[0] - n:][::-1]
         if with_star_df:
             sden = (fields["stellar_density"] * aug)[::-1]
-            fields["star_df"] = compute_df(ee, sden)[::-1]
+            if r_a is None:
+                fields["star_df"] = compute_df(ee, sden)[::-1]
+            else:
+                ee_ext, st_ext = om_extended_df(ee, sden)
+                fields["star_df_ext"] = st_ext
+                fields["star_df"] = st_ext[ee_ext.shape[0]
+                                           - ee.shape[0]:][::-1]
         return fields
 
     return jax.vmap(one)(M200, conc)
@@ -79,10 +93,14 @@ def build_speed_tables(fields, n_rows=256):
     rr = fields["radius"]
     kw = speed_table_defaults()
 
-    def tab(df):
-        def one(e_asc, d_asc, r):
+    def tab(sp_ee, sp_f):
+        # (sp_ee, sp_f): the f(E) spline grid — the model grid for
+        # ergodic DFs; om_extended_df's extended grid for OM (rows near
+        # r_max query E below the model's lowest energy).
+        def one(e_asc, r, e_sp, d_sp):
             if n_rows is None:
-                return speed_inverse_cdf_table(e_asc, d_asc, **kw)
+                return speed_inverse_cdf_table(e_sp, d_sp, row_ee=e_asc,
+                                               **kw)
             # psi on the ascending radius grid; rows at n_rows log-spaced
             # radii (same endpoints -> _log_grid_locate still computes the
             # row index), reversed so row energies ascend like ee
@@ -90,12 +108,16 @@ def build_speed_tables(fields, n_rows=256):
                                           n_rows))
             psi = e_asc[::-1]
             row_ee = jnp.interp(r_rows, r, psi)[::-1]
-            return speed_inverse_cdf_table(e_asc, d_asc, row_ee=row_ee,
+            return speed_inverse_cdf_table(e_sp, d_sp, row_ee=row_ee,
                                            **kw)
 
-        return jax.vmap(one)(ee, df[:, ::-1], rr)
+        return jax.vmap(one)(ee, rr, sp_ee, sp_f)
 
-    return {"dm": tab(fields["dm_df"]), "star": tab(fields["star_df"])}
+    if "df_ee_ext" in fields:
+        return {"dm": tab(fields["df_ee_ext"], fields["dm_df_ext"]),
+                "star": tab(fields["df_ee_ext"], fields["star_df_ext"])}
+    return {"dm": tab(ee, fields["dm_df"][:, ::-1]),
+            "star": tab(ee, fields["star_df"][:, ::-1])}
 
 
 _RQ = 2048  # radius quantile-table resolution

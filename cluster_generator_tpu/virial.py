@@ -35,7 +35,8 @@ from .core.interp import (adjacent_pairs, bracket_indices,
 from .core.logging import mylog
 from .core.scan_ops import cumsum
 
-__all__ = ["VirialEquilibrium", "compute_df", "speed_inverse_cdf_table",
+__all__ = ["VirialEquilibrium", "compute_df", "compute_df_truncated",
+           "om_extended_df", "speed_inverse_cdf_table",
            "speed_table_defaults"]
 
 
@@ -127,6 +128,67 @@ def compute_df(ee: jnp.ndarray, pden: jnp.ndarray):
     g_sp = cubic_spline(ee, g)
     f = spline_eval(g_sp, ee, nu=1) / (jnp.sqrt(8.0) * jnp.pi**2)
     return f
+
+
+@partial(jax.jit, static_argnames=("n_ext",))
+def om_extended_df(ee, pden, n_ext=192, factor=256.0):
+    """Eddington inversion with a power-law continuation of the density
+    BELOW the grid's lowest binding energy; returns the EXTENDED grid
+    ``(ee_ext, f_ext)`` of length ``n_ext + len(ee)``.
+
+    :func:`compute_df` models rho(psi) on psi in [0, ee[0]) — binding
+    energies reachable only beyond the truncation radius — by the
+    boundary spline polynomial (matching the reference's scipy ext=0
+    behavior).  For densities with nonzero slope at the truncation
+    (notably the Osipkov-Merritt augmented rho_Q = (1 + r^2/r_a^2) rho,
+    which decays two powers slower than rho), that cubic is a poor
+    model and f(Q) degrades toward r_max: the reconstruction residual
+    reaches ~36% at the boundary for r_a = 0.15 r_max
+    (docs/particles.md, round-4 known limitation).
+
+    This variant prepends ``n_ext`` log-spaced knots on
+    [ee[0]/factor, ee[0]) carrying the power-law continuation
+    rho(psi) = rho(ee[0]) (psi/ee[0])^m — with m the boundary log-log
+    slope — which is EXACT for an outer power-law density under the
+    truncated-mass potential psi = G M / r (both are power laws of r
+    beyond r_max, so rho is a power law of psi), and inverts on the
+    extended grid.
+
+    Consumers MUST spline f over the returned ``ee_ext``, not the
+    original knots: the speed tables evaluate f at E = psi (1 - s^2)
+    down to E = 0, i.e. BELOW ee[0] for every row near r_max, and the
+    virial reconstruction integrates from E = 0 — with the outer DF
+    diverging as E^(m - 3/2) when m < 3/2 (common: the canonical
+    cluster's rho_Q has m ~ 1.38), a cubic extrapolation of f there is
+    wildly wrong (measured residual 7e2 at the boundary when only
+    original-knot values are splined).  With the extended grid splined
+    end-to-end: boundary residual 36% -> 0.23%, outer-decade p95
+    34% -> 0.22%, interior median 1.3e-4 -> 8e-7 on the canonical OM
+    cluster (tests/test_anisotropy.py pins the tightened bounds).
+
+    The ergodic product keeps :func:`compute_df` — its boundary slope
+    is near zero, the artifact is ~1e-4-level, and the committed
+    goldens / reference-parity pins (rtol 1e-7) stay byte-stable.
+    """
+    mslope = ((jnp.log(pden[1]) - jnp.log(pden[0]))
+              / (jnp.log(ee[1]) - jnp.log(ee[0])))
+    psi_ext = ee[0] * jnp.exp(
+        jnp.linspace(-jnp.log(factor), 0.0, n_ext + 1))[:-1]
+    rho_ext = pden[0] * (psi_ext / ee[0]) ** mslope
+    ee_ext = jnp.concatenate([psi_ext, ee])
+    f_ext = compute_df.__wrapped__(ee_ext,
+                                   jnp.concatenate([rho_ext, pden]))
+    return ee_ext, f_ext
+
+
+@partial(jax.jit, static_argnames=("n_ext",))
+def compute_df_truncated(ee, pden, n_ext=192, factor=256.0):
+    """f of :func:`om_extended_df` at the ORIGINAL knots — the
+    catalog/HDF5-facing form (fixed grid length).  Table builders and
+    the virial check should use :func:`om_extended_df` directly (see
+    its docstring for why)."""
+    return om_extended_df.__wrapped__(ee, pden, n_ext=n_ext,
+                                      factor=factor)[1][n_ext:]
 
 
 @jax.jit
@@ -482,12 +544,34 @@ class VirialEquilibrium:
         rr = np.asarray(self.model["radius"])
         return pden * (1.0 + (rr / self.r_a) ** 2)
 
+    @property
+    def _df_grid(self):
+        """``(ee_spline, f_spline)`` — the grid consumers spline f(E)
+        over.  Ergodic: the model grid.  OM: the power-law-extended grid
+        (:func:`om_extended_df` docstring — speed tables and the virial
+        reconstruction query E BELOW ee[0]); rebuilt lazily from the
+        density when the DF came from an HDF5 resume."""
+        if self.r_a is None:
+            return jnp.asarray(self.ee), jnp.asarray(self.ff)
+        if getattr(self, "_ext", None) is None:
+            pden = self._augmented_density()[::-1]
+            self._ext = om_extended_df(jnp.asarray(self.ee),
+                                       jnp.asarray(pden))
+        return self._ext
+
     def _generate_df(self):
         mylog.info("Computing the %s particle DF%s.", self.ptype,
                    "" if self.r_a is None
                    else f" (Osipkov-Merritt, r_a={self.r_a:g} kpc)")
-        pden = self._augmented_density()[::-1]
-        f = compute_df(jnp.asarray(self.ee), jnp.asarray(pden))
+        if self.r_a is None:
+            pden = self._augmented_density()[::-1]
+            f = compute_df(jnp.asarray(self.ee), jnp.asarray(pden))
+        else:
+            # OM: rho_Q's nonzero boundary slope needs the power-law
+            # below-grid continuation (om_extended_df docstring)
+            self._ext = None
+            ee_ext, f_ext = self._df_grid
+            f = f_ext[ee_ext.shape[0] - self.ee.shape[0]:]
         # stored reversed (radially increasing), like the reference's df
         self.df = np.asarray(f)[::-1]
         fmin = float(self.df.min())
@@ -502,9 +586,11 @@ class VirialEquilibrium:
 
         For an OM model the isotropic-form reconstruction integral
         returns the AUGMENTED density, so the residual is taken against
-        rho_Q — the same self-consistency statement."""
-        ee = jnp.asarray(self.ee)
-        rho = np.asarray(check_virial_density(ee, jnp.asarray(self.ff)))
+        rho_Q — the same self-consistency statement (reconstructed on
+        the extended grid, reported at the model knots)."""
+        ee_sp, ff_sp = self._df_grid
+        rho_full = np.asarray(check_virial_density(ee_sp, ff_sp))
+        rho = rho_full[rho_full.shape[0] - self.ee.shape[0]:]
         pden = self._augmented_density()
         chk = (rho[::-1] - pden) / pden
         mylog.info("The maximum relative deviation of this profile from "
@@ -526,9 +612,12 @@ class VirialEquilibrium:
                 np.linspace(0, ee.size - 1,
                             min(n_rows, ee.size))).astype(int))
             row_ee = jnp.asarray(ee[idx])
+            # rows live on the MODEL grid; the f(E) spline uses _df_grid
+            # (OM: the extended grid — rows near r_max query E below
+            # ee[0], om_extended_df docstring)
+            ee_sp, ff_sp = self._df_grid
             self._s_inv[n_rows] = (row_ee, speed_inverse_cdf_table(
-                jnp.asarray(ee), jnp.asarray(self.ff), row_ee=row_ee,
-                **speed_table_defaults()))
+                ee_sp, ff_sp, row_ee=row_ee, **speed_table_defaults()))
         return self._s_inv[n_rows]
 
     def generate_particles(self, num_particles, r_max=None, sub_sample=1,

@@ -491,3 +491,25 @@ def test_merger_om_anisotropy(tmp_path):
     with pytest.raises(ValueError, match="anisotropy_radius"):
         merger_datagen(p, str(tmp_path / "z.h5"), anisotropy_radius=0.0,
                        **kw)
+
+
+def test_qa_tolerance_table_shared():
+    """Both QA gates read their defaults from the one tolerance table
+    (parallel/qa.py): shared speed/zero-row knobs are IDENTICAL (one
+    draw scheme, one rationale — r4 shipped 1e-4 vs 0.0), and the
+    product-specific method floors come from the same table."""
+    import inspect
+
+    from cluster_generator_tpu.parallel import (
+        verify_catalog,
+        verify_merger_catalog,
+    )
+    from cluster_generator_tpu.parallel.qa import QA_TOLERANCES as T
+
+    sc = inspect.signature(verify_catalog).parameters
+    sm = inspect.signature(verify_merger_catalog).parameters
+    for k in ("speed_tol", "zero_row_tol"):
+        assert sc[k].default == sm[k].default == T[k]
+    for k in ("energy_rtol", "radius_tol", "mass_rtol"):
+        assert sc[k].default == T["cluster"][k]
+        assert sm[k].default == T["merger"][k]

@@ -223,6 +223,13 @@ def _add_datagen(sub):
                    "(writes <stem>.<rank>of<nproc>.h5)")
     p.add_argument("--nproc", type=int, default=None,
                    help="multi-process sharding: total process count")
+    p.add_argument("--aot-dir", default=None,
+                   help="directory of AOT batch-program artifacts: a "
+                   "primed artifact skips the fresh-process cold "
+                   "compile (~150-230 s); prime with --prime-aot")
+    p.add_argument("--prime-aot", action="store_true",
+                   help="with --aot-dir: compile + serialize the batch "
+                   "program when the artifact is missing or stale")
     p.set_defaults(fn=_cmd_datagen)
 
 
@@ -260,7 +267,8 @@ def _cmd_datagen(args):
     key = jax.random.fold_in(jax.random.key(args.seed), 1)
     kw = dict(batch_size=args.batch_size, num_points=args.num_points,
               key=key, overwrite=args.overwrite, resume=args.resume,
-              anisotropy_radius=args.r_a)
+              anisotropy_radius=args.r_a, aot_dir=args.aot_dir,
+              prime_aot=args.prime_aot)
     if (args.rank is None) != (args.nproc is None):
         print("--rank and --nproc go together", file=sys.stderr)
         return 2
@@ -316,6 +324,12 @@ def _add_mergers(sub):
     p.add_argument("--even-split", action="store_true",
                    help="split species counts evenly across halos "
                    "instead of by ensemble-mean mass fraction")
+    p.add_argument("--aot-dir", default=None,
+                   help="directory of AOT batch-program artifacts "
+                   "(see datagen --aot-dir)")
+    p.add_argument("--prime-aot", action="store_true",
+                   help="with --aot-dir: compile + serialize the batch "
+                   "program when the artifact is missing or stale")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--resume", action="store_true",
@@ -351,7 +365,8 @@ def _cmd_mergers(args):
     kw = dict(batch_size=args.batch_size, num_points=args.num_points,
               r_max=args.r_max, key=key, overwrite=args.overwrite,
               resume=args.resume, anisotropy_radius=args.r_a,
-              prorate=not args.even_split)
+              prorate=not args.even_split, aot_dir=args.aot_dir,
+              prime_aot=args.prime_aot)
     if (args.rank is None) != (args.nproc is None):
         print("--rank and --nproc go together", file=sys.stderr)
         return 2

@@ -334,7 +334,8 @@ def _params_sha(M200, conc, centers, velocities):
 def merger_datagen(params, filename, counts, batch_size=64,
                    num_points=512, r_max=5000.0, key=None,
                    overwrite=False, resume=False, mesh=None,
-                   anisotropy_radius=None, prorate=True,
+                   anisotropy_radius=None, prorate=True, aot_dir=None,
+                   prime_aot=False,
                    _only_batches=None, _extra_attrs=None):
     """Stream an ensemble of merger-scene ICs to ONE HDF5 catalog.
 
@@ -423,6 +424,20 @@ def merger_datagen(params, filename, counts, batch_size=64,
                "-> %s", n_sc, H, counts,
                "" if anisotropy_radius is None
                else f" (OM r_a={anisotropy_radius:g} kpc)", path)
+    if aot_dir is not None and mesh is None:
+        from .ensemble import _aot_tag, aot_batch_fn
+
+        tag = _aot_tag("merger", counts=counts, num_points=num_points,
+                       batch=int(batch_size), H=H,
+                       r_a=anisotropy_radius)
+        ex = (jnp.zeros((batch_size, H), jnp.float64) + 1.0e15,
+              jnp.full((batch_size, H), 5.0, jnp.float64),
+              jnp.zeros((batch_size, H, 3), jnp.float64),
+              jnp.zeros((batch_size, H, 3), jnp.float64),
+              jnp.asarray(r_max_arr),
+              jax.random.key(0))
+        batch_fn = aot_batch_fn(batch_fn, aot_dir, tag, ex,
+                                prime=prime_aot)
 
     def _dispatch(b0):
         sl = slice(b0, b0 + batch_size)
@@ -496,6 +511,7 @@ def merger_datagen_multihost(params, filename, counts, batch_size=64,
                              num_points=512, r_max=5000.0, key=None,
                              overwrite=False, resume=False, mesh=None,
                              anisotropy_radius=None, prorate=True,
+                             aot_dir=None, prime_aot=False,
                              rank=None, nproc=None):
     """Multi-process :func:`merger_datagen`: process ``rank`` of
     ``nproc`` computes batches ``rank, rank+nproc, ...`` into
@@ -520,7 +536,8 @@ def merger_datagen_multihost(params, filename, counts, batch_size=64,
         params, str(shard), counts, batch_size=batch_size,
         num_points=num_points, r_max=r_max, key=key, overwrite=overwrite,
         resume=resume, mesh=mesh, anisotropy_radius=anisotropy_radius,
-        prorate=prorate, _only_batches=mine,
+        prorate=prorate, aot_dir=aot_dir, prime_aot=prime_aot,
+        _only_batches=mine,
         _extra_attrs={"shard_rank": rank, "shard_count": nproc})
 
 

@@ -9,6 +9,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cluster_generator_tpu.core.aot import (
     artifact_path,
@@ -253,3 +254,61 @@ np.save({str(tmp_path / "out.npy")!r}, out)
         assert r.returncode == 0, r.stderr[-2000:]
     np.testing.assert_array_equal(np.load(tmp_path / "expected.npy"),
                                   np.load(tmp_path / "out.npy"))
+
+
+@pytest.mark.slow
+def test_datagen_aot_artifact_cross_process(tmp_path):
+    """The datagen-product AOT path (VERDICT r4 missing #4): priming
+    writes an artifact; a FRESH single-device process loads it (no
+    tracing via the sidecar) and streams a catalog BIT-IDENTICAL to the
+    plain jit run — including the tail batch, which falls back to jit
+    (different shape)."""
+    common = f"""
+import os, sys
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp, numpy as np
+from cluster_generator_tpu.parallel import ensemble_datagen, sample_ensemble_params
+M, c = sample_ensemble_params(jax.random.key(3), 5)  # 2+2+1: tail batch
+kw = dict(n_particles_per_cluster={{"dm": 200, "gas": 150, "star": 50}},
+          batch_size=2, num_points=128, key=jax.random.key(8))
+aot = {str(tmp_path / "aot")!r}
+"""
+    prime = common + f"""
+ensemble_datagen(M, c, {str(tmp_path / "plain.h5")!r}, **kw)
+ensemble_datagen(M, c, {str(tmp_path / "primed.h5")!r}, aot_dir=aot,
+                 prime_aot=True, **kw)
+"""
+    load = common + f"""
+ensemble_datagen(M, c, {str(tmp_path / "loaded.h5")!r}, aot_dir=aot, **kw)
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    for code in (prime, load):
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert "loaded from AOT artifact" in r.stderr  # the fresh process
+    import glob
+
+    assert glob.glob(str(tmp_path / "aot" / "datagen-cluster-*.aotx"))
+
+    import h5py
+
+    def snap(fn):
+        out = {}
+        with h5py.File(fn, "r") as f:
+            for g in f:
+                for d in f[g]:
+                    out[f"{g}/{d}"] = np.asarray(f[g][d][()])
+        return out
+
+    plain = snap(tmp_path / "plain.h5")
+    for fn in ("primed.h5", "loaded.h5"):
+        other = snap(tmp_path / fn)
+        assert sorted(other) == sorted(plain)
+        for k in plain:
+            np.testing.assert_array_equal(other[k], plain[k],
+                                          err_msg=f"{fn}:{k}")

@@ -135,6 +135,7 @@ def test_om_beta_profile_of_draws(om):
         assert abs(s_draw / s_jeans - 1.0) < 0.03, (lo, hi, s_draw, s_jeans)
 
 
+@pytest.mark.slow
 def test_om_ensemble_datagen(tmp_path):
     """The OM knob at ensemble-datagen scale: catalogs record r_a,
     verify_catalog checks the drawn beta against the OM form, resume

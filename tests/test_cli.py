@@ -93,6 +93,7 @@ def test_ics_subcommand(model_file, tmp_path):
     assert set(p.particle_types) == {"dm", "gas", "star"}
 
 
+@pytest.mark.slow
 def test_datagen_verify_roundtrip(tmp_path, capsys):
     cat = str(tmp_path / "cat.h5")
     assert main(["datagen", "-n", "4", "--dm", "600", "--gas", "400",
@@ -169,6 +170,7 @@ def test_grid_subcommand(model_file, tmp_path):
         assert f.attrs["chunksize"] == 16
 
 
+@pytest.mark.slow
 def test_mergers_subcommand(tmp_path, capsys):
     from cluster_generator_tpu.parallel.mergers import read_merger_catalog
 

@@ -20,6 +20,7 @@ def small_ics(canonical_model, tmp_path_factory):
     return ics, str(d)
 
 
+@pytest.mark.slow
 def test_write_amr_particles_hdf5(small_ics, tmp_path, monkeypatch):
     import h5py
 

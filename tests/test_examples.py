@@ -35,6 +35,7 @@ def test_single_cluster_example(tmp_path):
     assert "HSE residual" in res.stdout
 
 
+@pytest.mark.slow
 def test_binary_merger_example(tmp_path):
     _run("single_cluster.py", tmp_path)
     res = _run("binary_merger.py", tmp_path)
@@ -42,11 +43,13 @@ def test_binary_merger_example(tmp_path):
     assert (tmp_path / "merger_B.h5").exists()
 
 
+@pytest.mark.slow
 def test_ensemble_example(tmp_path):
     res = _run("ensemble.py", tmp_path)
     assert "built" in res.stdout and "clusters" in res.stdout
 
 
+@pytest.mark.slow
 def test_train_on_catalog_example(tmp_path):
     """The datagen-consumption loop: catalog -> shuffled prefetched
     batches -> jitted optax training step; the loss must improve."""
@@ -77,6 +80,7 @@ def test_bench_smoke(tmp_path):
     assert rec["unit"] == "s" and rec["value"] > 0
 
 
+@pytest.mark.slow
 def test_bench_configs_smoke(tmp_path):
     """benchmarks/bench_configs.py covers BASELINE configs 1-3, 5 and the
     512^3 field: runnable, one valid JSON line per config."""
@@ -108,6 +112,7 @@ def test_bench_configs_smoke(tmp_path):
     assert len(lines) == len(metrics), res.stdout
 
 
+@pytest.mark.slow
 def test_multichip_export_example(tmp_path):
     res = _run("multichip_export.py", tmp_path)
     assert "wrote 8 Gadget shard files" in res.stdout

@@ -69,6 +69,7 @@ def test_binary_scene_geometry_separation_and_momentum():
         binary_scene_geometry(M200, d, np.array([3500.0, 0.0]), v_rel)
 
 
+@pytest.mark.slow
 def test_merger_datagen_end_to_end(tmp_path):
     """Write a small merger catalog; every scene carries the full
     multi-species product with per-halo segment attribution, physical
@@ -264,6 +265,7 @@ def test_merger_uneven_and_zero_count_halos(tmp_path):
     assert pm[0] > 0 and pm[1] == 0.0
 
 
+@pytest.mark.slow
 def test_verify_merger_catalog(tmp_path, capsys):
     """The physics QA gate on merger catalogs: clean catalogs pass,
     corrupted gas energies / escaped velocities fire named violations,
@@ -378,6 +380,7 @@ def test_scene_to_particles_bridge(tmp_path):
     assert back.num_particles["gas"] == 48
 
 
+@pytest.mark.slow
 def test_halo_mass_weights_and_proration(tmp_path):
     """Int counts are split across halos by the ensemble-mean mass
     fraction by default (the static-shape form of the reference's
@@ -413,6 +416,7 @@ def test_halo_mass_weights_and_proration(tmp_path):
     assert 0.5 < pm[1] / pm[0] < 2.0
 
 
+@pytest.mark.slow
 def test_triple_scene_geometry_and_datagen(tmp_path):
     """3-halo scenes: the geometry helper's invariants (exact pair
     separation, third-halo distance from the pair's center of mass,

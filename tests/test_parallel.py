@@ -93,6 +93,7 @@ def test_mesh_shapes():
     assert m2.axis_names == ("ens", "part")
 
 
+@pytest.mark.slow
 def test_two_process_sharded_export(tmp_path):
     """TRUE multi-process sharded export: two ``jax.distributed`` CPU
     processes (4 virtual devices each, one global 8-shard mesh) run the
@@ -160,6 +161,7 @@ def test_two_process_sharded_export(tmp_path):
     assert sum(re.num_particles.values()) == int(totals[0].sum())
 
 
+@pytest.mark.slow
 def test_ensemble_datagen_streams_to_hdf5(tmp_path):
     """ensemble_datagen: cfg5b's batched datagen as a user API — one HDF5
     with a group per cluster, correct shapes/attrs, physical draws
@@ -207,6 +209,7 @@ def test_ensemble_datagen_streams_to_hdf5(tmp_path):
     assert not np.allclose(p0, p5)
 
 
+@pytest.mark.slow
 def test_ensemble_datagen_full_species(tmp_path):
     """Full-species ensemble datagen (VERDICT r3 #1): gas + DM + stars per
     cluster, each species' radius distribution KS-tested against its exact
@@ -344,6 +347,7 @@ def test_int_and_dict_datagen_paths_agree_exactly():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_read_catalog_roundtrip(tmp_path):
     """read_catalog yields every dataset + attr of each cluster group,
     byte-identical to a direct h5py read, honoring an index subset."""
@@ -375,6 +379,7 @@ def test_read_catalog_roundtrip(tmp_path):
     assert subset == [3, 1]
 
 
+@pytest.mark.slow
 def test_verify_catalog_qa_gate(tmp_path):
     """verify_catalog passes a clean catalog (both product forms, incl.
     a shard list) and catches injected corruption: superluminal speeds,
@@ -431,6 +436,7 @@ def test_verify_catalog_qa_gate(tmp_path):
     assert "radius" in text and "mass budget" in text
 
 
+@pytest.mark.slow
 def test_multihost_datagen_shards_reassemble_bit_identical(tmp_path):
     """ensemble_datagen_multihost: N processes write strided batch
     shards with GLOBAL cluster indices; the shard set reassembles
@@ -499,6 +505,7 @@ def test_multihost_datagen_shards_reassemble_bit_identical(tmp_path):
                                    rank=3, nproc=3, **kw)
 
 
+@pytest.mark.slow
 def test_multihost_datagen_two_real_processes(tmp_path):
     """Two actual OS processes each write their shard concurrently (no
     jax.distributed needed — datagen is embarrassingly parallel); the
@@ -554,6 +561,7 @@ ensemble_datagen_multihost(M, c, {fn!r}, 500, batch_size=2,
                                       ref[i]["particle_velocity"], err_msg=str(i))
 
 
+@pytest.mark.slow
 def test_datagen_batches_streams_identical_draws(tmp_path):
     """datagen_batches (the no-disk streaming form) yields exactly the
     draws ensemble_datagen writes for the same config — both the DM-only
@@ -703,6 +711,7 @@ def test_ensemble_datagen_resume_is_bit_identical(tmp_path):
         ensemble_datagen(M, c, cut_fn, resume=True, overwrite=True, **kw)
 
 
+@pytest.mark.slow
 def test_catalog_batches_training_loop_form(tmp_path):
     """catalog_batches stacks clusters on a leading batch axis (datasets
     AND attrs), shuffles deterministically by key, drops/keeps the

@@ -113,6 +113,7 @@ def test_speeds_below_escape(merger):
     assert (speed < vesc_max + 0.45 + 1e-3).all()
 
 
+@pytest.mark.slow
 def test_three_halo_pipeline_with_tracers_and_potential():
     from cluster_generator_tpu.pipeline import (
         build_merger_models,
@@ -167,6 +168,7 @@ def test_attach_field_to_particles(merger):
     assert np.allclose(v[:64, 0], rgi(pos), rtol=2e-4, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_merger_sampling():
     """Particle draws shard over the mesh; distributions match the
     single-device path statistically."""
@@ -204,6 +206,7 @@ def test_sharded_merger_sampling():
     assert speed.max() < np.sqrt(2 * psi_max) + 0.45 + 1e-3
 
 
+@pytest.mark.slow
 def test_merger_ic_fused_matches_staged():
     """The single-program path equals the staged path for the same key."""
     from cluster_generator_tpu.pipeline import (

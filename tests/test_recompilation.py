@@ -186,6 +186,7 @@ def test_count_change_reuses_build_and_table_executables():
     assert pl.sample_merger_ic._cache_size() == 2
 
 
+@pytest.mark.slow
 def test_fused_program_recompiles_on_count_change_by_design():
     """merger_ic_fused is ONE program (it exists to cut axon RPC
     round-trips, pipeline.py:389) so a count change re-lowers the whole

@@ -159,6 +159,7 @@ def test_particle_masses_match_reference(framework_particles,
 
 
 @pytest.mark.filterwarnings("ignore")
+@pytest.mark.slow
 def test_second_configuration_cross_package_parity():
     """Cross-package parity at a SECOND cluster configuration (different
     mass, concentration, redshift, f_gas, grid) — the committed goldens

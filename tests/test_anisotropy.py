@@ -61,6 +61,7 @@ def test_om_df_selfconsistency(om, canonical_model):
     assert np.abs(chk).max() < 0.01  # bounded up to and AT r_max
 
 
+@pytest.mark.slow
 def test_om_beta_profile_of_draws(om):
     """The drawn ensemble's anisotropy profile beta(r) = 1 - sigma_t^2 /
     (2 sigma_r^2) must track the OM form r^2/(r^2 + r_a^2)."""

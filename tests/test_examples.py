@@ -29,6 +29,7 @@ def _run(example, tmp_path, extra_env=None):
     return res
 
 
+@pytest.mark.slow
 def test_single_cluster_example(tmp_path):
     res = _run("single_cluster.py", tmp_path)
     assert (tmp_path / "single_cluster_ic.h5").exists()

@@ -150,6 +150,7 @@ def _small_profiles(canonical_profiles):
     return (canonical_profiles["rhog"], canonical_profiles["rhot"])
 
 
+@pytest.mark.slow
 def test_aqual_cluster_end_to_end(canonical_profiles, tmp_path):
     """An AQUAL cluster builds from matter profiles, HSE-checks, carries
     the field-integrated potential, inverts back to the matter mass via

@@ -281,6 +281,7 @@ def test_from_arrays(canonical_model):
     assert m2.num_elements == canonical_model.num_elements
 
 
+@pytest.mark.slow
 def test_4096_point_grid():
     """BASELINE config 1: high-resolution grid improves HSE residual ~10x."""
     rhog = cg.rescale_profile_by_mass(

@@ -308,6 +308,7 @@ def test_ensemble_datagen_rejects_unknown_species(tmp_path):
                          {"dm": 100, "stars": 10})
 
 
+@pytest.mark.slow
 def test_dm_only_datagen_caps_speeds_at_local_escape():
     """The int-count (DM-only) datagen path shares the full-species
     core, including the local escape-speed cap (round-4 review: the two
@@ -331,6 +332,7 @@ def test_dm_only_datagen_caps_speeds_at_local_escape():
     assert (v <= v_esc * (1.0 + 1e-4)).all()
 
 
+@pytest.mark.slow
 def test_int_and_dict_datagen_paths_agree_exactly():
     """The int-count path IS the full-species core with gas=star=0 —
     same key must give bit-identical DM draws through both entries."""
@@ -775,6 +777,7 @@ def test_catalog_batches_training_loop_form(tmp_path):
         next(catalog_batches(fn, 0))
 
 
+@pytest.mark.slow
 def test_catalog_to_particles_bridge(tmp_path):
     """catalog_to_particles turns one catalog cluster into a
     ClusterParticles that exports to a Gadget file (the datagen -> IC

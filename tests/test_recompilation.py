@@ -156,6 +156,7 @@ VELS_2 = jnp.asarray([[0.3, 0.0, 0.0], [-0.3, 0.0, 0.0]])
 RMAX_2 = jnp.asarray([3000.0, 3000.0])
 
 
+@pytest.mark.slow
 def test_count_change_reuses_build_and_table_executables():
     """The staged-path contract: changing n_part re-lowers ONLY the draw
     program; model builds and table builds reuse their executables (they

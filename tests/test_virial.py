@@ -3,6 +3,7 @@ virial self-consistency (reference virial.py + tests/test_models.py)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.integrate import quad
 from scipy.interpolate import InterpolatedUnivariateSpline as IUS
 
@@ -50,6 +51,7 @@ def test_df_matches_scipy_reference(canonical_model):
     assert rel.max() < 5e-5, rel.max()
 
 
+@pytest.mark.slow
 def test_df_g_integral_exact(canonical_model):
     """_abel_g_exact against tight-tolerance quadrature of the SAME spline:
     the closed form must agree to ~1e-9 (it is exact; quad's 1e-12-eps

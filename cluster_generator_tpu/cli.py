@@ -223,6 +223,10 @@ def _add_datagen(sub):
                    "(writes <stem>.<rank>of<nproc>.h5)")
     p.add_argument("--nproc", type=int, default=None,
                    help="multi-process sharding: total process count")
+    p.add_argument("--gravity", default="newtonian",
+                   choices=["newtonian", "aqual", "qumond", "emond"],
+                   help="gravity law for the equilibrium builds "
+                   "(model/gravity.py; recorded in the catalog attrs)")
     p.add_argument("--aot-dir", default=None,
                    help="directory of AOT batch-program artifacts: a "
                    "primed artifact skips the fresh-process cold "
@@ -267,8 +271,8 @@ def _cmd_datagen(args):
     key = jax.random.fold_in(jax.random.key(args.seed), 1)
     kw = dict(batch_size=args.batch_size, num_points=args.num_points,
               key=key, overwrite=args.overwrite, resume=args.resume,
-              anisotropy_radius=args.r_a, aot_dir=args.aot_dir,
-              prime_aot=args.prime_aot)
+              anisotropy_radius=args.r_a, gravity=args.gravity,
+              aot_dir=args.aot_dir, prime_aot=args.prime_aot)
     if (args.rank is None) != (args.nproc is None):
         print("--rank and --nproc go together", file=sys.stderr)
         return 2
@@ -324,6 +328,10 @@ def _add_mergers(sub):
     p.add_argument("--even-split", action="store_true",
                    help="split species counts evenly across halos "
                    "instead of by ensemble-mean mass fraction")
+    p.add_argument("--gravity", default="newtonian",
+                   choices=["newtonian", "aqual", "qumond", "emond"],
+                   help="gravity law for the equilibrium builds "
+                   "(model/gravity.py; recorded in the catalog attrs)")
     p.add_argument("--aot-dir", default=None,
                    help="directory of AOT batch-program artifacts "
                    "(see datagen --aot-dir)")
@@ -365,8 +373,8 @@ def _cmd_mergers(args):
     kw = dict(batch_size=args.batch_size, num_points=args.num_points,
               r_max=args.r_max, key=key, overwrite=args.overwrite,
               resume=args.resume, anisotropy_radius=args.r_a,
-              prorate=not args.even_split, aot_dir=args.aot_dir,
-              prime_aot=args.prime_aot)
+              prorate=not args.even_split, gravity=args.gravity,
+              aot_dir=args.aot_dir, prime_aot=args.prime_aot)
     if (args.rank is None) != (args.nproc is None):
         print("--rank and --nproc go together", file=sys.stderr)
         return 2

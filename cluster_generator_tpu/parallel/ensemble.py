@@ -41,13 +41,20 @@ __all__ = ["build_one_cluster", "build_ensemble",
 
 
 def build_one_cluster(M200, conc, z=0.1, f_g=None, rmin=0.1, rmax=10000.0,
-                      num_points=1000, with_df: bool = True):
+                      num_points=1000, with_df: bool = True,
+                      gravity: str = "newtonian"):
     """Build the flagship cluster configuration from (M200, c).
 
     sNFW total profile + Vikhlinin gas rescaled to f_gas(M500) * M500 +
     2% stellar component — the reference test suite's canonical cluster
     (tests/utils/generators.py:37-104) — returning the full HSE field dict
     and (optionally) the dark-matter distribution function.
+
+    ``gravity``: a registered law name ("newtonian"/"aqual"/"qumond"/
+    "emond", model/gravity.py) — the total-density profile is the MATTER
+    density and the field/potential/DF follow the law (the wiring of
+    model/builders.py, threaded here so the datagen products can stream
+    MOND catalogs).  Law parameters take the config defaults.
     """
     r200 = find_overdensity_radius(M200, 200.0, z=z)
     a = r200 / conc
@@ -62,7 +69,8 @@ def build_one_cluster(M200, conc, z=0.1, f_g=None, rmin=0.1, rmax=10000.0,
     rhos = 0.02 * rhot
 
     rr = log_radius_grid(rmin, rmax, num_points)
-    fields = build_from_dens_and_tden(rr, rhog, rhot, stellar_density=rhos)
+    fields = build_from_dens_and_tden(rr, rhog, rhot, stellar_density=rhos,
+                                      gravity=gravity)
     if with_df:
         ee = -fields["gravitational_potential"][::-1]
         pden = fields["dark_matter_density"][::-1]
@@ -122,7 +130,8 @@ def _speed_table_key():
                         key=lambda kv: kv[0]))
 
 
-def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048, r_a=None):
+def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048, r_a=None,
+                      gravity="newtonian"):
     """One jitted program: (M200, conc, keys) batch -> per-cluster DM
     phase-space draws (positions, velocities, particle mass).
 
@@ -138,13 +147,15 @@ def _datagen_batch_fn(num_points, n_part, n_rows=128, rq=2048, r_a=None):
     """
     return _datagen_batch_cached(num_points, n_part, n_rows, rq,
                                  None if r_a is None else float(r_a),
-                                 _speed_table_key())
+                                 str(gravity), _speed_table_key())
 
 
 @lru_cache(maxsize=32)
-def _datagen_batch_cached(num_points, n_part, n_rows, rq, r_a, kw_items):
+def _datagen_batch_cached(num_points, n_part, n_rows, rq, r_a, gravity,
+                          kw_items):
     full = _datagen_full_batch_cached(num_points, n_part, 0, 0, n_rows,
-                                      rq, 64, 512, 256, 256, r_a, kw_items)
+                                      rq, 64, 512, 256, 256, r_a, gravity,
+                                      kw_items)
 
     # jit-of-jit: tracing `full` inlines its jaxpr, so exactly one
     # program compiles; the outer jit also carries the cache
@@ -158,7 +169,8 @@ def _datagen_batch_cached(num_points, n_part, n_rows, rq, r_a, kw_items):
 
 def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=128,
                            rq=2048, star_n_rows=64, star_rq=512,
-                           star_n_s=256, star_n_q=256, r_a=None):
+                           star_n_s=256, star_n_q=256, r_a=None,
+                           gravity="newtonian"):
     """Memoized factory for the full-species datagen program — the ONE
     datagen core (the int-count path delegates here with gas=star=0;
     species with a zero count are simply absent from the output dict).
@@ -177,13 +189,13 @@ def _datagen_full_batch_fn(num_points, n_dm, n_gas, n_star, n_rows=128,
                                       n_rows, rq, star_n_rows, star_rq,
                                       star_n_s, star_n_q,
                                       None if r_a is None else float(r_a),
-                                      _speed_table_key())
+                                      str(gravity), _speed_table_key())
 
 
 @lru_cache(maxsize=32)
 def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
                                rq, star_n_rows, star_rq, star_n_s,
-                               star_n_q, r_a, kw_items):
+                               star_n_q, r_a, gravity, kw_items):
     """One jitted program: (M200, conc, key) batch -> per-cluster
     FULL-SPECIES draws — the complete per-cluster IC product at ensemble
     scale (reference model.py:838-1039 gas generator + virial.py:108-236
@@ -317,7 +329,7 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         # the power-law-extended grid (rho_Q's nonzero boundary slope;
         # virial.om_extended_df docstring)
         f = build_one_cluster(m, c, num_points=num_points,
-                              with_df=(r_a is None))
+                              with_df=(r_a is None), gravity=gravity)
         ee = -f["gravitational_potential"][::-1]
         aug = (1.0 if r_a is None
                else 1.0 + (f["radius"] / r_a) ** 2)
@@ -376,7 +388,8 @@ def prorate_species_counts(n_total, M200=1.5e15, conc=4.0, num_points=512):
     return {"dm": n_dm, "gas": n_gas, "star": n_star}
 
 
-def _resolve_batch_fn(n_particles_per_cluster, num_points, r_a=None):
+def _resolve_batch_fn(n_particles_per_cluster, num_points, r_a=None,
+                      gravity="newtonian"):
     """(full?, per-species counts, jitted batch program) for a datagen
     product selector (int = DM phase space, dict = full-species).  One
     jitted program per config; jit's shape-keyed cache handles the
@@ -390,6 +403,9 @@ def _resolve_batch_fn(n_particles_per_cluster, num_points, r_a=None):
         raise ValueError(f"anisotropy_radius must be positive (got "
                          f"{r_a!r}); omit it (None) for the isotropic "
                          "product")
+    from ..model.gravity import get_gravity
+
+    get_gravity(gravity)  # unknown law names fail fast, before compile
     full = isinstance(n_particles_per_cluster, dict)
     if full:
         unknown = set(n_particles_per_cluster) - {"dm", "gas", "star"}
@@ -403,12 +419,12 @@ def _resolve_batch_fn(n_particles_per_cluster, num_points, r_a=None):
                   for s in ("dm", "gas", "star")}
         batch_fn = _datagen_full_batch_fn(num_points, counts["dm"],
                                           counts["gas"], counts["star"],
-                                          r_a=r_a)
+                                          r_a=r_a, gravity=gravity)
     else:
         counts = None
         batch_fn = _datagen_batch_fn(num_points,
                                      int(n_particles_per_cluster),
-                                     r_a=r_a)
+                                     r_a=r_a, gravity=gravity)
     return full, counts, batch_fn
 
 
@@ -498,7 +514,8 @@ def _make_dispatch(M200, conc, batch_fn, batch_size, key, mesh):
 def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
                      batch_size=256, num_points=512, key=None,
                      overwrite=False, resume=False, mesh=None,
-                     anisotropy_radius=None, aot_dir=None, prime_aot=False,
+                     anisotropy_radius=None, gravity="newtonian",
+                     aot_dir=None, prime_aot=False,
                      _only_batches=None, _extra_attrs=None):
     """Stream an ensemble's particle draws to ONE HDF5 file.
 
@@ -585,7 +602,8 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
         key = jax.random.key(0)
     full, counts, batch_fn = _resolve_batch_fn(n_particles_per_cluster,
                                                num_points,
-                                               r_a=anisotropy_radius)
+                                               r_a=anisotropy_radius,
+                                               gravity=gravity)
     mylog.info("Ensemble datagen: %d clusters x %s particles%s -> %s",
                n_cl, n_particles_per_cluster,
                "" if anisotropy_radius is None
@@ -593,7 +611,7 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
     if aot_dir is not None and mesh is None:
         tag = _aot_tag("cluster", counts=counts or n_particles_per_cluster,
                        num_points=num_points, batch=int(batch_size),
-                       r_a=anisotropy_radius)
+                       r_a=anisotropy_radius, gravity=gravity)
         ex = (jnp.zeros((batch_size,), jnp.float64) + 1.0e15,
               jnp.full((batch_size,), 5.0, jnp.float64),
               jax.random.key(0))
@@ -663,6 +681,8 @@ def ensemble_datagen(M200, conc, filename, n_particles_per_cluster,
               # resume must re-run under the same ens-axis layout for
               # the splice to be bit-faithful
               "mesh_ens": 0 if mesh is None else int(mesh.shape["ens"]),
+              # the gravity law shapes every field/DF/draw
+              "gravity": str(gravity),
               # shard identity: resuming a multihost shard through a
               # plain (or wrong-rank) call would silently compute every
               # other rank's batches into this shard
@@ -707,7 +727,7 @@ def _stream_batched_catalog(path, resuming, config, extra_attrs, expected,
             # recorded: a plain run's values (mesh_ens joined the merger
             # config in round 5; ensemble files always carried it)
             defaults = {"shard_rank": 0, "shard_count": 1, "r_a": 0.0,
-                        "mesh_ens": 0}
+                        "mesh_ens": 0, "gravity": "newtonian"}
             for k, v in config.items():
                 have = f.attrs.get(k, defaults.get(k))
                 if have is None or not np.array_equal(have, v):
@@ -776,7 +796,8 @@ def ensemble_datagen_multihost(M200, conc, filename,
                                n_particles_per_cluster, batch_size=256,
                                num_points=512, key=None, overwrite=False,
                                resume=False, mesh=None,
-                               anisotropy_radius=None, aot_dir=None,
+                               anisotropy_radius=None, gravity="newtonian",
+                               aot_dir=None,
                                prime_aot=False, rank=None, nproc=None):
     """Multi-process :func:`ensemble_datagen`: process ``rank`` of
     ``nproc`` computes batches ``rank, rank+nproc, ...`` (strided, so
@@ -813,7 +834,8 @@ def ensemble_datagen_multihost(M200, conc, filename,
         M200, conc, str(shard), n_particles_per_cluster,
         batch_size=batch_size, num_points=num_points, key=key,
         overwrite=overwrite, resume=resume, mesh=mesh,
-        anisotropy_radius=anisotropy_radius, aot_dir=aot_dir,
+        anisotropy_radius=anisotropy_radius, gravity=gravity,
+        aot_dir=aot_dir,
         prime_aot=prime_aot, _only_batches=mine,
         _extra_attrs={"shard_rank": rank, "shard_count": nproc})
 
@@ -1068,6 +1090,7 @@ def verify_catalog(filename, indices=None, strict=True,
         num_points = int(f.attrs["num_points"])
         n_cl = int(f.attrs["n_clusters"])
         r_a = float(f.attrs.get("r_a", 0.0))  # 0 = ergodic/isotropic
+        gravity = str(f.attrs.get("gravity", "newtonian"))
     if product == "merger_scenes":
         # merger catalogs carry scene_ groups and per-halo segments —
         # the merger verifier rebuilds every halo and checks the
@@ -1102,9 +1125,13 @@ def verify_catalog(filename, indices=None, strict=True,
         if not cond:
             report["violations"].append(msg)
 
-    # one jitted rebuild program reused across the loop (traces once)
+    # one jitted rebuild program reused across the loop (traces once),
+    # under the catalog's recorded gravity law — the v_esc and energy
+    # checks are meaningless against the wrong law (and fail loudly on
+    # a mislabeled catalog: MOND draws exceed the Newtonian escape
+    # speed near r_max)
     build_fn = jax.jit(lambda m, c: build_one_cluster(
-        m, c, num_points=num_points, with_df=False))
+        m, c, num_points=num_points, with_df=False, gravity=gravity))
 
     for i, cl in read_catalog(filenames, indices=indices):
         f = build_fn(cl["M200"], cl["conc"])

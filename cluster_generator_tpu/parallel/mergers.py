@@ -54,7 +54,11 @@ __all__ = ["sample_merger_scene_params", "binary_scene_geometry",
 # (see ensemble._DRAWS_VERSION for the contract).  1 = the r4 product:
 # pipeline.sample_merger_ic draw scheme (paired-table radius/speed
 # gathers, Bernoulli joint-row selection, at-radius gas mixing).
-_MERGER_DRAWS_VERSION = 1
+# 2 = r5: star speed tables at the ensemble product's coarse
+# resolutions (build_speed_tables star_n_rows=64/n_s<=256/n_q<=256 —
+# the cfg6 stage attribution put full-resolution star tables at ~20%
+# of the warm scene cost for ~10% of the draws).
+_MERGER_DRAWS_VERSION = 2
 
 
 def sample_merger_scene_params(key, n, logM_range=(14.2, 15.3),
@@ -255,7 +259,8 @@ def _normalize_counts(counts, H, weights=None):
     return out
 
 
-def _merger_batch_fn(num_points, n_gas, n_dm, n_star, r_a=None):
+def _merger_batch_fn(num_points, n_gas, n_dm, n_star, r_a=None,
+                     gravity="newtonian"):
     """Memoized jitted program: one SCENE BATCH of fused merger ICs.
 
     (M200 (B,H), conc (B,H), centers (B,H,3), velocities (B,H,3),
@@ -266,7 +271,7 @@ def _merger_batch_fn(num_points, n_gas, n_dm, n_star, r_a=None):
     """
     return _merger_batch_cached(num_points, n_gas, n_dm, n_star,
                                 None if r_a is None else float(r_a),
-                                _speed_table_key())
+                                str(gravity), _speed_table_key())
 
 
 def _segment_offsets(ns):
@@ -280,7 +285,8 @@ def _segment_offsets(ns):
 
 
 @lru_cache(maxsize=16)
-def _merger_batch_cached(num_points, n_gas, n_dm, n_star, r_a, kw_items):
+def _merger_batch_cached(num_points, n_gas, n_dm, n_star, r_a, gravity,
+                         kw_items):
     from ..pipeline import merger_ic_fused
 
     del kw_items  # participates in the memo key only
@@ -295,7 +301,7 @@ def _merger_batch_cached(num_points, n_gas, n_dm, n_star, r_a, kw_items):
     def one(m, c, ctr, vel, r_max, k):
         parts, _ = merger_ic_fused.__wrapped__(
             m, c, ctr, vel, r_max, k, n_gas, n_dm, n_star,
-            num_points=num_points, r_a=r_a)
+            num_points=num_points, r_a=r_a, gravity=gravity)
         out = {}
         if sum(n_gas):
             out["gas_position"] = parts["gas", "particle_position"]
@@ -334,8 +340,8 @@ def _params_sha(M200, conc, centers, velocities):
 def merger_datagen(params, filename, counts, batch_size=64,
                    num_points=512, r_max=5000.0, key=None,
                    overwrite=False, resume=False, mesh=None,
-                   anisotropy_radius=None, prorate=True, aot_dir=None,
-                   prime_aot=False,
+                   anisotropy_radius=None, gravity="newtonian",
+                   prorate=True, aot_dir=None, prime_aot=False,
                    _only_batches=None, _extra_attrs=None):
     """Stream an ensemble of merger-scene ICs to ONE HDF5 catalog.
 
@@ -418,8 +424,12 @@ def merger_datagen(params, filename, counts, batch_size=64,
         jnp.asarray(r_max, jnp.float64).ravel(), (H,))
     if key is None:
         key = jax.random.key(0)
+    from ..model.gravity import get_gravity
+
+    get_gravity(gravity)  # unknown law names fail fast, before compile
     batch_fn = _merger_batch_fn(num_points, counts["gas"], counts["dm"],
-                                counts["star"], r_a=anisotropy_radius)
+                                counts["star"], r_a=anisotropy_radius,
+                                gravity=gravity)
     mylog.info("Merger datagen: %d scenes x %d halos x %s particles%s "
                "-> %s", n_sc, H, counts,
                "" if anisotropy_radius is None
@@ -429,7 +439,7 @@ def merger_datagen(params, filename, counts, batch_size=64,
 
         tag = _aot_tag("merger", counts=counts, num_points=num_points,
                        batch=int(batch_size), H=H,
-                       r_a=anisotropy_radius)
+                       r_a=anisotropy_radius, gravity=gravity)
         ex = (jnp.zeros((batch_size, H), jnp.float64) + 1.0e15,
               jnp.full((batch_size, H), 5.0, jnp.float64),
               jnp.zeros((batch_size, H, 3), jnp.float64),
@@ -492,6 +502,7 @@ def merger_datagen(params, filename, counts, batch_size=64,
               # partitioned programs round ~1 ulp differently — resume
               # must re-run under the same ens layout (see ensemble)
               "mesh_ens": 0 if mesh is None else int(mesh.shape["ens"]),
+              "gravity": str(gravity),
               "r_max": np.asarray(r_max_arr, np.float64),
               "params_sha": _params_sha(M200, conc, centers, velocities),
               "shard_rank": int((_extra_attrs or {}).get("shard_rank", 0)),
@@ -510,7 +521,8 @@ def merger_datagen(params, filename, counts, batch_size=64,
 def merger_datagen_multihost(params, filename, counts, batch_size=64,
                              num_points=512, r_max=5000.0, key=None,
                              overwrite=False, resume=False, mesh=None,
-                             anisotropy_radius=None, prorate=True,
+                             anisotropy_radius=None, gravity="newtonian",
+                             prorate=True,
                              aot_dir=None, prime_aot=False,
                              rank=None, nproc=None):
     """Multi-process :func:`merger_datagen`: process ``rank`` of
@@ -536,6 +548,7 @@ def merger_datagen_multihost(params, filename, counts, batch_size=64,
         params, str(shard), counts, batch_size=batch_size,
         num_points=num_points, r_max=r_max, key=key, overwrite=overwrite,
         resume=resume, mesh=mesh, anisotropy_radius=anisotropy_radius,
+        gravity=gravity,
         prorate=prorate, aot_dir=aot_dir, prime_aot=prime_aot,
         _only_batches=mine,
         _extra_attrs={"shard_rank": rank, "shard_count": nproc})
@@ -613,6 +626,7 @@ def verify_merger_catalog(filename, indices=None,
         n_sc = int(f.attrs["n_clusters"])
         H = int(f.attrs["n_halos"])
         r_a = float(f.attrs.get("r_a", 0.0))  # 0 = ergodic/isotropic
+        gravity = str(f.attrs.get("gravity", "newtonian"))
         r_max = np.asarray(f.attrs["r_max"], np.float64)
         n_per_halo = {sp: tuple(int(x) for x in
                                 f.attrs[f"n_{sp}_per_halo"])
@@ -633,9 +647,12 @@ def verify_merger_catalog(filename, indices=None,
         if not cond:
             report["violations"].append(msg)
 
-    # one jitted H-vmapped rebuild reused across scenes (traces once)
+    # one jitted H-vmapped rebuild reused across scenes (traces once),
+    # under the catalog's recorded gravity law (the v_esc/energy checks
+    # are meaningless against the wrong law — a mislabeled catalog
+    # fails loudly: MOND draws exceed the Newtonian v_esc near r_max)
     build_fn = jax.jit(jax.vmap(lambda m, c: build_one_cluster(
-        m, c, num_points=num_points, with_df=False)))
+        m, c, num_points=num_points, with_df=False, gravity=gravity)))
 
     def _loglerp(r, rr, vals):
         # the device mix lerps values with LOG-space weights on the

@@ -31,9 +31,11 @@ __all__ = ["build_merger_models", "build_speed_tables",
            "attach_field_to_particles"]
 
 
-@partial(jax.jit, static_argnames=("num_points", "with_star_df", "r_a"))
+@partial(jax.jit, static_argnames=("num_points", "with_star_df", "r_a",
+                                   "gravity"))
 def build_merger_models(M200, conc, z=0.1, num_points=1000,
-                        with_star_df=True, r_a=None):
+                        with_star_df=True, r_a=None,
+                        gravity="newtonian"):
     """vmapped equilibrium builds (+DM and stellar DFs) for each halo.
 
     ``r_a``: Osipkov-Merritt anisotropy radius (kpc) — the DFs become
@@ -43,7 +45,7 @@ def build_merger_models(M200, conc, z=0.1, num_points=1000,
 
     def one(m, c):
         fields = build_one_cluster(m, c, z=z, num_points=num_points,
-                                   with_df=(r_a is None))
+                                   with_df=(r_a is None), gravity=gravity)
         ee = -fields["gravitational_potential"][::-1]
         aug = (1.0 if r_a is None
                else 1.0 + (fields["radius"] / r_a) ** 2)
@@ -71,8 +73,8 @@ def build_merger_models(M200, conc, z=0.1, num_points=1000,
     return jax.vmap(one)(M200, conc)
 
 
-@partial(jax.jit, static_argnames=("n_rows",))
-def build_speed_tables(fields, n_rows=256):
+@partial(jax.jit, static_argnames=("n_rows", "star_n_rows"))
+def build_speed_tables(fields, n_rows=256, star_n_rows=64):
     """Per-halo inverse speed-CDF tables for DM and stars.
 
     Builder arguments come from :func:`virial.speed_table_defaults` — the
@@ -88,36 +90,53 @@ def build_speed_tables(fields, n_rows=256):
     to median 8e-6 / p99 7e-5 relative, while the O(rows x n_s x n_q)
     build shrinks 4x (measured 229 -> 81 ms; it was the dominant stage
     after the row-gather draw redesign).
+
+    ``star_n_rows`` + the coarse star n_s/n_q knobs: the STAR table gets
+    the same reduced resolutions the ensemble datagen product uses
+    (ensemble's star_n_rows=64/star_n_s=256/star_n_q=256 rationale —
+    per-halo table-build work serving ~10x fewer draws than DM; the
+    r5 cfg6 stage attribution put speed tables at 45% of the warm scene
+    cost, benchmarks/measurements_r5/r5_cfg6_stages.log).  None falls
+    back to the DM resolutions (the pre-r5 behavior).
     """
     ee = -fields["gravitational_potential"][:, ::-1]
     rr = fields["radius"]
     kw = speed_table_defaults()
+    kw_star = dict(kw, n_s=min(kw.get("n_s", 1024), 256),
+                   n_q=min(kw.get("n_q", 512), 256))
 
-    def tab(sp_ee, sp_f):
+    def tab(sp_ee, sp_f, rows, kw_sp):
         # (sp_ee, sp_f): the f(E) spline grid — the model grid for
         # ergodic DFs; om_extended_df's extended grid for OM (rows near
         # r_max query E below the model's lowest energy).
         def one(e_asc, r, e_sp, d_sp):
-            if n_rows is None:
+            if rows is None:
                 return speed_inverse_cdf_table(e_sp, d_sp, row_ee=e_asc,
-                                               **kw)
-            # psi on the ascending radius grid; rows at n_rows log-spaced
-            # radii (same endpoints -> _log_grid_locate still computes the
+                                               **kw_sp)
+            # psi on the ascending radius grid; rows at log-spaced radii
+            # (same endpoints -> _log_grid_locate still computes the
             # row index), reversed so row energies ascend like ee
             r_rows = jnp.exp(jnp.linspace(jnp.log(r[0]), jnp.log(r[-1]),
-                                          n_rows))
+                                          rows))
             psi = e_asc[::-1]
             row_ee = jnp.interp(r_rows, r, psi)[::-1]
             return speed_inverse_cdf_table(e_sp, d_sp, row_ee=row_ee,
-                                           **kw)
+                                           **kw_sp)
 
         return jax.vmap(one)(ee, rr, sp_ee, sp_f)
 
+    if star_n_rows is None:
+        star_rows, kw_star = n_rows, kw
+    else:
+        star_rows = star_n_rows
     if "df_ee_ext" in fields:
-        return {"dm": tab(fields["df_ee_ext"], fields["dm_df_ext"]),
-                "star": tab(fields["df_ee_ext"], fields["star_df_ext"])}
-    return {"dm": tab(ee, fields["dm_df"][:, ::-1]),
-            "star": tab(ee, fields["star_df"][:, ::-1])}
+        return {"dm": tab(fields["df_ee_ext"], fields["dm_df_ext"],
+                          n_rows, kw),
+                "star": tab(fields["df_ee_ext"], fields["star_df_ext"],
+                            star_rows, kw_star)}
+    return {"dm": tab(ee, fields["dm_df"][:, ::-1], n_rows, kw),
+            "star": tab(ee, fields["star_df"][:, ::-1], star_rows,
+                        kw_star)}
 
 
 _RQ = 2048  # radius quantile-table resolution
@@ -132,6 +151,8 @@ def build_radius_tables(fields, r_max, dtype=jnp.float32):
     log-spaced grid's *computed* index (no search) for psi/energy lookups,
     the per-particle cost drops to a handful of gathers.
     """
+    from .core.interp import interp_monotone
+
     q = jnp.linspace(0.0, 1.0, _RQ)
 
     def one(rr, mm, rm):
@@ -141,8 +162,13 @@ def build_radius_tables(fields, r_max, dtype=jnp.float32):
         rins = jnp.concatenate([jnp.zeros((1,), rr.dtype), rr])
         # clamp at rm: beyond r_max, P plateaus at 1 and interp would walk
         # the top quantile bin out to the plateau's far edge, giving draws
-        # past the truncation radius (the mass in that bin belongs AT rm)
-        r_q = jnp.minimum(jnp.interp(q, P, rins), rm)
+        # past the truncation radius (the mass in that bin belongs AT rm).
+        # interp_monotone: compare-matrix bracketing instead of
+        # jnp.interp's per-query binary-search gathers — the same switch
+        # the ensemble product's quantile nodes use; the r5 cfg6 stage
+        # attribution put this interp at +1.16 s of the 4.0 s warm scene
+        # batch (r5_cfg6_stages.log), gather-bound on TPU.
+        r_q = jnp.minimum(interp_monotone(q, P, rins), rm)
         return r_q.astype(dtype), m_rmax
 
     out = {}
@@ -435,11 +461,12 @@ def sample_merger_ic(fields, tables, centers, velocities, r_max, key,
 
 @partial(jax.jit, static_argnames=("num_points", "n_gas", "n_dm", "n_star",
                                    "n_tracer", "dtype", "compute_potential",
-                                   "r_a"))
+                                   "r_a", "gravity"))
 def merger_ic_fused(M200, conc, centers, velocities, r_max, key,
                     n_gas, n_dm, n_star, n_tracer=None, z=0.1,
                     num_points=1000, dtype=jnp.float32,
-                    compute_potential=False, r_a=None):
+                    compute_potential=False, r_a=None,
+                    gravity="newtonian"):
     """The entire merger IC — equilibrium models, DFs, tables, every
     particle draw — as ONE jitted program.
 
@@ -453,7 +480,8 @@ def merger_ic_fused(M200, conc, centers, velocities, r_max, key,
     draws switch to the radially-anisotropic f(Q) product.
     """
     fields = build_merger_models.__wrapped__(M200, conc, z=z,
-                                             num_points=num_points, r_a=r_a)
+                                             num_points=num_points, r_a=r_a,
+                                             gravity=gravity)
     tables = build_speed_tables.__wrapped__(fields)
     tables["radius"] = build_radius_tables.__wrapped__(fields, r_max)
     parts = sample_merger_ic.__wrapped__(

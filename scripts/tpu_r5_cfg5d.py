@@ -28,7 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 CATALOG = "/root/r5_cfg5d.h5"
-N_CL, BATCH, N_PTS = 1024, 64, 512
+# batch 16: the [B*5e5, 4] radius-gather temp pads 32x under T(8,128)
+# (batch 64 OOM'd at compile: 15.26 G for that one temp, r5_cfg5d.log);
+# 16 x 5e5 x 4 x 4 B x 32 = 4.1 G fits alongside the tables
+N_CL, BATCH, N_PTS = 1024, 16, 512
 COUNTS = {"dm": 500_000, "gas": 400_000, "star": 100_000}
 
 

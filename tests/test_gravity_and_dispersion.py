@@ -317,3 +317,68 @@ def test_no_gas_and_dynamical_mass_errors(canonical_profiles):
     # newtonian inversion reproduces the input mass
     np.testing.assert_allclose(np.asarray(dynamical_mass(rr, g)),
                                np.asarray(mn["total_mass"]), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_mond_datagen_catalogs(tmp_path):
+    """The gravity law threaded through the DATAGEN products: catalogs
+    record the law, the QA gates rebuild under it, a mislabeled catalog
+    fails loudly (MOND draws exceed the Newtonian escape speed), resume
+    refuses to splice across a law change, and the merger product
+    carries the same knob."""
+    import h5py
+    import jax
+
+    from cluster_generator_tpu.parallel import (
+        ensemble_datagen,
+        merger_datagen,
+        sample_ensemble_params,
+        sample_merger_scene_params,
+        verify_catalog,
+        verify_merger_catalog,
+    )
+
+    M, c = sample_ensemble_params(jax.random.key(5), 3)
+    fn = str(tmp_path / "aqual_cat.h5")
+    kw = dict(batch_size=2, num_points=128, key=jax.random.key(12))
+    ensemble_datagen(M, c, fn, {"dm": 20_000, "gas": 10_000}, gravity="aqual",
+                     **kw)
+    with h5py.File(fn) as f:
+        assert f.attrs["gravity"] == "aqual"
+    report = verify_catalog(fn)
+    assert report["violations"] == []
+
+    # mislabeled as Newtonian: the rebuild under the wrong law must fire
+    # (deeper MOND potential -> draws exceed the Newtonian v_esc, and
+    # the gas energies don't match the Newtonian HSE temperature)
+    with h5py.File(fn, "a") as f:
+        f.attrs["gravity"] = "newtonian"
+    bad = verify_catalog(fn, strict=False)
+    assert bad["violations"], "mislabeled MOND catalog passed the QA gate"
+
+    # resume across a law change refuses to splice
+    with h5py.File(fn, "a") as f:
+        f.attrs["gravity"] = "aqual"
+        del f.attrs["complete"]
+        del f["cluster_000002"]
+    with pytest.raises(ValueError, match="gravity"):
+        ensemble_datagen(M, c, fn, {"dm": 20_000, "gas": 10_000},
+                         resume=True, **kw)
+    ensemble_datagen(M, c, fn, {"dm": 20_000, "gas": 10_000},
+                     gravity="aqual", resume=True, **kw)
+    assert verify_catalog(fn)["violations"] == []
+
+    # unknown law names fail fast, before any compile
+    with pytest.raises(KeyError, match="Unknown gravity"):
+        ensemble_datagen(M, c, str(tmp_path / "x.h5"), {"dm": 100},
+                         gravity="mondish", **kw)
+
+    # merger product: same knob, same gate
+    p = sample_merger_scene_params(jax.random.key(3), 2)
+    mfn = str(tmp_path / "aqual_mergers.h5")
+    merger_datagen(p, mfn, counts={"dm": 4000, "gas": 3000},
+                   batch_size=2, num_points=128, key=jax.random.key(4),
+                   gravity="qumond")
+    with h5py.File(mfn) as f:
+        assert f.attrs["gravity"] == "qumond"
+    assert verify_merger_catalog(mfn)["violations"] == []

@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["CubicSpline", "cubic_spline", "spline_eval", "interp",
-           "adjacent_pairs", "loguniform_lerp", "is_loguniform",
-           "spline_eval_loguniform"]
+           "adjacent_pairs", "pair_col_lerp", "loguniform_lerp",
+           "is_loguniform", "spline_eval_loguniform"]
 
 
 def adjacent_pairs(t):
@@ -34,8 +34,26 @@ def adjacent_pairs(t):
     scalar gather (measured, scripts/tpu_gather_experiments2.py).  Every
     paired-table site shares this helper so the pairing convention can't
     drift.
+
+    Per-particle gathers of these tables go through :func:`pair_col_lerp`
+    / the transposed-column idiom: gathering ``pairs[idx]`` materializes
+    an ``[N, 2]`` temp that the TPU T(8,128) tile layout pads 64x (the
+    ``[N, 4]`` form 32x — it compile-OOM'd the 1e6-particle/cluster
+    datagen at batch 64, 15.26 GB for one temp), while the transposed
+    ``pairs.T[:, idx]`` gather pads the SAME values only 2-4x at
+    identical measured speed (84.0 vs 84.8 ms for 8e6 draws,
+    benchmarks/measurements_r5/r5_gather_layout.log).
     """
     return jnp.stack([t[..., :-1], t[..., 1:]], axis=-1)
+
+
+def pair_col_lerp(pairs, idx, w):
+    """Lerp of an adjacent-pair table at integer rows ``idx`` with
+    weights ``w`` — via the transposed COLUMN gather (see
+    :func:`adjacent_pairs` on why: same speed, 16-32x less padded HBM
+    than ``pairs[idx]``)."""
+    c = pairs.T[:, idx]  # (2, N)
+    return (1.0 - w) * c[0] + w * c[1]
 
 
 class CubicSpline(NamedTuple):
@@ -328,10 +346,12 @@ def loguniform_lerp(xq, x, y):
     # integer clamp too: the 1e-6 margin is below the f32 ulp at n - 1
     j = jnp.minimum(t.astype(jnp.int32), n - 2)
     xy = jnp.stack([x, y], axis=1)
-    row = jnp.concatenate([xy[:-1], xy[1:]], axis=1)[j]  # x0 y0 x1 y1
-    w = jnp.clip((xq.astype(dt) - row[:, 0])
-                 / (row[:, 2] - row[:, 0]), 0.0, 1.0)
-    return (1.0 - w) * row[:, 1] + w * row[:, 3]
+    # transposed column gather (adjacent_pairs docstring: same speed,
+    # no 32x-padded [N, 4] temp)
+    cols = jnp.concatenate([xy[:-1], xy[1:]], axis=1).T[:, j]
+    w = jnp.clip((xq.astype(dt) - cols[0])
+                 / (cols[2] - cols[0]), 0.0, 1.0)
+    return (1.0 - w) * cols[1] + w * cols[3]
 
 
 def is_loguniform(x, rtol=1e-8):

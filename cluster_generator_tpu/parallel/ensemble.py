@@ -278,9 +278,12 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
                                         psi_q=psi_q)
         k_r, k_v, k_u, k_w = jax.random.split(key, 4)
         kq, wq = _draw_quantiles(k_r, n_part, rq_sp)
-        row = table4[kq]
-        radius = (1.0 - wq) * row[:, 0] + wq * row[:, 1]
-        v_esc = (1.0 - wq) * row[:, 2] + wq * row[:, 3]
+        # transposed column gather (core/interp.adjacent_pairs
+        # docstring: same measured speed, no 32x-padded [N, 4] temp —
+        # the row form compile-OOM'd cfg5d at batch 64)
+        cols = table4.T[:, kq]
+        radius = (1.0 - wq) * cols[0] + wq * cols[1]
+        v_esc = (1.0 - wq) * cols[2] + wq * cols[3]
         speed = sample_speeds_joint(joint, tab.shape[1], kq, wq, k_v)
         # Bernoulli row selection can exceed the LOCAL escape speed by the
         # inter-node v_esc difference; cap rides the radius gather
@@ -309,8 +312,9 @@ def _datagen_full_batch_cached(num_points, n_dm, n_gas, n_star, n_rows,
         rp = adjacent_pairs(r_q).astype(jnp.float32)
         k_r, k_u = jax.random.split(key)
         kq, wq = _draw_quantiles(k_r, n_part)
-        row = rp[kq]
-        radius = (1.0 - wq) * row[:, 0] + wq * row[:, 1]
+        from ..core.interp import pair_col_lerp
+
+        radius = pair_col_lerp(rp, kq, wq)
         # thermal energy at the DRAWN radius on the log-uniform model
         # grid (computed index, one row-of-2 gather) — lerping e between
         # the radius-quantile nodes was off by up to ~60% across the

@@ -206,13 +206,14 @@ def _table_lerp(table, u):
     scripts/tpu_gather_experiments2.py A8), so pairing halves-then-some the
     draw stage's dominant cost.
     """
+    from .core.interp import pair_col_lerp
+
     n = table.shape[0]
     pair = adjacent_pairs(table)  # (n-1, 2)
     x = jnp.clip(u * (n - 1), 0.0, n - 1 - 1e-6)
     j = jnp.minimum(x.astype(jnp.int32), n - 2)  # f32 ulp guard
     w = x - j.astype(table.dtype)
-    row = pair[j]
-    return (1.0 - w) * row[:, 0] + w * row[:, 1]
+    return pair_col_lerp(pair, j, w)
 
 
 def _isotropic(key, n, dtype):
@@ -282,12 +283,13 @@ def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
     r_pair = adjacent_pairs(rq)                               # (RQ-1, 2)
     j_pair = _build_joint_speed_pairs(fields_h, s_inv, rq, dtype)
 
+    from .core.interp import pair_col_lerp
+
     u = jax.random.uniform(kr, (n,), dtype=dtype)
     x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-6)
     kq = jnp.minimum(x.astype(jnp.int32), RQ - 2)  # f32 ulp guard
     wq = x - kq.astype(dtype)
-    rp = r_pair[kq]                                           # row gather 1
-    radius = (1.0 - wq) * rp[:, 0] + wq * rp[:, 1]
+    radius = pair_col_lerp(r_pair, kq, wq)           # column gather 1
 
     uq = jax.random.uniform(kv, (n,), dtype=dtype)
     qm = jnp.clip(uq * (n_q - 1), 0.0, n_q - 1 - 1e-6)
@@ -295,8 +297,8 @@ def _sample_collisionless(key, fields_h, s_inv, r_q, m_rmax, n, center,
     wm = qm - m.astype(dtype)
     bern = jax.random.uniform(kb, (n,), dtype=dtype) < wq
     k_row = kq + bern.astype(jnp.int32)
-    sp = j_pair[k_row * (n_q - 1) + m]                        # row gather 2
-    speed = (1.0 - wm) * sp[:, 0] + wm * sp[:, 1]
+    speed = pair_col_lerp(j_pair, k_row * (n_q - 1) + m,
+                          wm)                        # column gather 2
 
     rhat = _isotropic(ka, n, dtype)
     pos = radius[:, None] * rhat + center.astype(dtype)
@@ -346,9 +348,9 @@ def _mix_gas(pos, fields, centers, velocities, dtype):
     for i in range(H):
         r = jnp.sqrt(((pos - centers[i].astype(dtype)) ** 2).sum(axis=1))
         j, w = _log_grid_locate(r, fields["radius"][i], dtype)
-        row = packed[i][j]                                   # one row gather
-        d = (1.0 - w) * row[:, 0] + w * row[:, 2]
-        e = (1.0 - w) * row[:, 1] + w * row[:, 3]
+        cols = packed[i].T[:, j]             # one transposed column gather
+        d = (1.0 - w) * cols[0] + w * cols[2]
+        e = (1.0 - w) * cols[1] + w * cols[3]
         dens = dens + d
         eint = eint + e
         mom = mom + velocities[i].astype(dtype)[None, :] * d[:, None]
@@ -363,12 +365,13 @@ def _potential_at(pos, fields, centers, dtype):
     phi_t = fields["gravitational_potential"].astype(dtype)
     pairs = adjacent_pairs(phi_t)                             # (H, n-1, 2)
 
+    from .core.interp import pair_col_lerp
+
     total = 0.0
     for i in range(H):
         r = jnp.sqrt(((pos - centers[i].astype(dtype)) ** 2).sum(axis=1))
         j, w = _log_grid_locate(r, fields["radius"][i], dtype)
-        row = pairs[i][j]
-        total = total + (1.0 - w) * row[:, 0] + w * row[:, 1]
+        total = total + pair_col_lerp(pairs[i], j, w)
     return total
 
 

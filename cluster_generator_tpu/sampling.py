@@ -134,15 +134,18 @@ def _sample_radii_table(key, r_pair, num):
     x = jnp.clip(u * (RQ - 1), 0.0, RQ - 1 - 1e-9)
     kq = x.astype(jnp.int32)
     wq = x - kq
-    rp = r_pair[kq]
-    return (1.0 - wq) * rp[:, 0] + wq * rp[:, 1], kq, wq
+    from .core.interp import pair_col_lerp
+
+    return pair_col_lerp(r_pair, kq, wq), kq, wq
 
 
 @partial(jax.jit, static_argnames=())
 def _node_value_lerp(pairs, kq, wq):
-    """Per-particle lerp of a quantile-node value table (one row gather)."""
-    vp = pairs[kq]
-    return (1.0 - wq) * vp[:, 0] + wq * vp[:, 1]
+    """Per-particle lerp of a quantile-node value table (one transposed
+    column gather; core/interp.adjacent_pairs docstring)."""
+    from .core.interp import pair_col_lerp
+
+    return pair_col_lerp(pairs, kq, wq)
 
 
 def generate_particle_radii(r, m, num_particles, r_max=None, prng=None,

@@ -490,8 +490,11 @@ def sample_speeds_joint(joint_pairs, n_q, kq, wq, key):
     wm = qm - m.astype(dtype)
     bern = jax.random.uniform(kb, kq.shape, dtype=dtype) < wq.astype(dtype)
     k_row = kq + bern.astype(jnp.int32)
-    sp = joint_pairs[k_row * (n_q - 1) + m]
-    return (1.0 - wm) * sp[:, 0] + wm * sp[:, 1]
+    # transposed column gather (core/interp.adjacent_pairs docstring:
+    # same speed, no 64x-padded [N, 2] temp)
+    from .core.interp import pair_col_lerp
+
+    return pair_col_lerp(joint_pairs, k_row * (n_q - 1) + m, wm)
 
 
 class VirialEquilibrium:
